@@ -1,0 +1,315 @@
+"""The crawl engine: deterministic round-based frontier iteration.
+
+One round = one pure-DataFrame job, the Spark restatement of the
+reference's ``process_batch`` loop
+(news_historical_page_scheduler.py:268-528, SURVEY.md §3.2):
+
+  pending ∧ tried<3  ──robots──▶  per-host top-k pop (token budgets)
+        ──fetch (mapInPandas)──▶  ok? extract spans → documents
+                                  fail? tried_count+1 (FAILED at 3)
+        ──MERGE status──▶ next frontier snapshot (+ lineage, pops, tokens)
+
+Determinism contract: every pop is ranked by the total order
+(priority, published_ts, url_hash) within a host, budgets evolve by the
+same token arithmetic as the oracle, and fetch outcomes are a pure function
+of the canonical URL — so the (round, host, url) pop sequence and the final
+seen-set/status map are bit-reproducible under any partitioning, any
+parallelism, and across kill/resume.
+
+Scale shape (10^10-row frontier):
+- only the *pending* slice is ever rewritten; completed/failed rows are
+  append-only (catalog.py) — per-round I/O is O(|pending| + |popped|),
+  not O(|frontier|).
+- per-round dataflow: one broadcast join (budgets), one window shuffle
+  keyed by host (bounded by rank pruning + AQE skew split), one
+  hash-partitioned anti-join keyed by url_hash. No driver-side row
+  materialization anywhere — counters come from lineage aggregates.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import schemas, synth
+from .catalog import SnapshotCatalog
+from .functions.urls import with_url_columns
+from .operators import frontier as frontier_ops
+from .operators import seen_set
+from .operators.extract import extract_documents
+from .operators.fetch import fetch_pages
+
+
+@dataclass
+class RoundStats:
+    round_no: int
+    popped: int
+    fetched_ok: int
+    fetched_fail: int
+    pending_left: int
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        robots: DataFrame | None = None,
+        politeness: DataFrame | None = None,
+        default_refill: int = 20,
+        max_retries: int = schemas.MAX_RETRIES,
+    ):
+        self.spark = spark
+        self.catalog = SnapshotCatalog(spark, workdir)
+        self.robots = robots if robots is not None else synth.robots_df(spark)
+        self.politeness = (
+            politeness if politeness is not None else synth.politeness_df(spark)
+        )
+        self.default_refill = default_refill
+        self.max_retries = max_retries
+
+    # ------------------------------------------------------------------ ingest
+    def ingest(self, seed: DataFrame) -> None:
+        """Seed list → frontier round 0: canonicalize, hash, first-wins
+        dedup (the URL-seen set), initial pending state, per-source cursors.
+        """
+        cand = with_url_columns(seed, "url")
+        fresh = seen_set.ingest_batch(cand, seen=None)
+        frontier = fresh.select(
+            "url",
+            "canonical_url",
+            "url_hash",
+            "host",
+            "source",
+            F.pmod(F.col("url_hash"), F.lit(3)).cast("int").alias("priority"),
+            "published_ts",
+            "discovery_time",
+            F.lit(schemas.STATUS_PENDING).alias("status"),
+            F.lit(0).alias("tried_count"),
+            F.lit(None).cast("int").alias("last_tried_round"),
+        )
+        self.catalog.write("pending", 0, frontier.repartition("host"))
+        empty = self.spark.createDataFrame([], frontier.schema)
+        self.catalog.write("done", 0, empty)
+        cursors = frontier.groupBy("source").agg(
+            F.max_by("canonical_url", F.struct("published_ts", "url_hash")).alias(
+                "last_url"
+            ),
+            F.lit(0).alias("round"),
+        )
+        self.catalog.write("cursors", 0, cursors)
+        tokens = self.spark.createDataFrame([], "host string, tokens int")
+        self.catalog.write("tokens", 0, tokens)
+        self.catalog.commit(0)
+
+    def ingest_incremental(self, seed: DataFrame) -> int:
+        """Fresh-pipeline ingest (ST2/ST3): a new seed batch becomes its own
+        committed *discovery round* — deduped against the entire seen set
+        (pending ∪ done, i.e. every canonical URL ever admitted) and merged
+        into the pending slice. Returns the number of new URLs admitted.
+
+        This is the engine analog of the 15 s link-poll: at-least-once
+        re-delivery of old links is absorbed here exactly like the
+        reference's ON CONFLICT DO NOTHING (database_manager.py:272-273).
+        """
+        prev = self.catalog.latest_round()
+        if prev is None:
+            raise RuntimeError("ingest() first — no committed round 0")
+        round_no = prev + 1
+        prev_pending = self.catalog.read("pending", prev)
+        prev_done = self.catalog.read_all("done", prev)
+        seen = prev_pending.select("url_hash", "canonical_url").union(
+            prev_done.select("url_hash", "canonical_url")
+        )
+        cand = with_url_columns(seed, "url")
+        fresh = seen_set.ingest_batch(cand, seen=seen)
+        new_rows = fresh.select(
+            "url", "canonical_url", "url_hash", "host", "source",
+            F.pmod(F.col("url_hash"), F.lit(3)).cast("int").alias("priority"),
+            "published_ts", "discovery_time",
+            F.lit(schemas.STATUS_PENDING).alias("status"),
+            F.lit(0).alias("tried_count"),
+            F.lit(None).cast("int").alias("last_tried_round"),
+        ).cache()
+        n_new = new_rows.count()
+        merged = prev_pending.unionByName(new_rows).repartition("host")
+        self.catalog.write("pending", round_no, merged)
+        self.catalog.write("done", round_no,
+                           self.spark.createDataFrame([], merged.schema))
+        self.catalog.write("tokens", round_no, self.catalog.read("tokens", prev))
+        cursors = (
+            self.catalog.read("pending", round_no)
+            .groupBy("source")
+            .agg(
+                F.max_by("canonical_url", F.struct("published_ts", "url_hash"))
+                .alias("last_url"),
+                F.lit(round_no).alias("round"),
+            )
+        )
+        self.catalog.write("cursors", round_no, cursors)
+        self.catalog.commit(round_no)
+        new_rows.unpersist()
+        return n_new
+
+    # ------------------------------------------------------------------ rounds
+    def _budgets(self, pending: DataFrame, prev_tokens: DataFrame) -> DataFrame:
+        """Token-bucket refill: budget = min(cap, carry + refill) per host
+        with pending work. Small (one row per live host) → broadcast."""
+        hosts = pending.select("host").distinct()
+        b = (
+            hosts.join(prev_tokens, "host", "left")
+            .join(self.politeness, "host", "left")
+            .select(
+                "host",
+                F.least(
+                    F.coalesce(F.col("bucket_capacity"), F.lit(2 * self.default_refill)),
+                    F.coalesce(F.col("tokens"), F.lit(0))
+                    + F.coalesce(F.col("max_per_round"), F.lit(self.default_refill)),
+                ).alias("budget"),
+            )
+        )
+        return b
+
+    def step(self, round_no: int) -> RoundStats:
+        """Execute round ``round_no`` (requires round ``round_no-1``
+        committed). Idempotent: re-running after a crash overwrites the
+        uncommitted outputs and commits once."""
+        prev = round_no - 1
+        pending = self.catalog.read("pending", prev)
+        prev_tokens = self.catalog.read("tokens", prev)
+
+        eligible = frontier_ops.eligible(pending, self.max_retries)
+        allowed = frontier_ops.allowed_by_robots(eligible, self.robots)
+        budgets = self._budgets(allowed, prev_tokens)
+        popped = frontier_ops.pop_round(allowed, budgets).cache()
+
+        fetched = fetch_pages(popped).cache()
+        docs = extract_documents(fetched).withColumn(
+            "fetched_round", F.lit(round_no)
+        )
+
+        # ---- MERGE-equivalent state transition ----------------------------
+        outcomes = fetched.select(
+            "url_hash",
+            "canonical_url",
+            F.col("ok"),
+        )
+        updated = (
+            popped.join(outcomes, ["url_hash", "canonical_url"], "inner")
+            .withColumn(
+                "tried_count",
+                F.when(F.col("ok"), F.col("tried_count")).otherwise(
+                    F.col("tried_count") + 1
+                ),
+            )
+            .withColumn(
+                "status",
+                F.when(F.col("ok"), F.lit(schemas.STATUS_COMPLETED))
+                .when(
+                    F.col("tried_count") >= self.max_retries,
+                    F.lit(schemas.STATUS_FAILED),
+                )
+                .otherwise(F.lit(schemas.STATUS_PENDING)),
+            )
+            .withColumn("last_tried_round", F.lit(round_no))
+            .drop("ok")
+        )
+        still_pending = updated.filter(F.col("status") == schemas.STATUS_PENDING)
+        finished = updated.filter(F.col("status") != schemas.STATUS_PENDING)
+
+        next_pending = (
+            pending.join(
+                popped.select("url_hash", "canonical_url"),
+                ["url_hash", "canonical_url"],
+                "left_anti",
+            )
+            .unionByName(still_pending)
+        )
+
+        # ---- per-round accounting ------------------------------------------
+        pop_counts = popped.groupBy("host").agg(F.count("*").alias("n_popped"))
+        tokens_next = (
+            budgets.join(pop_counts, "host", "left")
+            .select(
+                "host",
+                (F.col("budget") - F.coalesce(F.col("n_popped"), F.lit(0)))
+                .cast("int")
+                .alias("tokens"),
+            )
+        )
+        lineage = (
+            fetched.groupBy("host")
+            .agg(
+                F.count("*").alias("popped"),
+                F.sum(F.col("ok").cast("long")).alias("fetched_ok"),
+                F.sum((~F.col("ok")).cast("long")).alias("fetched_fail"),
+                F.sum(
+                    ((~F.col("ok")) & (F.col("tried_count") + 1 >= self.max_retries))
+                    .cast("long")
+                ).alias("marked_failed"),
+            )
+            .withColumn("round", F.lit(round_no))
+            .select("round", "host", "popped", "fetched_ok", "fetched_fail", "marked_failed")
+        )
+        pops_log = popped.select(
+            F.lit(round_no).alias("round"),
+            "host",
+            "canonical_url",
+            "priority",
+            "published_ts",
+            "url_hash",
+        )
+
+        self.catalog.write("pending", round_no, next_pending.repartition("host"))
+        self.catalog.write("done", round_no, finished)
+        self.catalog.write("docs", round_no, docs)
+        self.catalog.write("pops", round_no, pops_log)
+        self.catalog.write("lineage", round_no, lineage)
+        self.catalog.write("tokens", round_no, tokens_next)
+
+        n_popped = popped.count()
+        n_ok = fetched.filter("ok").count()
+        pending_left = self.catalog.read("pending", round_no).filter(
+            (F.col("status") == schemas.STATUS_PENDING)
+            & (F.col("tried_count") < self.max_retries)
+        ).count()
+        self.catalog.commit(round_no)
+        popped.unpersist()
+        fetched.unpersist()
+        return RoundStats(round_no, n_popped, n_ok, n_popped - n_ok, pending_left)
+
+    def run(self, max_rounds: int = 1000) -> list[RoundStats]:
+        """Run from the last committed round to quiescence. Safe to call on
+        a fresh engine (after ingest) or on a crashed workdir (resume)."""
+        self.catalog.drop_uncommitted()
+        start = self.catalog.latest_round()
+        if start is None:
+            raise RuntimeError("ingest() first — no committed round 0")
+        stats: list[RoundStats] = []
+        rnd = start + 1
+        while rnd <= start + max_rounds:
+            s = self.step(rnd)
+            stats.append(s)
+            if s.popped == 0 or s.pending_left == 0:
+                break
+            rnd += 1
+        return stats
+
+    # ------------------------------------------------------------------ views
+    def pops_in_order(self) -> DataFrame:
+        """The authoritative crawl-order log: (round, host, url) sorted by
+        the same total order the oracle uses."""
+        return self.catalog.read_all("pops").orderBy(
+            "round", "host", "priority", "published_ts", "url_hash"
+        )
+
+    def final_frontier(self) -> DataFrame:
+        last = self.catalog.latest_round()
+        pending = self.catalog.read("pending", last)
+        done = self.catalog.read_all("done", last)
+        return pending.unionByName(done)
+
+    def documents(self) -> DataFrame:
+        return self.catalog.read_all("docs")

@@ -1,0 +1,106 @@
+"""Extract stage: fetched page payload → interleaved (text|image) spans.
+
+Reference behavior (SURVEY.md F12-F14): per-source CSS-selector extraction
+of title / body paragraphs / images / keywords
+(collectors/isna/pages_collector.py:183-248, page_parser.py:12-182 and
+peers), paragraphs joined with '\n' (pages_collector.py:219-222), keywords
+capped at 10 with length<50 (isna_source.py:63-77).
+
+Here the page markup is the synthetic mini-markup; extraction is a
+vectorized ``mapInPandas`` pass (Arrow batches; regex per batch — in
+production this is selectolax/BS4 per batch, same shape). Output preserves
+document order as ``offset`` so span-sequence equality (kind, text,
+media_ref, order) can be asserted against the pure-Python oracle extractor
+(news_crawler_spark/oracle.py — an independent line-based parser).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import schemas
+
+_BLOCK_RE = re.compile(r"<p>(.*?)</p>|<img src=\"(.*?)\">", re.S)
+_TITLE_RE = re.compile(r"<title>(.*?)</title>", re.S)
+
+EXTRACTED_SCHEMA = (
+    "doc_id string, url string, source string, host string, "
+    "title string, summary string, keywords array<string>, "
+    "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
+    "published_ts timestamp, published_epoch long"
+)
+
+
+def parse_spans(payload: str) -> list[dict]:
+    """Engine-side parser: regex scan of the mini-markup in document order."""
+    spans: list[dict] = []
+    for off, m in enumerate(_BLOCK_RE.finditer(payload)):
+        text, img = m.group(1), m.group(2)
+        if img is not None:
+            spans.append({"kind": "image", "text": None, "media_ref": img, "offset": off})
+        else:
+            spans.append({"kind": "text", "text": text, "media_ref": None, "offset": off})
+    return spans
+
+
+def extract_documents(fetched: DataFrame) -> DataFrame:
+    """ok-pages → document rows with span arrays. doc_id is the hex of the
+    canonical URL's xxhash64 (deterministic; F10 analog of uuid5-from-URL).
+    """
+    ok = fetched.filter(F.col("ok"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                spans = parse_spans(r.payload)
+                tm = _TITLE_RE.search(r.payload)
+                texts = [s["text"] for s in spans if s["kind"] == "text"]
+                # keywords: first word of each paragraph, len<50, cap 10 (F14)
+                kws = [t.split(" ", 1)[0] for t in texts if t][:10]
+                kws = [k for k in kws if len(k) < 50]
+                rows.append(
+                    {
+                        "doc_id": format(r.url_hash & 0xFFFFFFFFFFFFFFFF, "016x"),
+                        "url": r.canonical_url,
+                        "source": r.source,
+                        "host": r.host,
+                        "title": tm.group(1) if tm else None,
+                        "summary": texts[0] if texts else None,
+                        "keywords": kws,
+                        "spans": spans,
+                        "published_ts": r.published_ts,
+                        "published_epoch": (
+                            int(pd.Timestamp(r.published_ts).timestamp())
+                            if r.published_ts is not None
+                            else None
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "url", "source", "host", "title", "summary",
+                    "keywords", "spans", "published_ts", "published_epoch",
+                ],
+            )
+
+    return ok.mapInPandas(run, schema=EXTRACTED_SCHEMA)
+
+
+def content_text(documents: DataFrame) -> DataFrame:
+    """Reassemble reference-style ``content`` = '\n'-joined non-empty text
+    spans (pages_collector.py:219-222) — pure built-ins (F13), no Python."""
+    txt = F.array_join(
+        F.transform(
+            F.filter(F.col("spans"), lambda s: (s["kind"] == "text") & (s["text"] != "")),
+            lambda s: s["text"],
+        ),
+        "\n",
+    )
+    return documents.withColumn("content", txt)

@@ -1,0 +1,63 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode here stands in for a multi-executor cluster: every conf below is
+chosen so the same code runs unchanged on a 1000-executor cluster against
+~100 TB — AQE for runtime re-planning and skew-join splitting, Arrow for all
+pandas-UDF exchanges, UTC session timezone so results are comparable with
+the DuckDB oracle, and shuffle partitions sized to cores locally (on a real
+cluster you would leave AQE's coalescing to pick the number).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Broadcast threshold: politeness/robots/source dims are tiny; 64 MB keeps
+# them broadcast even at large rule counts.
+_BROADCAST_THRESHOLD = str(64 * 1024 * 1024)
+
+
+def get_spark(
+    app_name: str = "news_crawler_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cores`` defaults to $SPARK_GRAFT_CPUS or all local cores. Shuffle
+    partitions default to the core count — correct for local mode; on a
+    cluster AQE coalescing re-sizes post-shuffle partitions anyway.
+    """
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cores), 4)
+
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", _BROADCAST_THRESHOLD)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        # runtime bloom-filter join pre-filtering for large anti/semi joins
+        # (note: runtimeFilter.semiJoinReduction hangs session startup on
+        # this pyspark build — do not enable it)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

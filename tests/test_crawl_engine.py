@@ -1,0 +1,164 @@
+"""End-to-end crawl fixtures: seen-set, ordering, spans, state machine,
+resume — Spark engine vs the pure-Python reference-semantics oracle
+(FIXTURES.md §3 contracts 1-4)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from news_crawler_spark import oracle, synth
+from news_crawler_spark.engine import CrawlEngine
+from news_crawler_spark.schemas import STATUS_COMPLETED, STATUS_FAILED, STATUS_PENDING
+
+N_SEED = 400
+
+
+@pytest.fixture(scope="module")
+def seed_rows():
+    return [synth.seed_row(i) for i in range(N_SEED)]
+
+
+@pytest.fixture(scope="module")
+def oracle_result(seed_rows):
+    return oracle.crawl(seed_rows)
+
+
+@pytest.fixture(scope="module")
+def engine_run(spark, tmp_path_factory, seed_rows):
+    wd = str(tmp_path_factory.mktemp("engine"))
+    eng = CrawlEngine(spark, wd)
+    eng.ingest(synth.build_seed_list(spark, N_SEED))
+    stats = eng.run()
+    return eng, stats
+
+
+def test_seed_generator_matches_spark_side(spark, seed_rows):
+    df = synth.build_seed_list(spark, N_SEED).orderBy("discovery_time").collect()
+    assert len(df) == N_SEED
+    for got, want in zip(df, seed_rows):
+        assert got.url == want["url"]
+        assert got.source == want["source"]
+        assert got.published_ts == want["published_ts"]
+
+
+def test_url_seen_set_exact_match(engine_run, oracle_result):
+    """Contract 1: engine's admitted canonical set == oracle's (first wins)."""
+    eng, _ = engine_run
+    frontier = eng.catalog.read("pending", 0)
+    got = {r.canonical_url for r in frontier.select("canonical_url").collect()}
+    assert got == set(oracle_result.seen.keys())
+    # first-discovered wins: spot-check discovery times match the oracle's
+    disc = {r.canonical_url: r.discovery_time for r in
+            frontier.select("canonical_url", "discovery_time").collect()}
+    for cu, e in oracle_result.seen.items():
+        assert disc[cu] == e.discovery_time, f"wrong winner for {cu}"
+
+
+def test_crawl_ordering_exact_match(engine_run, oracle_result):
+    """Contract 2: the (round, host, url) pop sequence matches exactly."""
+    eng, _ = engine_run
+    got = [(r.round, r.host, r.canonical_url)
+           for r in eng.pops_in_order().collect()]
+    want = sorted(
+        oracle_result.pops,
+        key=lambda p: (p[0], p[1]),
+    )  # stable: within (round, host) oracle order is already the pop order
+    assert len(got) == len(want)
+    assert got == want
+
+
+def test_final_state_machine(engine_run, oracle_result):
+    """Retry semantics: completed/failed/tried_count match the oracle."""
+    eng, _ = engine_run
+    rows = eng.final_frontier().select(
+        "canonical_url", "status", "tried_count"
+    ).collect()
+    got = {r.canonical_url: (r.status, r.tried_count) for r in rows}
+    robots = synth.robots_rows()
+    for cu, e in oracle_result.seen.items():
+        if not oracle._robots_allows(robots, e.host, cu):
+            # robots-denied URLs stay pending forever (never popped)
+            assert got[cu] == (STATUS_PENDING, 0)
+        else:
+            assert got[cu] == (e.status, e.tried_count), cu
+    assert len(got) == len(oracle_result.seen)
+    # failure injection really exercised both branches
+    statuses = {s for s, _ in got.values()}
+    assert STATUS_COMPLETED in statuses and STATUS_FAILED in statuses
+
+
+def test_span_sequence_equality(engine_run, oracle_result):
+    """Contract 3: per-document spans match the independent oracle extractor
+    on (kind, text, media_ref, order)."""
+    eng, _ = engine_run
+    got_docs = {
+        r.doc_id: [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans]
+        for r in eng.documents().select("doc_id", "spans").collect()
+    }
+    want_docs = {d[0]: d[2] for d in oracle_result.docs}
+    assert set(got_docs) == set(want_docs)
+    for doc_id, want in want_docs.items():
+        assert got_docs[doc_id] == want, f"span mismatch in {doc_id}"
+    # interleaving is real: some doc has both kinds
+    assert any(
+        {k for k, *_ in spans} == {"text", "image"} for spans in got_docs.values()
+    )
+
+
+def test_lineage_totals(engine_run, oracle_result):
+    eng, _ = engine_run
+    got = eng.catalog.read_all("lineage").agg(
+        F.sum("popped").alias("p"), F.sum("fetched_ok").alias("ok"),
+        F.sum("fetched_fail").alias("fail"), F.sum("marked_failed").alias("mf"),
+    ).collect()[0]
+    want_p = sum(l[2] for l in oracle_result.lineage)
+    want_ok = sum(l[3] for l in oracle_result.lineage)
+    want_fail = sum(l[4] for l in oracle_result.lineage)
+    want_mf = sum(l[5] for l in oracle_result.lineage)
+    assert (got.p, got.ok, got.fail, got.mf) == (want_p, want_ok, want_fail, want_mf)
+
+
+def test_resume_equals_uninterrupted(spark, seed_rows, engine_run, tmp_path_factory):
+    """Contract 4: stop after 2 rounds, resume with a fresh engine →
+    identical pop log and final frontier."""
+    eng_full, _ = engine_run
+    wd = str(tmp_path_factory.mktemp("resume"))
+    eng1 = CrawlEngine(spark, wd)
+    eng1.ingest(synth.build_seed_list(spark, N_SEED))
+    eng1.step(1)
+    eng1.step(2)
+    # simulate a crash: partially written round 3 without commit
+    eng1.catalog.write("pops", 3, eng1.catalog.read("pops", 2))
+    del eng1
+    eng2 = CrawlEngine(spark, wd)
+    eng2.run()
+    got = [(r.round, r.host, r.canonical_url) for r in eng2.pops_in_order().collect()]
+    want = [(r.round, r.host, r.canonical_url) for r in eng_full.pops_in_order().collect()]
+    assert got == want
+    f1 = {(r.canonical_url, r.status, r.tried_count)
+          for r in eng_full.final_frontier().collect()}
+    f2 = {(r.canonical_url, r.status, r.tried_count)
+          for r in eng2.final_frontier().collect()}
+    assert f1 == f2
+
+
+def test_incremental_ingest_dedups(spark, engine_run):
+    """ST2/ST3: re-delivered links are absorbed; only new URLs admitted."""
+    eng, _ = engine_run
+    redelivered = synth.build_seed_list(spark, 50)  # all already seen
+    n = eng.ingest_incremental(redelivered)
+    assert n == 0
+    fresh = synth.build_seed_list(spark, N_SEED + 40).filter(
+        F.col("discovery_time")
+        >= F.lit(synth.seed_row(N_SEED)["discovery_time"])
+    )
+    n2 = eng.ingest_incremental(fresh)
+    # the 40 new indexes contain some duplicates of earlier articles
+    assert 0 < n2 <= 40
+    eng.run()
+    # every robots-allowed URL drained; only denied ones may stay pending
+    from news_crawler_spark.operators import frontier as fops
+    left = fops.allowed_by_robots(
+        fops.eligible(eng.catalog.read("pending", eng.catalog.latest_round())),
+        eng.robots,
+    ).count()
+    assert left == 0
