@@ -1,0 +1,661 @@
+"""The analytic query workload: every SURVEY.md §2 operator that is
+SQL-expressible, as (Spark implementation, DuckDB oracle SQL) pairs over
+the driver's testdata tables.
+
+Mapping (FIXTURES.md §1): `events` stands in for the frontier (ts-ordered,
+keyed, 5 event types ≈ 5 sources/hosts), `documents`/`embeddings` carry the
+training-data-pipeline operators, TPC-H tables carry the join/agg shapes of
+the reference's audit notebook (process_historical_news.ipynb cells 4-12).
+
+Conventions (driver compare = row-count + schema + order-insensitive
+value-hash):
+- every computed column is aliased identically in Spark and SQL;
+- doubles that aggregate floating sums are rounded (2-4 dp) on BOTH sides
+  so summation order can't flip the hash;
+- counts stay BIGINT on both sides (DuckDB ``sum`` is cast ::BIGINT,
+  Spark int-typed results are cast to long).
+
+Scale notes are on each operator's module (operators/*.py); queries here
+are thin compositions, so Catalyst sees one declarative plan per query
+(filters pushed to the parquet scan, dims broadcast, top-k as
+TakeOrderedAndProject — verified in tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators import dedup, similarity, text
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+QUERY_VEC_ID = 7
+NEARDUP_COS_THRESHOLD = 0.45
+JACCARD_THRESHOLD = 0.6
+POP_K = 20
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ===========================================================================
+# A — aggregation / audit queries (reference notebook analogs)
+
+def a1_count_by_status(spark, sf):
+    """A1: count by (status, priority) — groupBy of the frontier-state audit."""
+    return (
+        load(spark, sf, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+A1_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+FROM orders GROUP BY 1, 2
+"""
+
+
+def a2_data_quality(spark, sf):
+    """A2: conditional data-quality counts (empty/short docs per source)."""
+    d = load(spark, sf, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("n_chars") < 200, 1).otherwise(0)).cast("long").alias("n_short"),
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("n_chars") < 200, 1).otherwise(0))
+            / F.count("*"),
+            4,
+        ).alias("pct_short"),
+    )
+
+
+A2_SQL = """
+SELECT source,
+       count(*) AS n_docs,
+       (count(*) FILTER (n_chars < 200))::BIGINT AS n_short,
+       round(100.0 * (count(*) FILTER (n_chars < 200)) / count(*), 4) AS pct_short
+FROM documents GROUP BY 1
+"""
+
+
+def a3_freshness(spark, sf):
+    """A3: min/max/age per key (per-source freshness audit)."""
+    return (
+        load(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+            F.datediff(F.to_date(F.max("ts")), F.to_date(F.min("ts")))
+            .cast("long")
+            .alias("span_days"),
+        )
+    )
+
+
+A3_SQL = """
+SELECT event_type, min(ts) AS min_ts, max(ts) AS max_ts,
+       date_diff('day', min(ts)::DATE, max(ts)::DATE)::BIGINT AS span_days
+FROM events GROUP BY 1
+"""
+
+
+def a4_daily_pivot(spark, sf):
+    """A4: daily counts pivoted by type, densified over the full date range
+    (sequence+explode so zero-activity days appear — the outage surface)."""
+    e = load(spark, sf, "events")
+    days = (
+        e.agg(
+            F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+        )
+        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    counts = (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+    )
+    out = days.join(counts, "day", "left")
+    return out.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in EVENT_TYPES]
+    )
+
+
+A4_SQL = """
+WITH bounds AS (SELECT min(ts::DATE) AS lo, max(ts::DATE) AS hi FROM events),
+days AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day FROM bounds),
+c AS (SELECT ts::DATE AS day, event_type, count(*) AS n FROM events GROUP BY 1, 2)
+SELECT d.day,
+       coalesce(max(CASE WHEN event_type = 'click' THEN n END), 0)::BIGINT AS click,
+       coalesce(max(CASE WHEN event_type = 'error' THEN n END), 0)::BIGINT AS error,
+       coalesce(max(CASE WHEN event_type = 'purchase' THEN n END), 0)::BIGINT AS purchase,
+       coalesce(max(CASE WHEN event_type = 'signup' THEN n END), 0)::BIGINT AS signup,
+       coalesce(max(CASE WHEN event_type = 'view' THEN n END), 0)::BIGINT AS view
+FROM days d LEFT JOIN c ON c.day = d.day
+GROUP BY d.day
+"""
+
+
+def a5_below_median_days(spark, sf):
+    """A5: outage shape — per-type daily counts under the per-type median
+    (reference flags days <10% of median; threshold generalized)."""
+    e = load(spark, sf, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    med = daily.groupBy("event_type").agg(
+        F.round(F.median("n"), 4).alias("median_n")
+    )
+    return (
+        daily.join(med, "event_type")
+        .filter(F.col("n") < F.col("median_n"))
+        .select("event_type", "day", "n", "median_n")
+    )
+
+
+A5_SQL = """
+WITH daily AS (
+  SELECT event_type, ts::DATE AS day, count(*) AS n FROM events GROUP BY 1, 2
+), med AS (
+  SELECT event_type, round(median(n)::DOUBLE, 4) AS median_n FROM daily GROUP BY 1
+)
+SELECT daily.event_type, day, n, median_n
+FROM daily JOIN med ON daily.event_type = med.event_type
+WHERE n < median_n
+"""
+
+
+def a6_value_stats(spark, sf):
+    """A6: numeric aggregate battery per key (running-counter analog)."""
+    return (
+        load(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+            F.round(F.min("value"), 4).alias("min_value"),
+        )
+    )
+
+
+A6_SQL = """
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+       round(avg(value), 4) AS avg_value, round(max(value), 4) AS max_value,
+       round(min(value), 4) AS min_value
+FROM events GROUP BY 1
+"""
+
+
+def a7_retry_histogram(spark, sf):
+    """A6-ref: histogram over a small-int column (tried_count analog)."""
+    return (
+        load(spark, sf, "lineitem")
+        .groupBy("l_linenumber")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        )
+    )
+
+
+A7_SQL = """
+SELECT l_linenumber, count(*) AS n, round(avg(l_quantity), 4) AS avg_qty
+FROM lineitem GROUP BY 1
+"""
+
+
+# ===========================================================================
+# J — joins / set ops (seen-set & audit shapes)
+
+def j1_anti_join_unseen(spark, sf):
+    """J1: the seen-set anti-join shape — orders with no lineitem
+    ("candidate links not in the seen set")."""
+    o = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem").select(F.col("l_orderkey").alias("o_orderkey"))
+    return (
+        o.join(li, "o_orderkey", "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_unmatched"))
+    )
+
+
+J1_SQL = """
+SELECT o_orderstatus, count(*) AS n_unmatched
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+GROUP BY 1
+"""
+
+
+def j2_first_wins_dedup(spark, sf):
+    """J2: first-wins dedup — earliest event per (user_id, event_type),
+    deterministic tie-break (the ON CONFLICT DO NOTHING survivor rule)."""
+    e = load(spark, sf, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+
+
+J2_SQL = """
+SELECT user_id, event_type, event_id, ts
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+"""
+
+
+def j6_audit_join(spark, sf):
+    """J6: links⟕articles reconciliation — left join + per-key distinct
+    counts of matched/unmatched."""
+    o = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem").select(F.col("l_orderkey"))
+    joined = o.join(li, o.o_orderkey == li.l_orderkey, "left")
+    return joined.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_orderkey").alias("n_orders"),
+        F.count("l_orderkey").alias("n_items"),
+        F.countDistinct(
+            F.when(F.col("l_orderkey").isNull(), F.col("o_orderkey"))
+        ).alias("n_without_items"),
+    )
+
+
+J6_SQL = """
+SELECT o_orderstatus,
+       count(DISTINCT o_orderkey) AS n_orders,
+       count(l_orderkey) AS n_items,
+       count(DISTINCT CASE WHEN l_orderkey IS NULL THEN o_orderkey END) AS n_without_items
+FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+"""
+
+
+def j7_broadcast_dims(spark, sf):
+    """J7: broadcast dimension lookups — fact⋈customer⋈nation⋈region."""
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer")
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+J7_SQL = """
+SELECT r_name, n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2
+"""
+
+
+def j8_json_props(spark, sf):
+    """Semi-structured props: JSON field extraction + aggregate."""
+    e = load(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(k).alias("n_with_k"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+    )
+
+
+J8_SQL = """
+SELECT event_type,
+       sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+       count(json_extract_string(props, '$.k')) AS n_with_k,
+       round(avg(json_extract_string(props, '$.k')::BIGINT), 4) AS avg_k
+FROM events GROUP BY 1
+"""
+
+
+# ===========================================================================
+# T — frontier ordering / top-k / cursors
+
+def t1_frontier_pop(spark, sf):
+    """T1: the frontier pop — per-key oldest-first top-k with total-order
+    tie-break (the crawl-ordering kernel)."""
+    e = load(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= POP_K)
+        .select("event_type", "event_id", "ts", "rn")
+    )
+
+
+T1_SQL = f"""
+SELECT event_type, event_id, ts,
+       row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+FROM events
+QUALIFY rn <= {POP_K}
+"""
+
+
+def t3_cursor_cut(spark, sf):
+    """T3: incremental-cursor cut — per key, rows strictly newer than the
+    last-seen cursor (cursor = newest 'marker' row per key)."""
+    e = load(spark, sf, "events")
+    cur = (
+        e.filter(F.col("event_id") % 100 == 0)
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("cursor_ts"))
+    )
+    return (
+        e.join(F.broadcast(cur), "event_type")
+        .filter(F.col("ts") > F.col("cursor_ts"))
+        .groupBy("event_type", "cursor_ts")
+        .agg(F.count("*").alias("n_fresh"))
+        .select("event_type", "cursor_ts", "n_fresh")
+    )
+
+
+T3_SQL = """
+WITH cur AS (
+  SELECT event_type, max(ts) AS cursor_ts FROM events
+  WHERE event_id % 100 = 0 GROUP BY 1
+)
+SELECT e.event_type, cursor_ts, count(*) AS n_fresh
+FROM events e JOIN cur ON e.event_type = cur.event_type
+WHERE e.ts > cur.cursor_ts
+GROUP BY 1, 2
+"""
+
+
+def t4_latest_cursor(spark, sf):
+    """T4: new-cursor extraction — max_by per key."""
+    return (
+        load(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.max_by("event_id", "ts").alias("last_event_id"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+
+
+T4_SQL = """
+SELECT event_type, arg_max(event_id, ts) AS last_event_id, max(ts) AS last_ts
+FROM events GROUP BY 1
+"""
+
+
+# ===========================================================================
+# V — vector similarity (T5/E2 + training-pipeline ANN)
+
+def v1_cosine_topk(spark, sf):
+    """T5/E2: brute-force cosine top-10 (the Qdrant-search oracle)."""
+    return similarity.topk_cosine(load(spark, sf, "embeddings"), QUERY_VEC_ID, k=10)
+
+
+V1_SQL = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+SELECT e.vec_id, e.label,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 4) AS score
+FROM embeddings e, q
+WHERE e.vec_id <> {QUERY_VEC_ID}
+ORDER BY score DESC, e.vec_id
+LIMIT 10
+"""
+
+
+def v2_ivf_probe(spark, sf):
+    """ANN scale path: probe only the query's IVF cell (label column)."""
+    return similarity.ivf_probe_topk(load(spark, sf, "embeddings"), QUERY_VEC_ID, k=5)
+
+
+V2_SQL = f"""
+WITH q AS (SELECT embedding AS qe, label AS ql FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+SELECT e.vec_id, e.label,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 4) AS score
+FROM embeddings e, q
+WHERE e.vec_id <> {QUERY_VEC_ID} AND e.label = q.ql
+ORDER BY score DESC, e.vec_id
+LIMIT 5
+"""
+
+
+def v3_embedding_neardup(spark, sf):
+    """Embedding-cosine near-duplicate pairs (exact tier)."""
+    return similarity.cosine_pairs(
+        load(spark, sf, "embeddings"), threshold=NEARDUP_COS_THRESHOLD
+    )
+
+
+V3_SQL = f"""
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS score
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+      >= {NEARDUP_COS_THRESHOLD}
+"""
+
+
+# ===========================================================================
+# D — document dedup family
+
+def d1_exact_dedup(spark, sf):
+    """Exact dedup: md5 hash-groupBy with canonical-id election."""
+    return dedup.exact_duplicates(load(spark, sf, "documents"))
+
+
+D1_SQL = """
+SELECT md5(text) AS fp, min(doc_id) AS canonical_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+_JACCARD_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT doc_id,
+              list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                             for i in generate_series(1, len(t) - 2)]) AS s
+       FROM toks WHERE len(t) >= 3),
+e AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+sz AS (SELECT doc_id, len(s) AS n FROM sh),
+pairs AS (
+  SELECT e1.doc_id AS a_id, e2.doc_id AS b_id, count(*) AS common
+  FROM e e1 JOIN e e2 ON e1.shingle = e2.shingle AND e1.doc_id < e2.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       round(common / (sa.n + sb.n - common), 4) AS jaccard
+FROM pairs JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+WHERE round(common / (sa.n + sb.n - common), 4) >= {JACCARD_THRESHOLD}
+"""
+
+
+def d2_ngram_jaccard(spark, sf):
+    """Exact n-gram Jaccard near-dup pairs (inverted-index self-join)."""
+    return dedup.ngram_jaccard_pairs(
+        load(spark, sf, "documents"), threshold=JACCARD_THRESHOLD
+    )
+
+
+D2_SQL = _JACCARD_ORACLE
+
+
+def d3_minhash_lsh(spark, sf):
+    """MinHash+LSH near-dup pairs, exact-verified. Oracle = the exact
+    Jaccard SQL: at r=2,b=64 a true 0.6-pair escapes the candidate set
+    with p≈4e-13, so LSH output == exact output (see operators/dedup.py)."""
+    return dedup.minhash_lsh_pairs(
+        load(spark, sf, "documents"), threshold=JACCARD_THRESHOLD
+    )
+
+
+D3_SQL = _JACCARD_ORACLE
+
+
+def d4_simhash_pairs(spark, sf):
+    """SimHash banded near-dup candidates (hamming <= 8). No SQL oracle
+    (DuckDB lacks xxhash64); verified against the pure-Python twin in
+    tests/test_dedup.py — driver records the rows-only check."""
+    return dedup.simhash_pairs(load(spark, sf, "documents"), max_hamming=8)
+
+
+# ===========================================================================
+# X — text analysis
+
+def x1_lang_confusion(spark, sf):
+    """Language-ID heuristic vs labeled lang: confusion counts."""
+    d = load(spark, sf, "documents")
+    return (
+        d.withColumn("pred_lang", text.predict_lang("text"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_STOPS_SQL = ", ".join(f"'{s}'" for s in text.EN_STOPWORDS)
+
+X1_SQL = f"""
+WITH t AS (
+  SELECT lang,
+         CASE WHEN len(list_filter(string_split(text, ' '),
+                                   x -> x IN ({_STOPS_SQL})))
+              / len(string_split(text, ' ')) > 0.05
+              THEN 'en' ELSE 'unk' END AS pred_lang
+  FROM documents
+)
+SELECT lang, pred_lang, count(*) AS n FROM t GROUP BY 1, 2
+"""
+
+
+def x2_quality_by_source(spark, sf):
+    """Quality scoring: per-source average composite quality."""
+    d = load(spark, sf, "documents")
+    return (
+        d.withColumn("q", text.quality_score("text"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.round(F.avg("q"), 4).alias("avg_quality"))
+    )
+
+
+X2_SQL = f"""
+WITH t AS (
+  SELECT source,
+         round(0.4 * least(len(string_split(text, ' ')) / 100.0, 1.0)
+             + 0.4 * (len(list_distinct(string_split(text, ' ')))
+                      / len(string_split(text, ' ')))
+             + 0.2 * greatest(1.0 - abs(len(list_filter(string_split(text, ' '),
+                                                        x -> x IN ({_STOPS_SQL})))
+                                        / len(string_split(text, ' ')) - 0.06) / 0.06,
+                              0.0), 4) AS q
+  FROM documents
+)
+SELECT source, count(*) AS n_docs, round(avg(q), 4) AS avg_quality
+FROM t GROUP BY 1
+"""
+
+
+def x3_token_stats(spark, sf):
+    """Token counting (whitespace + BPE-ish regex) per source."""
+    d = load(spark, sf, "documents")
+    return d.groupBy("source").agg(
+        F.sum(text.token_count("text")).cast("long").alias("total_tokens"),
+        F.max(text.token_count("text")).cast("long").alias("max_tokens"),
+        F.round(F.avg(text.token_count("text")), 4).alias("avg_tokens"),
+        F.sum(text.bpe_ish_token_count("text")).cast("long").alias("total_bpe_tokens"),
+    )
+
+
+X3_SQL = f"""
+SELECT source,
+       sum(len(string_split(text, ' ')))::BIGINT AS total_tokens,
+       max(len(string_split(text, ' ')))::BIGINT AS max_tokens,
+       round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+       sum(len(regexp_extract_all(text, '{text.BPE_TOKEN_RE}')))::BIGINT AS total_bpe_tokens
+FROM documents GROUP BY 1
+"""
+
+
+def x4_fingerprints(spark, sf):
+    """Document fingerprinting: md5 of normalized text, row-level."""
+    d = load(spark, sf, "documents")
+    return d.select("doc_id", text.fingerprint("text").alias("fp"))
+
+
+X4_SQL = """
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+# ===========================================================================
+# registry
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "a1_count_by_status": a1_count_by_status,
+    "a2_data_quality": a2_data_quality,
+    "a3_freshness": a3_freshness,
+    "a4_daily_pivot": a4_daily_pivot,
+    "a5_below_median_days": a5_below_median_days,
+    "a6_value_stats": a6_value_stats,
+    "a7_retry_histogram": a7_retry_histogram,
+    "j1_anti_join_unseen": j1_anti_join_unseen,
+    "j2_first_wins_dedup": j2_first_wins_dedup,
+    "j6_audit_join": j6_audit_join,
+    "j7_broadcast_dims": j7_broadcast_dims,
+    "j8_json_props": j8_json_props,
+    "t1_frontier_pop": t1_frontier_pop,
+    "t3_cursor_cut": t3_cursor_cut,
+    "t4_latest_cursor": t4_latest_cursor,
+    "v1_cosine_topk": v1_cosine_topk,
+    "v2_ivf_probe": v2_ivf_probe,
+    "v3_embedding_neardup": v3_embedding_neardup,
+    "d1_exact_dedup": d1_exact_dedup,
+    "d2_ngram_jaccard": d2_ngram_jaccard,
+    "d3_minhash_lsh": d3_minhash_lsh,
+    "d4_simhash_pairs": d4_simhash_pairs,
+    "x1_lang_confusion": x1_lang_confusion,
+    "x2_quality_by_source": x2_quality_by_source,
+    "x3_token_stats": x3_token_stats,
+    "x4_fingerprints": x4_fingerprints,
+}
+
+ORACLES: dict[str, str] = {
+    "a1_count_by_status": A1_SQL,
+    "a2_data_quality": A2_SQL,
+    "a3_freshness": A3_SQL,
+    "a4_daily_pivot": A4_SQL,
+    "a5_below_median_days": A5_SQL,
+    "a6_value_stats": A6_SQL,
+    "a7_retry_histogram": A7_SQL,
+    "j1_anti_join_unseen": J1_SQL,
+    "j2_first_wins_dedup": J2_SQL,
+    "j6_audit_join": J6_SQL,
+    "j7_broadcast_dims": J7_SQL,
+    "j8_json_props": J8_SQL,
+    "t1_frontier_pop": T1_SQL,
+    "t3_cursor_cut": T3_SQL,
+    "t4_latest_cursor": T4_SQL,
+    "v1_cosine_topk": V1_SQL,
+    "v2_ivf_probe": V2_SQL,
+    "v3_embedding_neardup": V3_SQL,
+    "d1_exact_dedup": D1_SQL,
+    "d2_ngram_jaccard": D2_SQL,
+    "d3_minhash_lsh": D3_SQL,
+    # d4_simhash_pairs: no SQL oracle (needs xxhash64) — rows-only check
+    "x1_lang_confusion": X1_SQL,
+    "x2_quality_by_source": X2_SQL,
+    "x3_token_stats": X3_SQL,
+    "x4_fingerprints": X4_SQL,
+}

@@ -20,10 +20,15 @@ Scale shape (10^10-row frontier):
 - only the *pending* slice is ever rewritten; completed/failed rows are
   append-only (catalog.py) — per-round I/O is O(|pending| + |popped|),
   not O(|frontier|).
-- per-round dataflow: one broadcast join (budgets), one window shuffle
-  keyed by host (bounded by rank pruning + AQE skew split), one
-  hash-partitioned anti-join keyed by url_hash. No driver-side row
-  materialization anywhere — counters come from lineage aggregates.
+- per-round dataflow: one broadcast join (budgets), one two-phase salted
+  top-k (parallelism = hosts × salts, never just hosts), one
+  hash-partitioned anti-join keyed by url_hash (popped side broadcasts
+  when small). Robots rules evaluate as a broadcast join + higher-order
+  functions — zero shuffle on the frontier side. The fetch stage is ONE
+  fused python pass (fetch+extract), explicitly partitioned by rows (not
+  bytes — AQE's byte-based coalescing undersizes CPU-bound python stages).
+  No driver-side row materialization anywhere — counters come from
+  lineage aggregates.
 """
 
 from __future__ import annotations
@@ -38,8 +43,8 @@ from .catalog import SnapshotCatalog
 from .functions.urls import with_url_columns
 from .operators import frontier as frontier_ops
 from .operators import seen_set
-from .operators.extract import extract_documents
-from .operators.fetch import fetch_pages
+from .operators.extract import documents_from_fetch_extract
+from .operators.fetch import fetch_extract_pages
 
 
 @dataclass
@@ -90,10 +95,12 @@ class CrawlEngine:
             F.lit(0).alias("tried_count"),
             F.lit(None).cast("int").alias("last_tried_round"),
         )
-        self.catalog.write("pending", 0, frontier.repartition("host"))
+        self.catalog.write("pending", 0, frontier)
         empty = self.spark.createDataFrame([], frontier.schema)
         self.catalog.write("done", 0, empty)
-        cursors = frontier.groupBy("source").agg(
+        # cursors from the written snapshot — recomputing from `frontier`
+        # would re-run the whole seed→canonicalize→dedup chain a 2nd time
+        cursors = self.catalog.read("pending", 0).groupBy("source").agg(
             F.max_by("canonical_url", F.struct("published_ts", "url_hash")).alias(
                 "last_url"
             ),
@@ -134,7 +141,7 @@ class CrawlEngine:
             F.lit(None).cast("int").alias("last_tried_round"),
         ).cache()
         n_new = new_rows.count()
-        merged = prev_pending.unionByName(new_rows).repartition("host")
+        merged = prev_pending.unionByName(new_rows)
         self.catalog.write("pending", round_no, merged)
         self.catalog.write("done", round_no,
                            self.spark.createDataFrame([], merged.schema))
@@ -185,8 +192,14 @@ class CrawlEngine:
         budgets = self._budgets(allowed, prev_tokens)
         popped = frontier_ops.pop_round(allowed, budgets).cache()
 
-        fetched = fetch_pages(popped).cache()
-        docs = extract_documents(fetched).withColumn(
+        # size the python fetch stage by ROWS, not bytes (each row costs
+        # ~1 ms of python): ~500 rows/task, capped at 2×cores; tiny rounds
+        # stay single-task instead of paying 2×cores task launches.
+        n_popped = popped.count()
+        sc = self.spark.sparkContext
+        parts = max(1, min(2 * sc.defaultParallelism, (n_popped + 499) // 500))
+        fetched = fetch_extract_pages(popped, partitions=parts).cache()
+        docs = documents_from_fetch_extract(fetched).withColumn(
             "fetched_round", F.lit(round_no)
         )
 
@@ -262,14 +275,13 @@ class CrawlEngine:
             "url_hash",
         )
 
-        self.catalog.write("pending", round_no, next_pending.repartition("host"))
+        self.catalog.write("pending", round_no, next_pending)
         self.catalog.write("done", round_no, finished)
         self.catalog.write("docs", round_no, docs)
         self.catalog.write("pops", round_no, pops_log)
         self.catalog.write("lineage", round_no, lineage)
         self.catalog.write("tokens", round_no, tokens_next)
 
-        n_popped = popped.count()
         n_ok = fetched.filter("ok").count()
         pending_left = self.catalog.read("pending", round_no).filter(
             (F.col("status") == schemas.STATUS_PENDING)

@@ -1,0 +1,119 @@
+"""Partition-local bloom filter for the URL-seen set (SURVEY.md §4).
+
+Spark's runtime bloom-filter join injection
+(``spark.sql.optimizer.runtime.bloomFilter.enabled``, on in session.py)
+covers the common case; this module is the *explicit* pre-pass for engines
+where that rule is unavailable or the seen side is reused across many
+rounds. Semantics contract: the bloom is only ever used to prove
+"definitely NOT seen" — a "maybe seen" always falls through to the exact
+anti-join, so the result is bit-identical to the exact path (asserted by
+tests/test_bloom.py property tests).
+
+Shape: candidates and seen keys are cogrouped on ``pmod(url_hash,
+n_buckets)`` — one co-partitioned shuffle on each side, then a
+numpy-vectorized build+probe per bucket (no global bitmap, no driver
+state, no mergeable-bloom problem: each bucket's bloom lives and dies
+inside its cogroup task). At 10^10 seen URLs and 4096 buckets each bucket
+holds ~2.4M keys → a 3 MB bitmap at 10 bits/key — comfortably in-task.
+
+Hashing: double hashing off the 64-bit url_hash the engine already
+carries (h1 = low 32, h2 = high 32 | 1) — zero extra string hashing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _positions(hashes: np.ndarray, m: int, k: int) -> np.ndarray:
+    """(n, k) bit positions via double hashing: (h1 + i·h2) mod m."""
+    u = hashes.astype(np.int64).view(np.uint64)
+    h1 = (u & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+    h2 = ((u >> np.uint64(32)) | np.uint64(1)).astype(np.uint64)
+    i = np.arange(k, dtype=np.uint64)[None, :]
+    return ((h1[:, None] + i * h2[:, None]) % np.uint64(m)).astype(np.int64)
+
+
+def _build(hashes: np.ndarray, m: int, k: int) -> np.ndarray:
+    bits = np.zeros(m, dtype=bool)
+    if len(hashes):
+        bits[_positions(hashes, m, k).ravel()] = True
+    return bits
+
+
+def _probe(bits: np.ndarray, hashes: np.ndarray, m: int, k: int) -> np.ndarray:
+    """True where ALL k bits set ('maybe seen')."""
+    if not len(hashes):
+        return np.zeros(0, dtype=bool)
+    return bits[_positions(hashes, m, k)].all(axis=1)
+
+
+def bloom_split(
+    candidates: DataFrame,
+    seen: DataFrame,
+    n_buckets: int = 256,
+    bits_per_key: int = 10,
+    num_hashes: int = 7,
+) -> DataFrame:
+    """Tag each candidate with ``maybe_seen``: False ⇒ *definitely* new
+    (bloom has no false negatives), True ⇒ must be confirmed exactly.
+
+    One cogrouped pass on ``pmod(url_hash, n_buckets)``; the per-bucket
+    bloom is sized from that bucket's actual seen count.
+    """
+    bucket = lambda df: df.withColumn(  # noqa: E731
+        "__bucket", F.pmod(F.col("url_hash"), F.lit(n_buckets)).cast("int")
+    )
+    cand_b = bucket(candidates)
+    seen_b = bucket(seen.select("url_hash"))
+    out_schema = cand_b.drop("__bucket").schema.add("maybe_seen", "boolean")
+    cand_cols = [f.name for f in out_schema.fields if f.name != "maybe_seen"]
+
+    def split(cand_pdf: pd.DataFrame, seen_pdf: pd.DataFrame) -> pd.DataFrame:
+        cand_pdf = cand_pdf.drop(columns="__bucket")
+        n_seen = len(seen_pdf)
+        if n_seen == 0:
+            cand_pdf["maybe_seen"] = False
+            return cand_pdf[cand_cols + ["maybe_seen"]]
+        m = max(64, n_seen * bits_per_key)
+        bits = _build(seen_pdf["url_hash"].to_numpy(), m, num_hashes)
+        cand_pdf["maybe_seen"] = _probe(
+            bits, cand_pdf["url_hash"].to_numpy(), m, num_hashes
+        )
+        return cand_pdf[cand_cols + ["maybe_seen"]]
+
+    return (
+        cand_b.groupBy("__bucket")
+        .cogroup(seen_b.groupBy("__bucket"))
+        .applyInPandas(lambda c, s: split(c, s), schema=out_schema)
+    )
+
+
+def bloom_unseen(
+    candidates: DataFrame,
+    seen: DataFrame,
+    n_buckets: int = 256,
+    bits_per_key: int = 10,
+    num_hashes: int = 7,
+) -> DataFrame:
+    """Exact unseen-set semantics with a bloom fast path.
+
+    definitely-new rows skip the join entirely; only the ~n·fpr 'maybe'
+    sliver pays the exact anti-join on (url_hash, canonical_url). Output
+    ≡ ``seen_set.unseen_only`` (the bloom can only divert true negatives
+    around the join, never drop a row or admit a seen one).
+    """
+    tagged = bloom_split(candidates, seen, n_buckets, bits_per_key, num_hashes)
+    definitely_new = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    maybe = tagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+    confirmed_new = maybe.join(
+        seen.select("url_hash", "canonical_url"),
+        ["url_hash", "canonical_url"],
+        "left_anti",
+    )
+    return definitely_new.unionByName(confirmed_new)

@@ -1,0 +1,302 @@
+"""Document deduplication family for the training-data pipeline.
+
+The reference dedups only URLs (unique link index, db_models.py:40); a
+100 TB corpus additionally needs *content* dedup. Four tiers, all
+expressed Spark-first:
+
+- exact:       md5-groupBy (one shuffle on a 16-byte key)
+- n-gram Jaccard: exact pairwise similarity via shingle-inverted-index
+                 self-join (the correctness oracle; O(pairs-sharing-a-
+                 shingle), not O(n²))
+- MinHash+LSH: signature via JVM-side xxhash64 inside higher-order array
+               functions (zero Python), banded bucketing, candidate join,
+               exact-Jaccard verify — the scale path (O(n·bands) shuffle)
+- SimHash:     64-bit per-doc sketch from token hashes (pure expressions),
+               banded hamming candidates
+
+Every hash is Spark's builtin ``xxhash64`` (seed 42), bit-identical to the
+pure-Python twin in functions/xxh64.py — so pytest oracles verify
+signatures without a JVM, and nothing depends on partitioning.
+
+Scale notes: the shingle inverted index explodes ~|doc|·|shingles| rows —
+at 100 TB use ``minhash_lsh_pairs`` (bounded signature width) and reserve
+``ngram_jaccard_pairs`` for verify-stage candidates only. Stop-shingle
+skew (a shingle shared by millions of docs) is the classic hot key: the
+LSH path never joins on raw shingles, and the exact path should pre-drop
+shingles with document frequency above a cap before the self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# exact
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct text with the
+    canonical (minimum) id and the copy count."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# --------------------------------------------------------------------------
+# shingles
+
+def tokens(text_col: str) -> Column:
+    return F.split(F.col(text_col), " ")
+
+
+def shingles_col(text_col: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array column — pure higher-order
+    functions (transform over a position sequence), no Python."""
+    toks = tokens(text_col)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    # guard: docs shorter than n tokens have no shingles (sequence would
+    # otherwise count downward and element_at(…,0) would throw)
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def with_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    return docs.select(F.col(id_col).alias("doc_id"), shingles_col(text_col, n).alias("shingles")).filter(
+        F.size("shingles") > 0
+    )
+
+
+# --------------------------------------------------------------------------
+# exact n-gram Jaccard (inverted-index self-join)
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.6,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """All pairs (a<b) with Jaccard(shingle sets) >= threshold.
+
+    Inverted index: explode shingles, self-join on the shingle, count
+    common shingles per pair, then jaccard = common / (|A|+|B|-common).
+    ``df_cap`` drops shingles whose document frequency exceeds the cap
+    (stop-shingle skew guard for web-scale corpora; None = exact).
+    """
+    sh = with_shingles(docs, text_col, id_col, n)
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    if df_cap is not None:
+        freq = inv.groupBy("shingle").agg(F.count("*").alias("df"))
+        inv = inv.join(freq.filter(F.col("df") <= df_cap), "shingle", "left_semi")
+    pairs = (
+        inv.alias("x")
+        .join(inv.alias("y"), "shingle")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "n_a"), "a_id")
+        .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "n_b"), "b_id")
+        .withColumn("jaccard", F.round(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 4))
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+
+def _hash_with_index(value: Column, i: Column) -> Column:
+    """h_i(value) = xxhash64(i::long, value) — Spark chains multi-arg
+    hashing by using the previous hash as the next seed, reproduced by
+    functions/xxh64.py for the pytest oracle."""
+    return F.xxhash64(i.cast("long"), value)
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 128) -> Column:
+    """Array of ``num_hashes`` min-hashes — all JVM-side higher-order
+    functions: for each i, min over shingles of xxhash64(i, shingle)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(shingles, lambda s: _hash_with_index(s, i))
+        ),
+    )
+
+
+def with_minhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 128,
+) -> DataFrame:
+    sh = with_shingles(docs, text_col, id_col, n)
+    return sh.select(
+        "doc_id",
+        "shingles",
+        minhash_signature(F.col("shingles"), num_hashes).alias("sig"),
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 128,
+    rows_per_band: int = 2,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding + exact-Jaccard verification.
+
+    bands b=num_hashes/rows_per_band, rows r=rows_per_band: candidate
+    recall for a pair at jaccard j is 1-(1-j^r)^b — at r=2,b=64 a 0.6-pair
+    is missed with p≈4e-13, so the verified output matches the exact
+    ``ngram_jaccard_pairs`` oracle. The candidate join shuffles
+    O(n·bands) band-bucket rows, never O(n²).
+    """
+    bands = num_hashes // rows_per_band
+    mh = with_minhash(docs, text_col, id_col, n, num_hashes).cache()
+    band_col = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.xxhash64(
+                    b.cast("long"),
+                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                ).alias("bucket"),
+            ),
+        )
+    )
+    buckets = mh.select("doc_id", band_col.alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    cand = (
+        buckets.alias("x")
+        .join(buckets.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
+        .distinct()
+    )
+    sets = mh.select("doc_id", "shingles")
+    verified = (
+        cand.join(sets.withColumnRenamed("doc_id", "a_id").withColumnRenamed("shingles", "sh_a"), "a_id")
+        .join(sets.withColumnRenamed("doc_id", "b_id").withColumnRenamed("shingles", "sh_b"), "b_id")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.size("sh_a") + F.size("sh_b") - F.col("common")), 4),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("a_id", "b_id", "jaccard")
+    )
+    return verified
+
+
+# --------------------------------------------------------------------------
+# SimHash
+
+def simhash64(text_col: str) -> Column:
+    """64-bit SimHash of the whitespace tokens — pure expressions:
+    per-token xxhash64, per-bit ±1 vote aggregated with a fold over a
+    64-long counter array, sign → bit. No Python, no explode."""
+    toks = tokens(text_col)
+    zero = F.array_repeat(F.lit(0).cast("long"), 64)
+
+    def bit_votes(t):
+        # shiftright needs a literal bit count → unroll the 64 bits in
+        # Python; the generated expression stays fully JVM-side.
+        h = F.xxhash64(t)
+        return F.array(
+            *[
+                F.when(
+                    F.shiftright(h, b).bitwiseAND(F.lit(1).cast("long")) == 1,
+                    F.lit(1).cast("long"),
+                ).otherwise(F.lit(-1).cast("long"))
+                for b in range(64)
+            ]
+        )
+
+    votes = F.aggregate(
+        toks, zero, lambda acc, t: F.zip_with(acc, bit_votes(t), lambda a, v: a + v)
+    )
+    # bit 63 is the sign bit in a Java long → use its signed value
+    bit_value = F.array(
+        *[F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long") for b in range(64)]
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes, bit_value,
+            lambda v, bv: F.when(v > 0, bv).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def with_simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return docs.select(F.col(id_col).alias("doc_id"), simhash64(text_col).alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming, found via the
+    classic banded trick: split 64 bits into ``n_bands`` chunks; any pair
+    within hamming (n_bands-1)·chunk errors shares ≥1 exact chunk (with
+    n_bands=4, chunk=16: guaranteed complete for hamming ≤ 3; probabilistic
+    above — verify step is exact bit_count so no false positives)."""
+    sh = with_simhash(docs, text_col, id_col).cache()
+    chunk = 64 // n_bands
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * chunk)
+                        .bitwiseAND(F.lit((1 << chunk) - 1).cast("long"))
+                        .alias("chunk"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk"))
+    pairs = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "chunk"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a_id"),
+            F.col("y.doc_id").alias("b_id"),
+            F.col("x.simhash").alias("sh_a"),
+            F.col("y.simhash").alias("sh_b"),
+        )
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )
+    return pairs

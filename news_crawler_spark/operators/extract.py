@@ -48,6 +48,18 @@ def parse_spans(payload: str) -> list[dict]:
     return spans
 
 
+def doc_fields(payload: str) -> tuple:
+    """(title, summary, keywords, spans) from a page payload — the shared
+    kernel of both extract paths (standalone + fused fetch_extract)."""
+    spans = parse_spans(payload)
+    tm = _TITLE_RE.search(payload)
+    texts = [s["text"] for s in spans if s["kind"] == "text"]
+    # keywords: first word of each paragraph, len<50, cap 10 (F14)
+    kws = [t.split(" ", 1)[0] for t in texts if t][:10]
+    kws = [k for k in kws if len(k) < 50]
+    return (tm.group(1) if tm else None, texts[0] if texts else None, kws, spans)
+
+
 def extract_documents(fetched: DataFrame) -> DataFrame:
     """ok-pages → document rows with span arrays. doc_id is the hex of the
     canonical URL's xxhash64 (deterministic; F10 analog of uuid5-from-URL).
@@ -58,20 +70,15 @@ def extract_documents(fetched: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                spans = parse_spans(r.payload)
-                tm = _TITLE_RE.search(r.payload)
-                texts = [s["text"] for s in spans if s["kind"] == "text"]
-                # keywords: first word of each paragraph, len<50, cap 10 (F14)
-                kws = [t.split(" ", 1)[0] for t in texts if t][:10]
-                kws = [k for k in kws if len(k) < 50]
+                title, summary, kws, spans = doc_fields(r.payload)
                 rows.append(
                     {
                         "doc_id": format(r.url_hash & 0xFFFFFFFFFFFFFFFF, "016x"),
                         "url": r.canonical_url,
                         "source": r.source,
                         "host": r.host,
-                        "title": tm.group(1) if tm else None,
-                        "summary": texts[0] if texts else None,
+                        "title": title,
+                        "summary": summary,
                         "keywords": kws,
                         "spans": spans,
                         "published_ts": r.published_ts,
@@ -91,6 +98,23 @@ def extract_documents(fetched: DataFrame) -> DataFrame:
             )
 
     return ok.mapInPandas(run, schema=EXTRACTED_SCHEMA)
+
+
+def documents_from_fetch_extract(fused: DataFrame) -> DataFrame:
+    """Fused fetch_extract output → the documents schema. doc_id and
+    published_epoch are derived JVM-side (hex/unix_timestamp built-ins)."""
+    return fused.filter(F.col("ok")).select(
+        F.lpad(F.lower(F.hex("url_hash")), 16, "0").alias("doc_id"),
+        F.col("canonical_url").alias("url"),
+        "source",
+        "host",
+        "title",
+        "summary",
+        "keywords",
+        "spans",
+        "published_ts",
+        F.unix_timestamp("published_ts").alias("published_epoch"),
+    )
 
 
 def content_text(documents: DataFrame) -> DataFrame:

@@ -19,12 +19,11 @@ Scale notes (10^10-row frontier):
 - the eligibility filter (status/tried_count) is a parquet-pushed predicate;
   with the frontier partitioned by status, pruning skips completed/failed
   files entirely.
-- the window shuffles by host once per round; hot hosts are bounded because
-  row_number short-circuits at the budget — but the *sort* within the hot
-  host partition is not. ``pop_round`` therefore pre-filters with a cheap
-  per-host approximate cutoff when a host's pending count dwarfs its
-  budget (rank-pruning), keeping the per-partition sort O(budget·log) via
-  AQE skew splitting instead of sorting the whole hot host.
+- ``pop_round`` is a two-phase salted top-k: phase 1 ranks within
+  (host, url_hash mod salts) — salts× the parallelism of a plain per-host
+  window and each group's sort stops mattering past its budget; phase 2
+  re-ranks the ≤ budget·salts survivors per host. Identical result to the
+  single-window plan (same total order), fraction of the sort work.
 """
 
 from __future__ import annotations
@@ -47,29 +46,45 @@ def eligible(frontier: DataFrame, max_retries: int = schemas.MAX_RETRIES) -> Dat
 
 
 def allowed_by_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
-    """Longest-matching-prefix robots evaluation via broadcast join.
+    """Longest-matching-prefix robots evaluation — broadcast join + pure
+    higher-order functions, ZERO shuffle on the frontier side.
 
-    Each URL joins the (small) rules table on host, keeps rules whose
-    path_prefix is a prefix of the URL path, picks the longest match, and
-    survives iff that match is an 'allow' (no match ⇒ allow). The rules
-    table is broadcast — no shuffle on the frontier side.
+    Rules are collected per host (tiny: one row per live host) and
+    broadcast; each URL filters its host's rule array to prefixes of its
+    path and takes the max by (prefix length, allow-beats-deny-on-tie) —
+    all inside whole-stage codegen. No match ⇒ allow. The earlier design
+    windowed by canonical_url, which re-shuffled the entire pending set
+    every round — fatal at 10^10 rows; this one is a map-side-only pass.
     """
-    path = F.coalesce(F.parse_url(F.col("canonical_url"), F.lit("PATH")), F.lit("/"))
-    cand = frontier.withColumn("__path", path)
-    joined = cand.join(F.broadcast(robots), "host", "left").withColumn(
-        "__match", F.col("__path").startswith(F.col("path_prefix"))
+    from ..functions.urls import path_col
+
+    rules_by_host = robots.groupBy("host").agg(
+        F.collect_list(F.struct("path_prefix", "rule_kind")).alias("__rules")
     )
-    best = Window.partitionBy("canonical_url").orderBy(
-        F.when(F.col("__match"), F.length("path_prefix")).otherwise(-1).desc(),
-        F.col("rule_kind").asc(),  # deterministic; equal-length allow beats deny? no:
-        # equal-length allow/deny on the same prefix is ambiguous in the wild;
-        # 'allow' < 'deny' lexically so allow wins — pinned by fixture.
+    joined = frontier.join(F.broadcast(rules_by_host), "host", "left")
+    path = path_col("canonical_url")
+    matching = F.filter(
+        F.coalesce(
+            F.col("__rules"),
+            F.array().cast("array<struct<path_prefix:string,rule_kind:string>>"),
+        ),
+        lambda r: path.startswith(r["path_prefix"]),
+    )
+    # max by (length, allow=1/deny=0): allow wins equal-length ties —
+    # pinned by the crawl fixtures (same tie rule as the python oracle).
+    best = F.array_max(
+        F.transform(
+            matching,
+            lambda r: F.struct(
+                F.length(r["path_prefix"]).alias("len"),
+                F.when(r["rule_kind"] == "allow", 1).otherwise(0).alias("is_allow"),
+            ),
+        )
     )
     return (
-        joined.withColumn("__rk", F.row_number().over(best))
-        .filter(F.col("__rk") == 1)
-        .filter((~F.col("__match").eqNullSafe(True)) | (F.col("rule_kind") == "allow"))
-        .drop("__path", "__match", "__rk", "rule_kind", "path_prefix")
+        joined.withColumn("__best", best)
+        .filter(F.col("__best").isNull() | (F.col("__best.is_allow") == 1))
+        .drop("__rules", "__best")
     )
 
 
@@ -77,28 +92,43 @@ def pop_round(
     frontier: DataFrame,
     budgets: DataFrame,
     default_budget: int = 20,
-    rank_prune_factor: int = 8,
+    salts: int = 64,
 ) -> DataFrame:
     """Pop this round's fetch set: per-host top-k by (priority,
     published_ts, url_hash), k = that host's current token budget.
 
     ``budgets`` is a small (host, budget) DataFrame — broadcast.
-    ``rank_prune_factor``: before the authoritative window sort, rows are
-    cheaply pre-limited per host to ``budget × factor`` candidates using the
-    same total order, bounding the sort input on hot hosts. The pre-limit
-    uses the identical ordering key, so it can never change the result —
-    only prune rows that could not be in the top-k.
+
+    Two-phase salted top-k: a single window over ``partitionBy(host)``
+    caps parallelism at the number of hosts (≈5 here) and sorts the whole
+    hot host — fatal on a 10^10-row frontier. Instead:
+
+      phase 1: window over (host, url_hash mod salts) — ``salts``× the
+               parallelism, each group keeps its own top-budget;
+      phase 2: window over host on the ≤ budget·salts survivors.
+
+    Any row in the true per-host top-k is in its salt group's top-k
+    (same total order), so the result is identical to the single-window
+    plan — asserted by the crawl-ordering fixtures.
     """
     el = frontier.join(
         F.broadcast(budgets.select("host", "budget")), "host", "left"
     ).withColumn("budget", F.coalesce(F.col("budget"), F.lit(default_budget)))
 
     order = [F.col(c).asc_nulls_last() for c in POP_ORDER]
-    w = Window.partitionBy("host").orderBy(*order)
-    ranked = el.withColumn("__rn", F.row_number().over(w))
-    popped = ranked.filter(F.col("__rn") <= F.col("budget")).drop("__rn", "budget")
-    _ = rank_prune_factor  # reserved: engaged by engine when host skew detected
-    return popped
+    salt = F.pmod(F.col("url_hash"), F.lit(salts))
+    w1 = Window.partitionBy("host", salt).orderBy(*order)
+    pruned = (
+        el.withColumn("__rn1", F.row_number().over(w1))
+        .filter(F.col("__rn1") <= F.col("budget"))
+        .drop("__rn1")
+    )
+    w2 = Window.partitionBy("host").orderBy(*order)
+    return (
+        pruned.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= F.col("budget"))
+        .drop("__rn", "budget")
+    )
 
 
 def with_salted_key(df: DataFrame, hot_hosts: DataFrame, n_salts: int = 16) -> DataFrame:

@@ -30,16 +30,21 @@ from pyspark.sql import functions as F
 def dedup_first_wins(
     batch: DataFrame,
     key: str = "url_hash",
-    order: tuple[str, ...] = ("discovery_time", "canonical_url"),
+    order: tuple[str, ...] = ("discovery_time", "canonical_url", "url"),
 ) -> DataFrame:
     """Keep the first-discovered row per key with a total, deterministic
-    order (ties broken by canonical_url so reruns are bit-identical)."""
-    w = Window.partitionBy(key).orderBy(*[F.col(c).asc_nulls_last() for c in order])
-    return (
-        batch.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    order (ties broken by canonical_url, then raw url, so reruns are
+    bit-identical).
+
+    Implemented as ``min_by(struct(*), struct(order))`` — an aggregate,
+    not a window: partial (map-side) combine shrinks the shuffle to one
+    survivor per key per partition, where a window would shuffle and sort
+    every duplicate. At web-scale batch ratios (~20% dups) that's the
+    difference between shuffling 10^10 and ~8·10^9 rows — and no sort.
+    """
+    cols = batch.columns
+    pick = F.min_by(F.struct(*cols), F.struct(*order)).alias("__r")
+    return batch.groupBy(key).agg(pick).select("__r.*")
 
 
 def unseen_only(candidates: DataFrame, seen: DataFrame) -> DataFrame:
@@ -52,10 +57,23 @@ def unseen_only(candidates: DataFrame, seen: DataFrame) -> DataFrame:
     return candidates.join(seen_keys, ["url_hash", "canonical_url"], "left_anti")
 
 
-def ingest_batch(candidates: DataFrame, seen: DataFrame | None) -> DataFrame:
+def ingest_batch(
+    candidates: DataFrame, seen: DataFrame | None, use_bloom: bool = False
+) -> DataFrame:
     """Full ON-CONFLICT-DO-NOTHING equivalent: within-batch first-wins dedup,
-    then drop anything already seen. Returns the rows to insert."""
+    then drop anything already seen. Returns the rows to insert.
+
+    ``use_bloom`` routes the cross-batch check through the partition-local
+    bloom pre-pass (functions/bloom.py) — identical output (property-tested),
+    ~n·fpr of the candidates reach the exact join instead of all of them.
+    Worth it when |seen| ≫ |batch| (steady-state incremental crawl).
+    """
     fresh = dedup_first_wins(candidates)
     if seen is not None:
-        fresh = unseen_only(fresh, seen)
+        if use_bloom:
+            from ..functions.bloom import bloom_unseen
+
+            fresh = bloom_unseen(fresh, seen)
+        else:
+            fresh = unseen_only(fresh, seen)
     return fresh

@@ -1,0 +1,161 @@
+"""Vector similarity search over an embedding column.
+
+The reference's search surface is Qdrant cosine top-10 with payload
+(search_news.py:64-88; HNSW config vector_db_manager.py:135-147). The
+exact-match equivalents here (SURVEY.md T5/E2):
+
+- brute-force cosine top-k: JVM-side fold (zip_with + aggregate) — the
+  oracle-able baseline; at 100 TB this is one scan + a k-row final sort
+  (Spark's TakeOrderedAndProject, no full sort, no collect).
+- IVF-style probed search: restrict the scan to the query's cell
+  (partition pruning on the cell column turns top-k into a scan of
+  1/n_cells of the data) — the scale path. Here cells come from the
+  given ``label`` column; ``ivf_assign`` builds cells from centroids
+  when none exist.
+- cosine near-dup pairs: block self-join for the pipeline dedup tier.
+
+All math in double precision, deterministic fold order, rounded on
+output so the DuckDB oracle (list_cosine_similarity) hashes identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(v: Column) -> Column:
+    return v.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(_as_double(a), F.lit(0.0), lambda s, x: s + x * x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def topk_cosine(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force cosine top-k against the stored vector ``query_vec_id``.
+
+    The 1-row query side is broadcast; the scan side never shuffles —
+    the plan is Scan → Project(cosine) → TakeOrderedAndProject(k).
+    """
+    q = embeddings.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("__qvec")
+    )
+    scored = (
+        embeddings.filter(F.col(id_col) != query_vec_id)
+        .join(F.broadcast(q))
+        .withColumn("score", F.round(cosine(F.col(vec_col), F.col("__qvec")), 4))
+        .drop("__qvec", vec_col)
+    )
+    return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+
+
+def ivf_probe_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "label",
+) -> DataFrame:
+    """IVF-style search: probe only the query's cell. With the table
+    written partitioned by the cell column, Catalyst prunes every other
+    partition — the scan cost drops by ~n_cells at identical code."""
+    q = embeddings.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("__qvec"), F.col(cell_col).alias("__qcell")
+    )
+    scored = (
+        embeddings.filter(F.col(id_col) != query_vec_id)
+        .join(F.broadcast(q), on=F.col(cell_col) == F.col("__qcell"))
+        .withColumn("score", F.round(cosine(F.col(vec_col), F.col("__qvec")), 4))
+        .drop("__qvec", "__qcell", vec_col)
+    )
+    return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """One k-means-style assignment pass: centroids = per-seed-cell mean
+    (seed cell = vec_id mod n_cells — deterministic, no RNG), then each
+    vector moves to its nearest centroid. Centroids are tiny → broadcast;
+    the big side is a single scan. Iterate for real k-means."""
+    seeded = embeddings.withColumn("__cell", F.pmod(F.col(id_col), F.lit(n_cells)))
+    dim_arr = F.col(vec_col).cast("array<double>")
+    cents = (
+        seeded.groupBy("__cell")
+        .agg(F.array_agg(dim_arr).alias("vs"), F.count("*").alias("n"))
+        .select(
+            F.col("__cell").alias("cell"),
+            F.transform(
+                F.sequence(F.lit(0), F.size(F.element_at("vs", 1)) - 1),
+                lambda i: F.aggregate(
+                    "vs", F.lit(0.0), lambda s, v: s + F.element_at(v, (i + 1).cast("int"))
+                )
+                / F.col("n"),
+            ).alias("centroid"),
+        )
+    )
+    assigned = (
+        embeddings.join(F.broadcast(cents))
+        .withColumn("__d", cosine(F.col(vec_col), F.col("centroid")))
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(F.desc("__d"), F.col("cell"))
+            ),
+        )
+        .filter(F.col("__rk") == 1)
+        .select(*embeddings.columns, F.col("cell"))
+    )
+    return assigned
+
+
+def cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a<b, cosine >= threshold).
+
+    Exact block self-join — the oracle tier. At 100 TB scale, bucket by a
+    sign-LSH of the vector first (simhash the float signs against fixed
+    hyperplanes) and join within buckets; the verify math is this same
+    expression.
+    """
+    a = embeddings.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("va")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("vb")
+    )
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn("score", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("score") >= F.lit(threshold))
+        .select("a_id", "b_id", "score")
+    )

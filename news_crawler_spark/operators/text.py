@@ -1,0 +1,115 @@
+"""Text-analysis operators for a large-scale training-data pipeline.
+
+The reference's text handling is per-row CPython (content cleaning
+collectors/isna/isna_source.py:100-112, quality filters
+collectors/shargh/pages_collector.py:270-277,329-335, embed-text projection
+vector_db_manager.py:205-215). Here every operator is a pure
+``pyspark.sql.functions`` expression — JVM-side, whole-stage-codegen'd,
+no Python in the hot path — so it survives a 100 TB scan unchanged.
+
+Operators:
+- tokenization (whitespace + a BPE-ish regex token count)
+- language ID (stopword-hit heuristic over n-gram-free token sets)
+- quality scoring (length / distinct-ratio / stopword-ratio mix)
+- document fingerprinting (md5 of normalized text; rolling-hash variant
+  in ``dedup.simhash64``)
+
+Each has a ``queries()`` entry in __spark_entry__.py with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny deterministic English stopword list — shared with the DuckDB oracle
+# (keep in sync with analytics.py SQL strings).
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "it")
+
+# BPE-ish token regex: runs of letters OR runs of digits OR single
+# non-alphanumeric-non-space symbols (a crude byte-pair seed vocabulary).
+BPE_TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def tokens_col(text: Column | str) -> Column:
+    """Whitespace tokens (the corpus is single-space separated; for raw
+    web text use ``F.split(col, '\\\\s+')`` — same shape)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens_col(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Count of BPE-ish regex tokens — JVM-side ``regexp_count``."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(BPE_TOKEN_RE))
+
+
+def stopword_hits(tokens: Column) -> Column:
+    stops = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(stops, t)))
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    toks = tokens_col(text)
+    return stopword_hits(toks) / F.size(toks)
+
+
+def predict_lang(text: Column | str, threshold: float = 0.05) -> Column:
+    """Heuristic language ID: English iff the stopword ratio clears the
+    threshold (reference has no langid; this is the training-pipeline op)."""
+    return F.when(stopword_ratio(text) > F.lit(threshold), F.lit("en")).otherwise(
+        F.lit("unk")
+    )
+
+
+def distinct_token_ratio(text: Column | str) -> Column:
+    toks = tokens_col(text)
+    return F.size(F.array_distinct(toks)) / F.size(toks)
+
+
+def mean_token_len(text: Column | str) -> Column:
+    toks = tokens_col(text)
+    return F.aggregate(
+        toks, F.lit(0).cast("double"), lambda acc, t: acc + F.length(t)
+    ) / F.size(toks)
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite quality in [0,1]-ish: favors long, lexically diverse,
+    naturally-stopworded text (the P7 content-quality filter generalized
+    to a score). Deterministic closed form, shared with the SQL oracle."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    length_part = F.least(n / F.lit(100.0), F.lit(1.0))
+    diversity = F.size(F.array_distinct(toks)) / n
+    stop = stopword_hits(toks) / n
+    stop_part = F.lit(1.0) - F.abs(stop - F.lit(0.06)) / F.lit(0.06)
+    return F.round(
+        F.lit(0.4) * length_part + F.lit(0.4) * diversity
+        + F.lit(0.2) * F.greatest(stop_part, F.lit(0.0)),
+        4,
+    )
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the whitespace-normalized
+    lowercase text (F10 analog; md5 so the DuckDB oracle reproduces it)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.trim(F.regexp_replace(F.lower(c), "\\s+", " ")))
+
+
+def with_text_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """All features in one projection — single scan, fully codegen'd."""
+    return docs.select(
+        "*",
+        token_count(text_col).alias("n_tokens"),
+        bpe_ish_token_count(text_col).alias("n_bpe_tokens"),
+        F.round(stopword_ratio(text_col), 6).alias("stop_ratio"),
+        predict_lang(text_col).alias("pred_lang"),
+        quality_score(text_col).alias("quality"),
+        fingerprint(text_col).alias("fp"),
+    )

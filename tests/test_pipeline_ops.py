@@ -1,0 +1,238 @@
+"""Training-data-pipeline operators: dedup (exact / Jaccard / MinHash /
+SimHash), similarity search, text features, multimodal plumbing — Spark
+vs independent pure-Python oracles on the driver's sf0.001 tables."""
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from news_crawler_spark.functions.xxh64 import xxh64
+from news_crawler_spark.operators import dedup, multimodal, similarity, text
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def doc_rows(docs):
+    return {r.doc_id: r.text for r in docs.collect()}
+
+
+# -- python twins -----------------------------------------------------------
+
+def _signed(u):
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def py_hash_i(s: str, i: int) -> int:
+    """Twin of dedup._hash_with_index: xxhash64(i::long, s)."""
+    seed = xxh64(struct.pack("<q", i), 42)
+    return _signed(xxh64(s.encode(), seed))
+
+
+def py_shingles(txt: str, n: int = 3) -> set[str]:
+    toks = txt.split(" ")
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)} if len(toks) >= n else set()
+
+
+def py_minhash(txt: str, num_hashes: int = 128) -> list[int]:
+    sh = py_shingles(txt)
+    return [min(py_hash_i(s, i) for s in sh) for i in range(num_hashes)]
+
+
+def py_simhash(txt: str) -> int:
+    votes = [0] * 64
+    for t in txt.split(" "):
+        u = xxh64(t.encode(), 42)
+        for b in range(64):
+            votes[b] += 1 if (u >> b) & 1 else -1
+    out = 0
+    for b in range(64):
+        if votes[b] > 0:
+            out |= 1 << b
+    return _signed(out)
+
+
+def py_jaccard_pairs(doc_rows, threshold=0.6, n=3):
+    sh = {d: py_shingles(t, n) for d, t in doc_rows.items() if py_shingles(t, n)}
+    ids = sorted(sh)
+    out = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sh[a] & sh[b])
+            if inter == 0:
+                continue
+            j = inter / (len(sh[a]) + len(sh[b]) - inter)
+            if round(j, 4) >= threshold:
+                out.add((a, b))
+    return out
+
+
+# -- dedup ------------------------------------------------------------------
+
+def test_minhash_signature_matches_python_twin(spark, docs, doc_rows):
+    got = {
+        r.doc_id: list(r.sig)
+        for r in dedup.with_minhash(docs.limit(5), num_hashes=16).collect()
+    }
+    for doc_id, sig in got.items():
+        assert sig == py_minhash(doc_rows[doc_id], 16)[: len(sig)], doc_id
+
+
+def test_simhash_matches_python_twin(spark, docs, doc_rows):
+    got = {r.doc_id: r.simhash for r in dedup.with_simhash(docs.limit(10)).collect()}
+    for doc_id, sh in got.items():
+        assert sh == py_simhash(doc_rows[doc_id]), doc_id
+
+
+def test_lsh_equals_exact_jaccard(spark, docs, doc_rows):
+    want = py_jaccard_pairs(doc_rows, 0.6)
+    exact = {
+        (r.a_id, r.b_id)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.6).collect()
+    }
+    lsh = {
+        (r.a_id, r.b_id)
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.6).collect()
+    }
+    assert exact == want
+    assert lsh == want
+
+
+def test_exact_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "aa bb"), (2, "aa bb"), (3, "cc")], "doc_id long, text string"
+    )
+    got = {r.fp: (r.canonical_id, r.n_copies) for r in dedup.exact_duplicates(df).collect()}
+    assert sorted(got.values()) == [(1, 2), (3, 1)]
+
+
+def test_simhash_pairs_hamming_verified(spark, docs, doc_rows):
+    rows = dedup.simhash_pairs(docs, max_hamming=8).collect()
+    sh = {d: py_simhash(t) for d, t in doc_rows.items()}
+    for r in rows:
+        ham = bin((sh[r.a_id] ^ sh[r.b_id]) & ((1 << 64) - 1)).count("1")
+        assert ham == r.hamming and ham <= 8
+
+
+# -- similarity -------------------------------------------------------------
+
+def test_topk_cosine_matches_numpy(spark):
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    rows = emb.collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype="float64") for r in rows}
+    q = vecs[7]
+    scores = {
+        vid: float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+        for vid, v in vecs.items()
+        if vid != 7
+    }
+    want = sorted(scores.items(), key=lambda kv: (-round(kv[1], 4), kv[0]))[:10]
+    got = [(r.vec_id, r.score) for r in similarity.topk_cosine(emb, 7, k=10).collect()]
+    assert [(v, round(s, 4)) for v, s in want] == got
+
+
+def test_ivf_assign_produces_cells(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    assigned = similarity.ivf_assign(emb, n_cells=4)
+    assert assigned.count() == emb.count()
+    cells = {r.cell for r in assigned.select("cell").distinct().collect()}
+    assert cells <= set(range(4)) and len(cells) > 1
+
+
+# -- text -------------------------------------------------------------------
+
+def test_text_features(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat", "en", "s", 22)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = text.with_text_features(df).collect()[0]
+    assert r.n_tokens == 6
+    assert r.n_bpe_tokens == 6
+    assert r.stop_ratio == round(3 / 6, 6)  # the, on, the
+    assert r.pred_lang == "en"
+    assert 0.0 <= r.quality <= 1.0
+    assert len(r.fp) == 32
+
+
+def test_fingerprint_normalizes_whitespace(spark):
+    df = spark.createDataFrame(
+        [(1, "A  b\tc"), (2, "a b c")], "doc_id long, text string"
+    )
+    fps = [r.fp for r in df.select(text.fingerprint("text").alias("fp")).collect()]
+    assert fps[0] == fps[1]
+
+
+# -- multimodal -------------------------------------------------------------
+
+def test_media_plumbing(spark):
+    spans_docs = spark.createDataFrame(
+        [
+            (
+                "d1",
+                [
+                    {"kind": "text", "text": "hi", "media_ref": None, "offset": 0},
+                    {"kind": "image", "text": None, "media_ref": "img://1.jpg", "offset": 1},
+                    {"kind": "image", "text": None, "media_ref": "img://2.jpg", "offset": 2},
+                ],
+            ),
+            (
+                "d2",
+                [{"kind": "image", "text": None, "media_ref": "img://1.jpg", "offset": 0}],
+            ),
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    media = multimodal.media_table(spans_docs)
+    rows = {r.media_ref: r for r in media.collect()}
+    assert set(rows) == {"img://1.jpg", "img://2.jpg"}  # distinct refs
+    for ref, r in rows.items():
+        assert r.payload == multimodal.synth_media_payload(ref)
+        assert r.meta.n_bytes == len(r.payload)
+    feats = {r.media_ref: r for r in multimodal.extract_media_features(media).collect()}
+    for ref, r in feats.items():
+        assert len(r.feature) == 16
+        assert abs(sum(r.feature) - 1.0) < 1e-5  # L1-normalized histogram
+        assert r.n_bytes == rows[ref].meta.n_bytes
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\xff\xd8")
+
+
+# -- fetch/extract path parity -----------------------------------------------
+
+def test_fused_fetch_extract_matches_two_stage(spark):
+    from news_crawler_spark import synth
+    from news_crawler_spark.functions.urls import with_url_columns
+    from news_crawler_spark.operators.extract import (
+        documents_from_fetch_extract,
+        extract_documents,
+    )
+    from news_crawler_spark.operators.fetch import fetch_extract_pages, fetch_pages
+
+    cand = (
+        with_url_columns(synth.build_seed_list(spark, 300))
+        .withColumn("priority", F.pmod(F.col("url_hash"), F.lit(3)).cast("int"))
+        .withColumn("tried_count", F.lit(0))
+    ).cache()
+
+    two_stage = extract_documents(fetch_pages(cand))
+    fused = documents_from_fetch_extract(fetch_extract_pages(cand))
+
+    def key(df):
+        return {
+            r.doc_id: (r.url, r.title, r.summary, tuple(r.keywords),
+                       tuple((s.kind, s.text, s.media_ref, s.offset) for s in r.spans),
+                       r.published_epoch)
+            for r in df.collect()
+        }
+
+    a, b = key(two_stage), key(fused)
+    assert a == b and len(a) > 0

@@ -1,0 +1,89 @@
+"""Physical-plan assertions: the optimizations SURVEY.md §4 claims come
+free from Catalyst must actually appear in the plans — predicate pushdown
+to the parquet scan, column pruning, broadcast dimension joins, top-k as
+TakeOrderedAndProject (never a global sort), and whole-stage codegen."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from news_crawler_spark import analytics
+from news_crawler_spark.operators import frontier as fops
+from news_crawler_spark import synth
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def explain_formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter(F.col("event_type") == "click")
+        .select("event_id")
+    )
+    p = explain_formatted(df)
+    assert "PushedFilters" in p and "event_type" in p.split("PushedFilters")[1][:200]
+
+
+def test_column_pruning(spark):
+    df = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey")
+    p = explain_formatted(df)
+    rs = p.split("ReadSchema")[1][:200]
+    assert "l_orderkey" in rs and "l_extendedprice" not in rs
+
+
+def test_dim_join_is_broadcast(spark):
+    p = plan(analytics.j7_broadcast_dims(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_topk_is_take_ordered(spark):
+    p = plan(analytics.v1_cosine_topk(spark, SF))
+    assert "TakeOrderedAndProject" in p  # never a global sort for limit-k
+
+
+def test_robots_filter_has_no_shuffle(spark):
+    """The robots evaluation must not shuffle the frontier (broadcast +
+    higher-order functions only)."""
+    from news_crawler_spark.functions.urls import with_url_columns
+
+    frontier = with_url_columns(synth.build_seed_list(spark, 100))
+    out = fops.allowed_by_robots(frontier, synth.robots_df(spark))
+    p = plan(out)
+    import re
+
+    # the rules side may shuffle (tiny groupBy(host) before broadcast);
+    # the frontier side must not — no shuffle keyed by frontier columns
+    shuffles = re.findall(r"Exchange (?:hash|range)partitioning\(([^)]*)\)", p)
+    for cols in shuffles:
+        assert "url_hash" not in cols and "canonical_url" not in cols, p
+    assert "BroadcastHashJoin" in p
+
+
+def test_anti_join_broadcasts_small_popped(spark):
+    """next-pending anti-join: small popped side must broadcast."""
+    big = spark.range(0, 100000).select(
+        F.col("id").alias("url_hash"), F.concat(F.lit("u"), "id").alias("canonical_url")
+    )
+    small = big.limit(50)
+    p = plan(big.join(small, ["url_hash", "canonical_url"], "left_anti"))
+    assert "Broadcast" in p
+
+
+def test_whole_stage_codegen_on_text_features(spark):
+    from news_crawler_spark.operators.text import with_text_features
+
+    df = with_text_features(spark.read.parquet(f"{SF}/documents.parquet"))
+    p = explain_formatted(df)
+    # formatted explain marks codegen'd operators with "[codegen id : N]";
+    # executedPlan.toString shows them as "*(N) Project" — accept either
+    assert "codegen id" in p or "*(1)" in plan(df), p
