@@ -24,21 +24,28 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession.
 
     ``cores`` defaults to $SPARK_GRAFT_CPUS or all local cores. Shuffle
     partitions default to the core count — correct for local mode; on a
     cluster AQE coalescing re-sizes post-shuffle partitions anyway.
+
+    ``master``: explicit master URL; ``"inherit"`` sets NO master so the
+    one provided by ``spark-submit --master`` wins (cluster deployment,
+    scripts/run_crawl.py); default is ``local[cores]``.
     """
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     if shuffle_partitions is None:
         shuffle_partitions = max(int(cores), 4)
 
+    builder = SparkSession.builder
+    if master != "inherit":
+        builder = builder.master(master or f"local[{cores}]")
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cores))
         .config("spark.sql.adaptive.enabled", "true")

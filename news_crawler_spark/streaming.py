@@ -1,0 +1,90 @@
+"""Structured Streaming variant of the fresh-link pipeline (SURVEY.md §2.8).
+
+The reference's fresh pipeline is an APScheduler 15 s poll producing link
+batches to Kafka, consumed at-least-once with manual offset commits and
+ON-CONFLICT dedup (news_fresh_links_scheduler.py:175,
+broker_manager.py:123,198-218). The batch engine (engine.py) is the
+authoritative design — deterministic ordering is the contract, and
+wall-clock micro-batch triggers would break it — but the *streaming
+semantics* map cleanly onto Structured Streaming, and this module provides
+that surface:
+
+- source: any streaming DataFrame with the seed-list schema (in
+  production ``spark.readStream.format("kafka")`` + ``from_json``; in
+  tests a file-source directory of parquet seed batches);
+- per-micro-batch: canonicalize → first-wins dedup → idempotent MERGE
+  into the engine's frontier via ``CrawlEngine.ingest_incremental`` —
+  the same ON-CONFLICT-DO-NOTHING semantics, so at-least-once delivery
+  (Kafka re-reads, restarts) never duplicates a URL (ST2/ST5);
+- checkpointing: Spark's streaming checkpoint tracks source offsets, and
+  the engine's snapshot catalog commits atomically per batch — a crash
+  between the two replays the batch, which the seen-set absorbs
+  (exactly-once *effective*);
+- the per-source cursor table (ST3, cache_manager.py:54-69) is updated
+  by ``ingest_incremental`` each batch.
+
+15 s cadence ⇒ ``trigger(processingTime="15 seconds")``; tests use
+``availableNow`` for deterministic drains.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from . import schemas
+from .engine import CrawlEngine
+
+
+def read_seed_stream(spark, directory: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stand-in for the Kafka links topic: a directory where
+    each parquet file is one producer batch (schema = schemas.SEED_LIST).
+    ``maxFilesPerTrigger`` is the backpressure knob (ST6 analog of
+    maxOffsetsPerTrigger)."""
+    reader = spark.readStream.schema(schemas.SEED_LIST)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(directory)
+
+
+def start_ingest_stream(
+    engine: CrawlEngine,
+    seed_stream: DataFrame,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Run the fresh-link ingest as a streaming query.
+
+    ``foreachBatch`` hands each micro-batch to the engine's idempotent
+    incremental ingest: the batch becomes a committed discovery round,
+    deduped against the full seen set. Batches are tiny next to the
+    frontier, so the per-batch cost is the anti-join of |batch| rows
+    against the seen set (bloom-assisted when enabled) — NOT a frontier
+    rewrite per event.
+    """
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        # Idempotence: if this batch replays after a crash, every URL in
+        # it is already in the seen set and admits 0 rows.
+        if batch_df.isEmpty():
+            return
+        engine.ingest_incremental(batch_df)
+
+    writer = seed_stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger is None:
+        trigger = {"availableNow": True}
+    return writer.trigger(**trigger).start()
+
+
+def drain_available(engine: CrawlEngine, directory: str, checkpoint_dir: str) -> None:
+    """Convenience: ingest everything currently in ``directory`` and stop
+    (availableNow trigger) — the deterministic test/batch-catchup mode."""
+    q = start_ingest_stream(
+        engine,
+        read_seed_stream(engine.spark, directory),
+        checkpoint_dir,
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination()

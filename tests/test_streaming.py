@@ -1,0 +1,61 @@
+"""Structured Streaming fresh-link ingest: micro-batch drain, at-least-once
+replay absorbed by the seen set, checkpointed restart (ST1-ST5)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from news_crawler_spark import streaming, synth
+from news_crawler_spark.engine import CrawlEngine
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    eng = CrawlEngine(spark, str(tmp_path / "wd"))
+    eng.ingest(synth.build_seed_list(spark, 200))
+    return eng
+
+
+def _write_batch(spark, directory, lo, hi, name):
+    df = synth.build_seed_list(spark, hi).filter(F.col("discovery_time") >= F.lit(
+        synth.seed_row(lo)["discovery_time"]))
+    df.coalesce(1).write.mode("append").parquet(directory)
+    _ = name
+
+
+def test_streaming_ingest_dedups_and_checkpoints(spark, engine, tmp_path):
+    src = str(tmp_path / "stream_src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    before = engine.catalog.read("pending", engine.catalog.latest_round()).count()
+
+    # batch 1: seeds [200, 260) — new urls + some dup rediscoveries
+    _write_batch(spark, src, 200, 260, "b1")
+    streaming.drain_available(engine, src, ckpt)
+    r1 = engine.catalog.latest_round()
+    after1 = engine.catalog.read("pending", r1).count()
+    assert after1 > before  # some new URLs admitted
+
+    # batch 2 = replay of batch 1 (at-least-once) + fresh [260, 300)
+    _write_batch(spark, src, 200, 300, "b2")
+    streaming.drain_available(engine, src, ckpt)
+    r2 = engine.catalog.latest_round()
+    assert r2 > r1
+    pend = engine.catalog.read("pending", r2)
+    # no canonical URL appears twice despite the replay
+    n = pend.count()
+    assert pend.select("canonical_url").distinct().count() == n
+
+    # the streaming checkpoint must not re-deliver already-read files
+    streaming.drain_available(engine, src, ckpt)
+    assert engine.catalog.latest_round() == r2  # isEmpty batch → no round
+
+    # final frontier equals a pure-batch run over the same 300 seeds
+    eng2 = CrawlEngine(spark, str(tmp_path / "wd2"))
+    eng2.ingest(synth.build_seed_list(spark, 300))
+    want = {r.canonical_url for r in
+            eng2.catalog.read("pending", 0).select("canonical_url").collect()}
+    got = {r.canonical_url for r in pend.select("canonical_url").collect()}
+    assert got == want
