@@ -194,7 +194,8 @@ class CrawlEngine:
 
         # size the python fetch stage by ROWS, not bytes (each row costs
         # ~1 ms of python): ~500 rows/task, capped at 2×cores; tiny rounds
-        # stay single-task instead of paying 2×cores task launches.
+        # stay single-task instead of paying 2×cores task launches. The
+        # count also materializes the popped cache before fan-out.
         n_popped = popped.count()
         sc = self.spark.sparkContext
         parts = max(1, min(2 * sc.defaultParallelism, (n_popped + 499) // 500))
@@ -276,13 +277,20 @@ class CrawlEngine:
         )
 
         self.catalog.write("pending", round_no, next_pending)
-        self.catalog.write("done", round_no, finished)
+        self.catalog.write("done", round_no, finished.coalesce(4))
         self.catalog.write("docs", round_no, docs)
-        self.catalog.write("pops", round_no, pops_log)
-        self.catalog.write("lineage", round_no, lineage)
-        self.catalog.write("tokens", round_no, tokens_next)
+        self.catalog.write("pops", round_no, pops_log.coalesce(4))
+        self.catalog.write("lineage", round_no, lineage.coalesce(1))
+        self.catalog.write("tokens", round_no, tokens_next.coalesce(1))
 
-        n_ok = fetched.filter("ok").count()
+        # fetch stats come from the (tiny) written lineage — no extra
+        # count job over the cached fetched lineage
+        agg = (
+            self.catalog.read("lineage", round_no)
+            .agg(F.sum("fetched_ok").alias("ok"))
+            .collect()[0]
+        )
+        n_ok = int(agg.ok or 0)
         pending_left = self.catalog.read("pending", round_no).filter(
             (F.col("status") == schemas.STATUS_PENDING)
             & (F.col("tried_count") < self.max_retries)

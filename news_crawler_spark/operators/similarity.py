@@ -159,3 +159,91 @@ def cosine_pairs(
         .filter(F.col("score") >= F.lit(threshold))
         .select("a_id", "b_id", "score")
     )
+
+
+def _sign_lsh_bits(vec: Column, n_bits: int = 16, seed_tag: str = "hp") -> Column:
+    """Sign-LSH sketch: bit i = sign of <vec, h_i> where hyperplane h_i is
+    hash-derived (xxhash64 of (seed_tag, i, component index) mapped to
+    ±[0,1)) — deterministic, no RNG state, reproducible in pure python.
+    Pure higher-order expressions; one pass over the vector per bit."""
+    v = _as_double(vec)
+    dim_idx = F.sequence(F.lit(0), F.size(v) - 1)
+
+    def component(i: int, j: Column) -> Column:
+        h = F.xxhash64(F.lit(f"{seed_tag}:{i}"), j.cast("long"))
+        return (h.cast("double") / F.lit(float(1 << 63)))
+
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.transform(dim_idx, lambda j: component(i, j)),
+                    lambda x, w: x * w,
+                ),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            )
+            > 0,
+            F.lit(1 << i).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(n_bits)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def lsh_cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_tables: int = 8,
+    bits_per_table: int = 8,
+) -> DataFrame:
+    """Scale path for ``cosine_pairs``: sign-LSH bucketing, then exact
+    cosine verification of candidates only.
+
+    Each of ``n_tables`` hash tables buckets on ``bits_per_table`` sign
+    bits; pairs colliding in ≥1 table are verified with the exact cosine
+    expression. Candidate volume is O(n·tables + collisions) instead of
+    O(n²). Recall for a pair at cosine c is 1-(1-p^b)^t with
+    p = 1-acos(c)/π — probabilistic, so this op is *rows-only* for the
+    driver gate; tests/test_pipeline_ops.py pins recall vs the exact op.
+    """
+    sketched = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        *[
+            _sign_lsh_bits(F.col(vec_col), bits_per_table, f"t{t}").alias(f"b{t}")
+            for t in range(n_tables)
+        ],
+    ).cache()
+    buckets = sketched.select(
+        "vid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("table"), F.col(f"b{t}").alias("bucket"))
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vid", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+    cand = (
+        buckets.alias("x")
+        .join(buckets.alias("y"), ["table", "bucket"])
+        .filter(F.col("x.vid") < F.col("y.vid"))
+        .select(F.col("x.vid").alias("a_id"), F.col("y.vid").alias("b_id"))
+        .distinct()
+    )
+    vecs = sketched.select("vid", "vec")
+    return (
+        cand.join(vecs.withColumnRenamed("vid", "a_id").withColumnRenamed("vec", "va"), "a_id")
+        .join(vecs.withColumnRenamed("vid", "b_id").withColumnRenamed("vec", "vb"), "b_id")
+        .withColumn("score", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("score") >= F.lit(threshold))
+        .select("a_id", "b_id", "score")
+    )

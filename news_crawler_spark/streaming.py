@@ -88,3 +88,59 @@ def drain_available(engine: CrawlEngine, directory: str, checkpoint_dir: str) ->
         trigger={"availableNow": True},
     )
     q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator: per-source cursor cut as streaming state (ST3)
+
+def cursor_cut_stream(seed_stream: DataFrame) -> DataFrame:
+    """T3/ST3 as a true stateful streaming operator: per-source
+    ``applyInPandasWithState`` keeping the newest link seen so far and
+    emitting only links strictly newer than the stored cursor.
+
+    This is the streaming twin of the reference's last-link JSON cache
+    (cache_manager.py:54-69): state = (last_ts, last_url) per source,
+    checkpoint-persisted by Spark, updated per micro-batch. Late or
+    re-delivered links (≤ cursor) are dropped at the operator — the
+    seen-set MERGE downstream remains the correctness backstop.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = schemas.SEED_LIST
+    state_schema = "last_ts timestamp, last_url string"
+
+    def update(key, pdfs, state: GroupState):
+        (source,) = key
+        if state.exists:
+            last_ts, last_url = state.get
+        else:
+            last_ts, last_url = None, None
+        fresh_parts = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["published_ts", "url"])
+            if last_ts is not None:
+                newer = pdf[
+                    (pdf["published_ts"] > last_ts)
+                    | ((pdf["published_ts"] == last_ts) & (pdf["url"] > last_url))
+                ]
+            else:
+                newer = pdf
+            if len(newer):
+                fresh_parts.append(newer)
+                tail = newer.iloc[-1]
+                last_ts, last_url = tail["published_ts"], tail["url"]
+        if last_ts is not None:
+            state.update((last_ts, last_url))
+        if fresh_parts:
+            yield pd.concat(fresh_parts)[
+                ["source", "url", "published_ts", "discovery_time"]
+            ]
+
+    return seed_stream.groupBy("source").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

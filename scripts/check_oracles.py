@@ -29,7 +29,9 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.6g}"
+        # exact: the driver hashes values, so the doubles must be
+        # bit-identical after both sides' explicit round()
+        return repr(v)
     return str(v)
 
 

@@ -236,3 +236,31 @@ def test_fused_fetch_extract_matches_two_stage(spark):
 
     a, b = key(two_stage), key(fused)
     assert a == b and len(a) > 0
+
+
+def test_lsh_cosine_pairs_recall(spark):
+    """Sign-LSH near-dup scale path: exact verification means precision is
+    1.0 by construction; recall for genuinely-near pairs (the dedup
+    regime, cosine >= 0.9) must be high. Planted pairs: vector + tiny
+    deterministic perturbation."""
+    import numpy as np
+
+    rows = spark.read.parquet(f"{SF}/embeddings.parquet").limit(60).collect()
+    planted = []
+    for r in rows:
+        v = np.array(r.embedding, dtype="float32")
+        planted.append((int(r.vec_id), v.tolist()))
+        noise = np.array(
+            [((h := hash((r.vec_id, i))) % 1000 - 500) / 25000.0 for i in range(len(v))],
+            dtype="float32",
+        )
+        planted.append((int(r.vec_id) + 10000, (v + noise * np.abs(v).mean()).tolist()))
+    emb = spark.createDataFrame(planted, "vec_id long, embedding array<float>")
+
+    brute = {(r.a_id, r.b_id) for r in
+             similarity.cosine_pairs(emb, threshold=0.9).collect()}
+    fast = {(r.a_id, r.b_id) for r in
+            similarity.lsh_cosine_pairs(emb, threshold=0.9).collect()}
+    assert fast <= brute                      # no false positives (verified)
+    assert len(brute) >= 50                   # the plants really are near-dups
+    assert len(fast & brute) / len(brute) >= 0.9
