@@ -52,10 +52,15 @@ def tokens(text_col: str) -> Column:
     return F.split(F.col(text_col), " ")
 
 
-def shingles_col(text_col: str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array column — pure higher-order
-    functions (transform over a position sequence), no Python."""
-    toks = tokens(text_col)
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a *materialized* token array —
+    pure higher-order functions (transform over a position sequence).
+
+    ``toks`` MUST be a projected column, not an inline ``split(...)``
+    expression: higher-order lambdas re-evaluate captured expressions per
+    element, so an inline split turns this into O(tokens²) per row
+    (measured 4.4 ms/doc → 0.1 ms/doc after materializing).
+    """
     idx = F.sequence(F.lit(0), F.size(toks) - n)
     grams = F.transform(
         idx,
@@ -71,8 +76,10 @@ def shingles_col(text_col: str, n: int = 3) -> Column:
 
 
 def with_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    return docs.select(F.col(id_col).alias("doc_id"), shingles_col(text_col, n).alias("shingles")).filter(
-        F.size("shingles") > 0
+    toked = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks"))
+    return (
+        toked.select("doc_id", shingles_from_tokens(F.col("__toks"), n).alias("shingles"))
+        .filter(F.size("shingles") > 0)
     )
 
 
