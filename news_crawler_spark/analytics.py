@@ -170,6 +170,62 @@ WHERE n < median_n
 """
 
 
+def a5b_outage_days(spark, sf):
+    """A5 with the reference's EXACT threshold: flag days with activity
+    below 10% of the per-type median daily count
+    (process_historical_news.ipynb cell 10, outage_threshold_percent=0.10).
+    Densified over the full day range first, so zero-activity days — the
+    actual outage surface — are flagged too (a day absent from the raw
+    groupBy can never be below any threshold). On healthy synthetic data
+    this is correctly empty; tests/test_analytics_ops.py injects a gap and
+    asserts it is flagged."""
+    e = load(spark, sf, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    grid = (
+        e.agg(F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
+        .crossJoin(daily.select("event_type").distinct())
+    )
+    dense = grid.join(daily, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+    )
+    med = dense.groupBy("event_type").agg(
+        F.round(F.median("n"), 4).alias("median_n")
+    )
+    return (
+        dense.join(F.broadcast(med), "event_type")
+        .filter(F.col("n") < 0.10 * F.col("median_n"))
+        .select("event_type", "day", "n", "median_n")
+    )
+
+
+A5B_SQL = """
+WITH daily AS (
+  SELECT event_type, ts::DATE AS day, count(*) AS n FROM events GROUP BY 1, 2
+), grid AS (
+  SELECT t.event_type, d.day
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (
+    SELECT unnest(generate_series(min(ts)::DATE, max(ts)::DATE,
+                                  INTERVAL 1 DAY))::DATE AS day
+    FROM events
+  ) d
+), dense AS (
+  SELECT g.event_type, g.day, coalesce(daily.n, 0)::BIGINT AS n
+  FROM grid g LEFT JOIN daily
+    ON daily.event_type = g.event_type AND daily.day = g.day
+), med AS (
+  SELECT event_type, round(median(n)::DOUBLE, 4) AS median_n
+  FROM dense GROUP BY 1
+)
+SELECT dense.event_type, day, n, median_n
+FROM dense JOIN med ON dense.event_type = med.event_type
+WHERE n < 0.10 * median_n
+"""
+
+
 def a6_value_stats(spark, sf):
     """A6: numeric aggregate battery per key (running-counter analog)."""
     return (
@@ -319,9 +375,9 @@ def j8_json_props(spark, sf):
 
 J8_SQL = """
 SELECT event_type,
-       sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+       sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
        count(json_extract_string(props, '$.k')) AS n_with_k,
-       round(avg(json_extract_string(props, '$.k')::BIGINT), 4) AS avg_k
+       round(avg(json_extract_string(props, '$.k')::BIGINT)::DOUBLE, 4) AS avg_k
 FROM events GROUP BY 1
 """
 
@@ -432,6 +488,41 @@ LIMIT 5
 """
 
 
+V4_SOURCES = ("src3", "src7")
+V4_MIN_CHARS = 200
+
+
+def v4_filtered_topk(spark, sf):
+    """Payload-filtered vector search — the reference's real search shape
+    (search_news.py:83-88: every query filters by source and published
+    range against payload indexes, create_vector_db_index.py:77-98).
+    Payload = the documents table keyed by the same id; predicate =
+    source IN (...) AND n_chars >= threshold; filter applied BEFORE
+    scoring (plan-asserted in tests/test_plans.py)."""
+    emb = load(spark, sf, "embeddings")
+    payload = load(spark, sf, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source", "n_chars"
+    )
+    pred = F.col("source").isin(*V4_SOURCES) & (F.col("n_chars") >= V4_MIN_CHARS)
+    return similarity.payload_filtered_topk(
+        emb, payload, pred, QUERY_VEC_ID, k=10
+    )
+
+
+V4_SQL = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+SELECT e.vec_id, e.label,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 4) AS score
+FROM embeddings e
+JOIN documents d ON d.doc_id = e.vec_id, q
+WHERE e.vec_id <> {QUERY_VEC_ID}
+  AND d.source IN {V4_SOURCES}
+  AND d.n_chars >= {V4_MIN_CHARS}
+ORDER BY score DESC, e.vec_id
+LIMIT 10
+"""
+
+
 def v3_embedding_neardup(spark, sf):
     """Embedding-cosine near-duplicate pairs (exact tier)."""
     return similarity.cosine_pairs(
@@ -505,10 +596,49 @@ D3_SQL = _JACCARD_ORACLE
 
 
 def d4_simhash_pairs(spark, sf):
-    """SimHash banded near-dup candidates (hamming <= 8). No SQL oracle
-    (DuckDB lacks xxhash64); verified against the pure-Python twin in
-    tests/test_dedup.py — driver records the rows-only check."""
-    return dedup.simhash_pairs(load(spark, sf, "documents"), max_hamming=8)
+    """SimHash near-dup pairs (hamming <= 8), banded with complete recall
+    (9 bands ⇒ pigeonhole guarantees every ≤8-bit pair shares a chunk).
+    Token hashes are md5-derived so DuckDB can reproduce the sketch
+    bit-for-bit: the oracle recomputes SimHash per doc and takes exact
+    all-pairs hamming — banding must find exactly that set."""
+    return (
+        dedup.simhash_pairs(load(spark, sf, "documents"), max_hamming=8)
+        .withColumn("hamming", F.col("hamming").cast("int"))
+    )
+
+
+# DuckDB SimHash twin: per-token 64-bit hash = first 16 md5 hex chars,
+# split as two 32-bit words (hi = hex 1-8 → simhash bits 32..63, lo =
+# hex 9-16 → bits 0..31) to stay inside signed BIGINT; per-bit ±1 votes,
+# sign → bit; hamming = popcount(xor) summed over the two words.
+D4_SQL = """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+                        s -> ('0x' || substring(md5(s), 1, 8))::BIGINT) AS hi,
+         list_transform(string_split(text, ' '),
+                        s -> ('0x' || substring(md5(s), 9, 8))::BIGINT) AS lo
+  FROM documents
+),
+words AS MATERIALIZED (
+  SELECT doc_id,
+         list_sum([CASE WHEN list_sum(list_transform(hi,
+                     h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                   THEN (1::BIGINT << b) ELSE 0 END
+                   for b in generate_series(0, 31)])::BIGINT AS hi32,
+         list_sum([CASE WHEN list_sum(list_transform(lo,
+                     h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                   THEN (1::BIGINT << b) ELSE 0 END
+                   for b in generate_series(0, 31)])::BIGINT AS lo32
+  FROM toks
+)
+SELECT a_id, b_id, hamming FROM (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         (bit_count(xor(a.hi32, b.hi32)) + bit_count(xor(a.lo32, b.lo32)))::INT
+           AS hamming
+  FROM words a JOIN words b ON a.doc_id < b.doc_id
+) WHERE hamming <= 8
+"""
 
 
 # ===========================================================================
@@ -608,6 +738,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a3_freshness": a3_freshness,
     "a4_daily_pivot": a4_daily_pivot,
     "a5_below_median_days": a5_below_median_days,
+    "a5b_outage_days": a5b_outage_days,
     "a6_value_stats": a6_value_stats,
     "a7_retry_histogram": a7_retry_histogram,
     "j1_anti_join_unseen": j1_anti_join_unseen,
@@ -621,6 +752,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "v1_cosine_topk": v1_cosine_topk,
     "v2_ivf_probe": v2_ivf_probe,
     "v3_embedding_neardup": v3_embedding_neardup,
+    "v4_filtered_topk": v4_filtered_topk,
     "d1_exact_dedup": d1_exact_dedup,
     "d2_ngram_jaccard": d2_ngram_jaccard,
     "d3_minhash_lsh": d3_minhash_lsh,
@@ -637,6 +769,7 @@ ORACLES: dict[str, str] = {
     "a3_freshness": A3_SQL,
     "a4_daily_pivot": A4_SQL,
     "a5_below_median_days": A5_SQL,
+    "a5b_outage_days": A5B_SQL,
     "a6_value_stats": A6_SQL,
     "a7_retry_histogram": A7_SQL,
     "j1_anti_join_unseen": J1_SQL,
@@ -650,10 +783,11 @@ ORACLES: dict[str, str] = {
     "v1_cosine_topk": V1_SQL,
     "v2_ivf_probe": V2_SQL,
     "v3_embedding_neardup": V3_SQL,
+    "v4_filtered_topk": V4_SQL,
     "d1_exact_dedup": D1_SQL,
     "d2_ngram_jaccard": D2_SQL,
     "d3_minhash_lsh": D3_SQL,
-    # d4_simhash_pairs: no SQL oracle (needs xxhash64) — rows-only check
+    "d4_simhash_pairs": D4_SQL,
     "x1_lang_confusion": X1_SQL,
     "x2_quality_by_source": X2_SQL,
     "x3_token_stats": X3_SQL,

@@ -1,0 +1,164 @@
+"""Embed-status machine (SURVEY.md S11): drain pending documents into the
+vector store in resumable, per-source-batched rounds.
+
+Reference semantics: articles carry an embedding status; the historical
+embedding scheduler repeatedly claims a batch of pending articles per
+news source, embeds them, upserts vectors, and marks them completed —
+resume-safe because claiming and completion are separate DB states
+(news_historical_embedding_scheduler.py:50-259,
+database_manager.py:290-348 fetch_pending_news / mark_news_as_processed).
+
+Spark restatement on the same SnapshotCatalog commit protocol as the
+crawl engine (catalog.py): one committed round =
+
+  pending(r-1) ──two-phase salted top-k per source──▶ claimed batch
+        ──embed (mapInPandas, E1)──▶ vectors(r)   [append-only]
+        ──anti-join──▶ pending(r)                 [rewrite of the slice]
+
+Idempotence/resume: a crash between rounds leaves the last committed
+round authoritative; re-running ``step`` overwrites the uncommitted
+outputs. A doc leaves ``pending`` in exactly the round whose ``vectors``
+snapshot contains it, so "no doc embedded twice, none skipped" holds
+under kill/resume — pinned by tests/test_embed_scheduler.py.
+
+Scale shape: per-round I/O is O(|pending| + batch); vectors are
+append-only; the per-source batch pick uses the same salted two-phase
+top-k as the frontier pop (window parallelism = sources × salts, never
+just sources).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import SnapshotCatalog
+from .operators.embed import DEFAULT_DIM, embed_documents, embed_text_col
+
+STATUS_PENDING = "pending"
+STATUS_COMPLETED = "completed"
+
+
+@dataclass
+class EmbedRoundStats:
+    round_no: int
+    embedded: int
+    pending_left: int
+
+
+class EmbedScheduler:
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        dim: int = DEFAULT_DIM,
+        batch_per_source: int = 100,
+        salts: int = 16,
+    ):
+        self.spark = spark
+        self.catalog = SnapshotCatalog(spark, workdir)
+        self.dim = dim
+        self.batch_per_source = batch_per_source
+        self.salts = salts
+
+    # ------------------------------------------------------------------
+    def ingest(self, docs: DataFrame) -> None:
+        """Documents → embed round 0: project the embed text (P10), drop
+        empties (P8), status=pending. ``docs`` needs doc_id, source, and
+        title/summary columns (the engine's documents table shape)."""
+        pending = (
+            docs.select(
+                "doc_id",
+                "source",
+                embed_text_col().alias("embed_text"),
+            )
+            .filter(F.coalesce(F.trim("embed_text"), F.lit("")) != "")
+            .withColumn("status", F.lit(STATUS_PENDING))
+        )
+        self.catalog.write("embed_pending", 0, pending)
+        self.catalog.write(
+            "vectors",
+            0,
+            self.spark.createDataFrame(
+                [], "doc_id string, vector array<float>, dim int, source string"
+            ),
+        )
+        self.catalog.commit(0)
+
+    # ------------------------------------------------------------------
+    def _claim(self, pending: DataFrame) -> DataFrame:
+        """Per-source batch claim: deterministic top-k by doc_id within
+        each source (reference: fetch_pending_news LIMIT batch per
+        source). Two-phase salted window — identical output to a single
+        per-source window, salts× its parallelism."""
+        k = self.batch_per_source
+        salt = F.pmod(F.xxhash64("doc_id"), F.lit(self.salts))
+        w1 = Window.partitionBy("source", salt).orderBy("doc_id")
+        pruned = (
+            pending.withColumn("__rn1", F.row_number().over(w1))
+            .filter(F.col("__rn1") <= k)
+            .drop("__rn1")
+        )
+        w2 = Window.partitionBy("source").orderBy("doc_id")
+        return (
+            pruned.withColumn("__rn", F.row_number().over(w2))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+
+    def step(self, round_no: int) -> EmbedRoundStats:
+        prev = round_no - 1
+        pending = self.catalog.read("embed_pending", prev)
+        claimed = self._claim(pending).cache()
+        n_claimed = claimed.count()
+
+        vectors = embed_documents(
+            claimed, dim=self.dim, text_expr=F.col("embed_text")
+        ).join(claimed.select("doc_id", "source"), "doc_id")
+
+        next_pending = pending.join(
+            claimed.select("doc_id"), "doc_id", "left_anti"
+        )
+
+        self.catalog.write("vectors", round_no, vectors)
+        self.catalog.write("embed_pending", round_no, next_pending)
+        pending_left = self.catalog.read("embed_pending", round_no).count()
+        self.catalog.commit(round_no)
+        claimed.unpersist()
+        return EmbedRoundStats(round_no, n_claimed, pending_left)
+
+    def run(self, max_rounds: int = 1000) -> list[EmbedRoundStats]:
+        """Drain pending to empty from the last committed round — safe on
+        a fresh scheduler or a crashed workdir (resume)."""
+        self.catalog.drop_uncommitted()
+        start = self.catalog.latest_round()
+        if start is None:
+            raise RuntimeError("ingest() first — no committed round 0")
+        stats: list[EmbedRoundStats] = []
+        rnd = start + 1
+        while rnd <= start + max_rounds:
+            s = self.step(rnd)
+            stats.append(s)
+            if s.embedded == 0 or s.pending_left == 0:
+                break
+            rnd += 1
+        return stats
+
+    # ------------------------------------------------------------------
+    def vectors(self) -> DataFrame:
+        """All vectors embedded so far (append-only union)."""
+        return self.catalog.read_all("vectors")
+
+    def status(self) -> DataFrame:
+        """The document embed-status view: completed = has a vector,
+        pending = still in the latest pending slice."""
+        last = self.catalog.latest_round()
+        done = self.vectors().select(
+            "doc_id", F.lit(STATUS_COMPLETED).alias("status")
+        )
+        pend = self.catalog.read("embed_pending", last).select(
+            "doc_id", F.lit(STATUS_PENDING).alias("status")
+        )
+        return done.unionByName(pend)

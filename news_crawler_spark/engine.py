@@ -74,6 +74,9 @@ class CrawlEngine:
         )
         self.default_refill = default_refill
         self.max_retries = max_retries
+        # cached eligible-pending count, maintained by lineage arithmetic
+        # (eligible' = eligible - popped + re-pended); None = recount once
+        self._eligible_left: int | None = None
 
     # ------------------------------------------------------------------ ingest
     def ingest(self, seed: DataFrame) -> None:
@@ -110,6 +113,7 @@ class CrawlEngine:
         tokens = self.spark.createDataFrame([], "host string, tokens int")
         self.catalog.write("tokens", 0, tokens)
         self.catalog.commit(0)
+        self._eligible_left = None  # recount on first step
 
     def ingest_incremental(self, seed: DataFrame) -> int:
         """Fresh-pipeline ingest (ST2/ST3): a new seed batch becomes its own
@@ -158,6 +162,8 @@ class CrawlEngine:
         self.catalog.write("cursors", round_no, cursors)
         self.catalog.commit(round_no)
         new_rows.unpersist()
+        if self._eligible_left is not None:
+            self._eligible_left += n_new  # admitted rows are all eligible
         return n_new
 
     # ------------------------------------------------------------------ rounds
@@ -287,15 +293,31 @@ class CrawlEngine:
         # count job over the cached fetched lineage
         agg = (
             self.catalog.read("lineage", round_no)
-            .agg(F.sum("fetched_ok").alias("ok"))
+            .agg(
+                F.sum("fetched_ok").alias("ok"),
+                F.sum("fetched_fail").alias("fail"),
+                F.sum("marked_failed").alias("mf"),
+            )
             .collect()[0]
         )
         n_ok = int(agg.ok or 0)
-        pending_left = self.catalog.read("pending", round_no).filter(
-            (F.col("status") == schemas.STATUS_PENDING)
-            & (F.col("tried_count") < self.max_retries)
-        ).count()
+        n_fail = int(agg.fail or 0)
+        n_marked_failed = int(agg.mf or 0)
+        # pending_left by lineage arithmetic — NOT a rescan of the written
+        # pending slice (at 10^10 rows that second scan per round is real
+        # I/O): every popped row leaves the eligible set, and the failed-
+        # but-retryable ones re-enter it. The baseline is counted once per
+        # engine lifetime (fresh start or resume), then carried.
+        if self._eligible_left is None:
+            self._eligible_left = pending.filter(
+                (F.col("status") == schemas.STATUS_PENDING)
+                & (F.col("tried_count") < self.max_retries)
+            ).count()
+        pending_left = self._eligible_left - n_popped + (n_fail - n_marked_failed)
         self.catalog.commit(round_no)
+        # cache update only after the commit: a failed commit + step retry
+        # would otherwise apply the recurrence twice
+        self._eligible_left = pending_left
         popped.unpersist()
         fetched.unpersist()
         return RoundStats(round_no, n_popped, n_ok, n_popped - n_ok, pending_left)

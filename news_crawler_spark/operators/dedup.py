@@ -83,6 +83,25 @@ def with_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     )
 
 
+def with_hashed_shingles(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(doc_id, sh: array<long>) — shingles as 64-bit xxhash64 values.
+
+    Everything downstream (inverted index, MinHash signatures, verify
+    intersections) operates on the hashes, never the strings: an 8-byte
+    long vs a ~25-byte shingle string is a 3-5× smaller shuffle and a
+    cheaper sort/intersect, and Jaccard over hashed sets equals Jaccard
+    over the strings up to 64-bit collisions (p ≈ m²/2⁶⁴ per doc pair —
+    vanishing; the sf0.01 DuckDB string-side oracle would catch any).
+    """
+    sh = with_shingles(docs, text_col, id_col, n)
+    return sh.select(
+        "doc_id",
+        F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s))).alias("sh"),
+    )
+
+
 # --------------------------------------------------------------------------
 # exact n-gram Jaccard (inverted-index self-join)
 
@@ -92,18 +111,25 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.6,
-    df_cap: int | None = None,
+    df_cap: int | None = 100_000,
 ) -> DataFrame:
     """All pairs (a<b) with Jaccard(shingle sets) >= threshold.
 
-    Inverted index: explode shingles, self-join on the shingle, count
-    common shingles per pair, then jaccard = common / (|A|+|B|-common).
-    ``df_cap`` drops shingles whose document frequency exceeds the cap
-    (stop-shingle skew guard for web-scale corpora; None = exact).
+    Inverted index over HASHED shingles (longs, not strings): explode,
+    self-join on the hash, count common per pair, then jaccard =
+    common / (|A|+|B|-common).
+
+    ``df_cap`` drops shingles whose document frequency exceeds the cap —
+    the stop-shingle skew guard: ONE shingle shared by k docs creates
+    k²/2 join rows, so a boilerplate phrase in 10⁶ docs is 5·10¹¹ rows
+    from a single hot key. Default 100k: a no-op below 100k docs (any
+    corpus this oracle tier should see) and a hard ceiling above. Pass
+    None only when provably exact output on a skewless corpus matters
+    more than not melting the shuffle.
     """
-    sh = with_shingles(docs, text_col, id_col, n)
-    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
-    inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    sh = with_hashed_shingles(docs, text_col, id_col, n)
+    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
+    inv = sh.select("doc_id", F.explode("sh").alias("shingle"))
     if df_cap is not None:
         freq = inv.groupBy("shingle").agg(F.count("*").alias("df"))
         inv = inv.join(freq.filter(F.col("df") <= df_cap), "shingle", "left_semi")
@@ -133,13 +159,17 @@ def _hash_with_index(value: Column, i: Column) -> Column:
     return F.xxhash64(i.cast("long"), value)
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 128) -> Column:
-    """Array of ``num_hashes`` min-hashes — all JVM-side higher-order
-    functions: for each i, min over shingles of xxhash64(i, shingle)."""
+def minhash_signature(shingle_hashes: Column, num_hashes: int = 128) -> Column:
+    """Array of ``num_hashes`` min-hashes over HASHED shingles — all
+    JVM-side higher-order functions: for each i, min over shingles of
+    xxhash64(i, shingle_hash). Re-hashing an 8-byte long per (i, shingle)
+    instead of the full shingle string cuts the signature cost from
+    O(hashes·shingles·strlen) to O(hashes·shingles·8B) — the signature
+    build was the measured bulk of d3's runtime."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda i: F.array_min(
-            F.transform(shingles, lambda s: _hash_with_index(s, i))
+            F.transform(shingle_hashes, lambda h: _hash_with_index(h, i))
         ),
     )
 
@@ -151,11 +181,11 @@ def with_minhash(
     n: int = 3,
     num_hashes: int = 128,
 ) -> DataFrame:
-    sh = with_shingles(docs, text_col, id_col, n)
+    sh = with_hashed_shingles(docs, text_col, id_col, n)
     return sh.select(
         "doc_id",
-        "shingles",
-        minhash_signature(F.col("shingles"), num_hashes).alias("sig"),
+        "sh",
+        minhash_signature(F.col("sh"), num_hashes).alias("sig"),
     )
 
 
@@ -174,10 +204,16 @@ def minhash_lsh_pairs(
     recall for a pair at jaccard j is 1-(1-j^r)^b — at r=2,b=64 a 0.6-pair
     is missed with p≈4e-13, so the verified output matches the exact
     ``ngram_jaccard_pairs`` oracle. The candidate join shuffles
-    O(n·bands) band-bucket rows, never O(n²).
+    O(n·bands) band-bucket rows, never O(n²); the verify join ships
+    hashed shingle arrays (8 B/shingle), not the strings.
     """
+    from pyspark import StorageLevel
+
     bands = num_hashes // rows_per_band
-    mh = with_minhash(docs, text_col, id_col, n, num_hashes).cache()
+    # explicit spill-safe persist (computed once, read by banding + verify)
+    mh = with_minhash(docs, text_col, id_col, n, num_hashes).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     band_col = F.explode(
         F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -200,10 +236,10 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
         .distinct()
     )
-    sets = mh.select("doc_id", "shingles")
+    sets = mh.select("doc_id", "sh")
     verified = (
-        cand.join(sets.withColumnRenamed("doc_id", "a_id").withColumnRenamed("shingles", "sh_a"), "a_id")
-        .join(sets.withColumnRenamed("doc_id", "b_id").withColumnRenamed("shingles", "sh_b"), "b_id")
+        cand.join(sets.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sh", "sh_a"), "a_id")
+        .join(sets.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sh", "sh_b"), "b_id")
         .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
@@ -218,17 +254,32 @@ def minhash_lsh_pairs(
 # --------------------------------------------------------------------------
 # SimHash
 
-def simhash64(text_col: str) -> Column:
+def md5_hash64(value: Column) -> Column:
+    """64-bit token hash from the first 16 hex chars of md5 — chosen so a
+    DuckDB oracle can reproduce it exactly (DuckDB lacks xxhash64 but has
+    md5): hi/lo 32-bit halves parsed from hex, packed into one signed
+    long (Java shiftleft wraps bit 63 into the sign, deterministically)."""
+    hx = F.md5(value)
+    hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
+def simhash64(text_col: str, token_hash: str = "md5") -> Column:
     """64-bit SimHash of the whitespace tokens — pure expressions:
-    per-token xxhash64, per-bit ±1 vote aggregated with a fold over a
-    64-long counter array, sign → bit. No Python, no explode."""
+    per-token hash, per-bit ±1 vote aggregated with a fold over a
+    64-long counter array, sign → bit. No Python, no explode.
+
+    ``token_hash``: "md5" (default — oracle-able in DuckDB, see
+    analytics.D4_SQL) or "xxhash64" (faster; pure-Python twin in
+    tests/test_pipeline_ops.py)."""
     toks = tokens(text_col)
     zero = F.array_repeat(F.lit(0).cast("long"), 64)
 
     def bit_votes(t):
         # shiftright needs a literal bit count → unroll the 64 bits in
         # Python; the generated expression stays fully JVM-side.
-        h = F.xxhash64(t)
+        h = md5_hash64(t) if token_hash == "md5" else F.xxhash64(t)
         return F.array(
             *[
                 F.when(
@@ -256,8 +307,15 @@ def simhash64(text_col: str) -> Column:
     )
 
 
-def with_simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    return docs.select(F.col(id_col).alias("doc_id"), simhash64(text_col).alias("simhash"))
+def with_simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_hash: str = "md5",
+) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"), simhash64(text_col, token_hash).alias("simhash")
+    )
 
 
 def simhash_pairs(
@@ -265,15 +323,27 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 8,
-    n_bands: int = 4,
+    n_bands: int | None = None,
+    token_hash: str = "md5",
 ) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) <= max_hamming, found via the
-    classic banded trick: split 64 bits into ``n_bands`` chunks; any pair
-    within hamming (n_bands-1)·chunk errors shares ≥1 exact chunk (with
-    n_bands=4, chunk=16: guaranteed complete for hamming ≤ 3; probabilistic
-    above — verify step is exact bit_count so no false positives)."""
-    sh = with_simhash(docs, text_col, id_col).cache()
-    chunk = 64 // n_bands
+    """ALL pairs with hamming(simhash) <= max_hamming, found via the
+    classic banded pigeonhole: split 64 bits into ``n_bands`` chunks; a
+    pair differing in at most ``n_bands - 1`` bits must share ≥1 exact
+    chunk. Default ``n_bands = max_hamming + 1`` — guaranteed-complete
+    recall at the named radius (the verify step is exact bit_count, so no
+    false positives either; output == the all-pairs oracle).
+
+    Scale note: complete recall at hamming 8 needs 9 bands of ~7 bits —
+    128 bucket values per band, so candidate volume grows ~n²/128 per
+    band on dissimilar corpora. At 10^9+ docs either widen the sketch
+    (128-bit SimHash → 16-bit chunks) or pass an explicit smaller
+    ``n_bands`` and accept probabilistic recall above ``n_bands - 1``.
+    """
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    sh = with_simhash(docs, text_col, id_col, token_hash).persist()
+    # uneven chunk split: chunk b covers bits [bounds[b], bounds[b+1])
+    bounds = [b * 64 // n_bands for b in range(n_bands + 1)]
     banded = sh.select(
         "doc_id",
         "simhash",
@@ -282,8 +352,10 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright(F.col("simhash"), b * chunk)
-                        .bitwiseAND(F.lit((1 << chunk) - 1).cast("long"))
+                        F.shiftright(F.col("simhash"), bounds[b])
+                        .bitwiseAND(
+                            F.lit((1 << (bounds[b + 1] - bounds[b])) - 1).cast("long")
+                        )
                         .alias("chunk"),
                     )
                     for b in range(n_bands)

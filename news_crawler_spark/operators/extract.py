@@ -25,8 +25,55 @@ from pyspark.sql import functions as F
 
 from .. import schemas
 
-_BLOCK_RE = re.compile(r"<p>(.*?)</p>|<img src=\"(.*?)\">", re.S)
-_TITLE_RE = re.compile(r"<title>(.*?)</title>", re.S)
+# F12: per-source selector configs — the Spark restatement of the
+# reference's five hand-written parser families
+# (collectors/isna/page_parser.py:12-182 vs
+# collectors/shargh/pages_collector.py:191-355 and peers). Instead of one
+# class per source, ONE data-driven config per markup dialect: a combined
+# block regex (group 1 = text, group 2 = image ref, matched in document
+# order) and a title regex. The dict is tiny and is shipped to executors
+# inside the serialized task closure — the same mechanism as an explicit
+# ``sc.broadcast`` of a collected config-dim table, which is where these
+# rows would come from in production (``selector_config_df`` below is
+# that dim's schema).
+SELECTOR_CONFIGS = {
+    "classic": {
+        "block": r"<p>(.*?)</p>|<img src=\"(.*?)\">",
+        "title": r"<title>(.*?)</title>",
+    },
+    "divs": {
+        "block": r"<div class=\"item-text\">(.*?)</div>|<figure data-src=\"(.*?)\"></figure>",
+        "title": r"<h1 class=\"title\">(.*?)</h1>",
+    },
+    "spans": {
+        "block": r"<span class=\"body-text\">(.*?)</span>|<img data-original=\"(.*?)\">",
+        "title": r"<meta name=\"title\" content=\"(.*?)\">",
+    },
+}
+# source → dialect (mirrors synth.SOURCE_DIALECT; unknown sources fall
+# back to the classic dialect like the reference's generic parser)
+SOURCE_DIALECT = {
+    "isna": "classic", "irna": "classic",
+    "tasnim": "divs", "donya": "divs",
+    "shargh": "spans",
+}
+
+_COMPILED = {
+    d: (re.compile(cfg["block"], re.S), re.compile(cfg["title"], re.S))
+    for d, cfg in SELECTOR_CONFIGS.items()
+}
+
+
+def selector_config_df(spark) -> DataFrame:
+    """The selector-config dim as a DataFrame (broadcast-joinable surface:
+    one row per source with its dialect + regexes), for catalogs/audit."""
+    rows = [
+        {"source": s, "dialect": d, **SELECTOR_CONFIGS[d]}
+        for s, d in SOURCE_DIALECT.items()
+    ]
+    return spark.createDataFrame(
+        rows, "source string, dialect string, block string, title string"
+    )
 
 EXTRACTED_SCHEMA = (
     "doc_id string, url string, source string, host string, "
@@ -36,10 +83,12 @@ EXTRACTED_SCHEMA = (
 )
 
 
-def parse_spans(payload: str) -> list[dict]:
-    """Engine-side parser: regex scan of the mini-markup in document order."""
+def parse_spans(payload: str, source: str = "isna") -> list[dict]:
+    """Engine-side parser: regex scan of the source's markup dialect in
+    document order (F12 — selector set picked per source)."""
+    block_re, _ = _COMPILED[SOURCE_DIALECT.get(source, "classic")]
     spans: list[dict] = []
-    for off, m in enumerate(_BLOCK_RE.finditer(payload)):
+    for off, m in enumerate(block_re.finditer(payload)):
         text, img = m.group(1), m.group(2)
         if img is not None:
             spans.append({"kind": "image", "text": None, "media_ref": img, "offset": off})
@@ -48,11 +97,13 @@ def parse_spans(payload: str) -> list[dict]:
     return spans
 
 
-def doc_fields(payload: str) -> tuple:
+def doc_fields(payload: str, source: str = "isna") -> tuple:
     """(title, summary, keywords, spans) from a page payload — the shared
-    kernel of both extract paths (standalone + fused fetch_extract)."""
-    spans = parse_spans(payload)
-    tm = _TITLE_RE.search(payload)
+    kernel of both extract paths (standalone + fused fetch_extract).
+    ``source`` selects the markup dialect's selector config (F12)."""
+    spans = parse_spans(payload, source)
+    _, title_re = _COMPILED[SOURCE_DIALECT.get(source, "classic")]
+    tm = title_re.search(payload)
     texts = [s["text"] for s in spans if s["kind"] == "text"]
     # keywords: first word of each paragraph, len<50, cap 10 (F14)
     kws = [t.split(" ", 1)[0] for t in texts if t][:10]
@@ -70,7 +121,7 @@ def extract_documents(fetched: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                title, summary, kws, spans = doc_fields(r.payload)
+                title, summary, kws, spans = doc_fields(r.payload, r.source)
                 rows.append(
                     {
                         "doc_id": format(r.url_hash & 0xFFFFFFFFFFFFFFFF, "016x"),

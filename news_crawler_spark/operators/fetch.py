@@ -135,11 +135,11 @@ def fetch_extract_pages(
             pdf["ok"] = oks
             pdf["fetch_ms"] = urls.map(synth.page_fetch_ms).astype("int32")
             docs = []
-            for u, ok in zip(urls, oks):
+            for u, ok, src in zip(urls, oks, pdf["source"]):
                 if not ok:
                     docs.append(None)
                     continue
-                t, s, k, sp = doc_fields(synth.page_payload(u))
+                t, s, k, sp = doc_fields(synth.page_payload(u), src)
                 docs.append(
                     json.dumps(
                         {"title": t, "summary": s, "keywords": k, "spans": sp},

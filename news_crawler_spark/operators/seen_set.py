@@ -41,9 +41,19 @@ def dedup_first_wins(
     survivor per key per partition, where a window would shuffle and sort
     every duplicate. At web-scale batch ratios (~20% dups) that's the
     difference between shuffling 10^10 and ~8·10^9 rows — and no sort.
+
+    NULL semantics: struct comparison sorts a NULL field FIRST, which
+    would let a null discovery_time beat every real timestamp — the
+    opposite of the window's ``asc_nulls_last``. Each order key is
+    therefore prefixed with its is-null flag (false < true), so NULLs
+    lose ties exactly like ``asc_nulls_last``.
     """
     cols = batch.columns
-    pick = F.min_by(F.struct(*cols), F.struct(*order)).alias("__r")
+    order_keys = []
+    for c in order:
+        order_keys.append(F.col(c).isNull())
+        order_keys.append(F.col(c))
+    pick = F.min_by(F.struct(*cols), F.struct(*order_keys)).alias("__r")
     return batch.groupBy(key).agg(pick).select("__r.*")
 
 

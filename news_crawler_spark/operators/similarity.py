@@ -93,6 +93,42 @@ def ivf_probe_topk(
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
 
 
+def payload_filtered_topk(
+    embeddings: DataFrame,
+    payload: DataFrame,
+    predicate: Column,
+    query_vec_id: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Payload-filtered cosine top-k — the reference's filtered Qdrant
+    search (search_news.py:83-88 filters by source/keywords/published
+    timestamp against the payload indexes built in
+    create_vector_db_index.py:77-98).
+
+    ``payload`` carries one row per vector id with the filterable
+    attributes (id_col must match). The predicate is applied to the
+    payload BEFORE anything touches a vector: Catalyst pushes it into the
+    payload scan, the surviving ids semi-join the vector table (at scale
+    both sides are bucketed by id, so this is a co-located join), and
+    only the filtered slice is scored. The plan ends in
+    TakeOrderedAndProject(k) — no global sort, no post-scoring filter.
+    """
+    q = embeddings.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("__qvec")
+    )
+    keep_ids = payload.filter(predicate).select(id_col)
+    scored = (
+        embeddings.filter(F.col(id_col) != query_vec_id)
+        .join(keep_ids, id_col, "left_semi")
+        .join(F.broadcast(q))
+        .withColumn("score", F.round(cosine(F.col(vec_col), F.col("__qvec")), 4))
+        .drop("__qvec", vec_col)
+    )
+    return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+
+
 def ivf_assign(
     embeddings: DataFrame,
     n_cells: int = 16,
@@ -213,6 +249,8 @@ def lsh_cosine_pairs(
     p = 1-acos(c)/π — probabilistic, so this op is *rows-only* for the
     driver gate; tests/test_pipeline_ops.py pins recall vs the exact op.
     """
+    from pyspark import StorageLevel
+
     sketched = embeddings.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
@@ -220,7 +258,7 @@ def lsh_cosine_pairs(
             _sign_lsh_bits(F.col(vec_col), bits_per_table, f"t{t}").alias(f"b{t}")
             for t in range(n_tables)
         ],
-    ).cache()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     buckets = sketched.select(
         "vid",
         F.explode(

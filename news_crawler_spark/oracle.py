@@ -33,17 +33,36 @@ from .schemas import MAX_RETRIES, STATUS_COMPLETED, STATUS_FAILED, STATUS_PENDIN
 # ---------------------------------------------------------------------------
 # independent span extractor (line-based, vs the engine's regex scanner)
 
-def extract_spans_oracle(payload: str) -> list[tuple]:
-    """payload → [(kind, text, media_ref, offset)] parsed line-by-line."""
+# per-dialect line prefixes/suffixes (F12) — independent of the engine's
+# SELECTOR_CONFIGS regexes: this parser slices fixed affixes per line.
+_DIALECT_AFFIXES = {
+    "classic": {"text": ("<p>", "</p>"), "image": ('<img src="', '">')},
+    "divs": {
+        "text": ('<div class="item-text">', "</div>"),
+        "image": ('<figure data-src="', '"></figure>'),
+    },
+    "spans": {
+        "text": ('<span class="body-text">', "</span>"),
+        "image": ('<img data-original="', '">'),
+    },
+}
+
+
+def extract_spans_oracle(payload: str, source: str = "isna") -> list[tuple]:
+    """payload → [(kind, text, media_ref, offset)] parsed line-by-line
+    with the source dialect's affixes (engine uses regexes — F12)."""
+    aff = _DIALECT_AFFIXES[synth.SOURCE_DIALECT.get(source, "classic")]
     spans = []
     off = 0
     for line in payload.split("\n"):
         line = line.strip()
-        if line.startswith("<p>") and line.endswith("</p>"):
-            spans.append(("text", line[3:-4], None, off))
+        tp, ts = aff["text"]
+        ip, isuf = aff["image"]
+        if line.startswith(tp) and line.endswith(ts):
+            spans.append(("text", line[len(tp):-len(ts)], None, off))
             off += 1
-        elif line.startswith('<img src="') and line.endswith('">'):
-            spans.append(("image", None, line[10:-2], off))
+        elif line.startswith(ip) and line.endswith(isuf):
+            spans.append(("image", None, line[len(ip):-len(isuf)], off))
             off += 1
     return spans
 
@@ -165,7 +184,9 @@ def crawl(
                     doc_id = format(e.url_hash & 0xFFFFFFFFFFFFFFFF, "016x")
                     docs.append(
                         (doc_id, e.canonical_url,
-                         extract_spans_oracle(synth.page_payload(e.canonical_url)))
+                         extract_spans_oracle(
+                             synth.page_payload(e.canonical_url), e.source
+                         ))
                     )
                     n_ok += 1
                 else:

@@ -23,7 +23,7 @@ from datetime import date, datetime, time, timedelta
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import synth
@@ -31,8 +31,16 @@ from .functions.xxh64 import xxh64_str
 
 FEED_PAGES_SCHEMA = (
     "source string, feed_kind string, day date, page_idx int, "
-    "items array<struct<url:string,published_ts:timestamp>>"
+    "items array<struct<url:string,published_ts:timestamp,pub_raw:string>>"
 )
+
+# F5: raw date-string transports, per feed kind. RSS pubDate arrives as
+# RFC-822 (collectors/irna/fresh_links_collector.py:73-77); sitemap
+# lastmod as ISO-8601 (donyaye_eghtesad/daily_links_collector.py:77,105).
+# Archive pages carry Persian datetimes, parsed upstream (functions/
+# persian.py) into typed timestamps.
+_RFC822_KINDS = ("rss",)
+_ISO_KINDS = ("sitemap", "sitemap_index", "sitemap_b64")
 
 _FEED_KIND = {"isna": "archive", "irna": "rss", "tasnim": "sitemap",
               "donya": "sitemap_index", "shargh": "sitemap_b64"}
@@ -70,7 +78,22 @@ def feed_page_items(source: str, day: date, page_idx: int) -> list[dict]:
             ts = datetime.combine(day, time(0, 0)) + timedelta(
                 seconds=int(h % 86400)
             )
-        items.append({"url": url, "published_ts": ts})
+        # F5: RSS/sitemap transports carry the date as a STRING only —
+        # the typed timestamp must come from parsing it (collect_links);
+        # archive items are born typed (Persian datetime path).
+        fk = _FEED_KIND[source]
+        if fk in _RFC822_KINDS:
+            items.append({
+                "url": url, "published_ts": None,
+                "pub_raw": ts.strftime("%a, %d %b %Y %H:%M:%S +0000"),
+            })
+        elif fk in _ISO_KINDS:
+            items.append({
+                "url": url, "published_ts": None,
+                "pub_raw": ts.strftime("%Y-%m-%dT%H:%M:%S+00:00"),
+            })
+        else:
+            items.append({"url": url, "published_ts": ts, "pub_raw": None})
     return items
 
 
@@ -109,26 +132,55 @@ def synth_feed_pages(
     return rng.mapInPandas(gen, schema=FEED_PAGES_SCHEMA)
 
 
+def parse_pub_date(feed_kind: Column | str, pub_raw: Column | str) -> Column:
+    """F5: typed timestamp from the transport's raw date string.
+
+    RSS pubDate is RFC-822 ("Mon, 03 Jun 2024 14:22:05 +0000",
+    collectors/irna/fresh_links_collector.py:73-77); sitemap lastmod is
+    ISO-8601 ("2024-06-03T14:22:05+00:00",
+    donyaye_eghtesad/daily_links_collector.py:77,105). Spark's pattern
+    letter 'E' is format-only, so the RFC-822 weekday prefix is stripped
+    before ``to_timestamp`` — exactly what feedparser does with it
+    (ignores it; the date fields are authoritative). Unparseable strings
+    → NULL → dropped by the day-window filter, never a job abort:
+    ``try_to_timestamp``, because ANSI ``to_timestamp`` aborts the whole
+    job on one malformed feed entry — at web scale there is always one.
+    """
+    kind = F.col(feed_kind) if isinstance(feed_kind, str) else feed_kind
+    raw = F.col(pub_raw) if isinstance(pub_raw, str) else pub_raw
+    rfc822 = F.try_to_timestamp(
+        F.regexp_replace(raw, r"^[A-Za-z]{3},\s*", ""),
+        F.lit("dd MMM yyyy HH:mm:ss Z"),
+    )
+    iso = F.try_to_timestamp(raw, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX"))
+    return F.when(kind.isin(*_RFC822_KINDS), rfc822).otherwise(iso)
+
+
 def collect_links(feed_pages: DataFrame) -> DataFrame:
     """S1-S6 link collection as one declarative pass.
 
-    explode(items) → keep same-day articles only (P4+P5: ``to_date(ts) ==
-    page day`` subsumes both the day-window and the future-date skip) →
-    drop URLs without a digit (P6, shargh/historical_links_collector.py:
-    133-136) → newest-first (T2). One scan, no python.
+    explode(items) → type the publish date (born-typed for archive kinds,
+    string-parsed RFC-822/ISO for RSS/sitemap kinds — F5) → keep same-day
+    articles only (P4+P5: ``to_date(ts) == page day`` subsumes both the
+    day-window and the future-date skip) → drop URLs without a digit (P6,
+    shargh/historical_links_collector.py:133-136) → newest-first (T2).
+    One scan, no python.
     """
     it = F.explode("items").alias("it")
     return (
-        feed_pages.select("source", "day", it)
+        feed_pages.select("source", "feed_kind", "day", it)
         .select(
             "source",
             "day",
             F.col("it.url").alias("url"),
-            F.col("it.published_ts").alias("published_ts"),
+            F.coalesce(
+                F.col("it.published_ts"),
+                parse_pub_date(F.col("feed_kind"), F.col("it.pub_raw")),
+            ).alias("published_ts"),
         )
         .filter(F.to_date("published_ts") == F.col("day"))     # P4 + P5
         .filter(F.col("url").rlike("[0-9]"))                    # P6
-        .orderBy(F.desc("published_ts"), "url")                 # T2
+        .orderBy(F.desc("published_ts"), F.desc("url"))         # T2
     )
 
 
@@ -140,9 +192,18 @@ def cursor_cut(links: DataFrame, cursors: DataFrame) -> DataFrame:
 
     ``cursors`` is small (one row per source: source, last_url) →
     broadcast. Links whose source has no cursor pass through whole.
-    Total order (published_ts desc, url) makes the cut deterministic.
+
+    Feed order is (published_ts DESC, url DESC) — ONE tie-break direction
+    everywhere: "newer" means the tuple (published_ts, url) is strictly
+    greater, which is exactly what ``latest_cursors`` maximizes and what
+    ``streaming.cursor_cut_stream`` keeps. A late link that ties the
+    cursor's timestamp is kept iff its url sorts above the cursor url —
+    identical in batch and streaming, so no permanent drops from
+    batch/stream disagreement.
     """
-    w = Window.partitionBy("source").orderBy(F.desc("published_ts"), "url")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("published_ts"), F.desc("url")
+    )
     ranked = links.withColumn("__rn", F.row_number().over(w))
     cur = ranked.join(
         F.broadcast(cursors.select("source", "last_url")), "source", "left"

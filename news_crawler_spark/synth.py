@@ -160,21 +160,64 @@ def page_ok(canonical_url: str) -> bool:
     return _u(xxh64_str(f"page:{canonical_url}")) % 20 != 0
 
 
+# Per-source markup dialects (F12): the reference ships five hand-written
+# per-source parser families (collectors/isna/page_parser.py:12-182,
+# collectors/shargh/pages_collector.py:191-355 and peers) because each
+# site wraps the same logical content in different markup. The synthetic
+# twin reproduces that: same content (title words, paragraph words, image
+# refs — all hash-derived), three wrapper dialects keyed by source.
+_HOST_SRC = {h: s for s, h, _w in SOURCES}
+SOURCE_DIALECT = {
+    "isna": "classic", "irna": "classic",          # <title>/<p>/<img src>
+    "tasnim": "divs", "donya": "divs",             # <h1>/<div class>/<figure>
+    "shargh": "spans",                             # <meta>/<span class>/<img data-original>
+}
+
+_DIALECT_WRAP = {
+    "classic": {
+        "title": "<title>{0}</title>",
+        "text": "<p>{0}</p>",
+        "image": '<img src="{0}">',
+    },
+    "divs": {
+        "title": '<h1 class="title">{0}</h1>',
+        "text": '<div class="item-text">{0}</div>',
+        "image": '<figure data-src="{0}"></figure>',
+    },
+    "spans": {
+        "title": '<meta name="title" content="{0}">',
+        "text": '<span class="body-text">{0}</span>',
+        "image": '<img data-original="{0}">',
+    },
+}
+
+
+def source_of_url(canonical_url: str) -> str:
+    """source name from the URL's host (dialect lookup key)."""
+    host = canonical_url.split("://", 1)[-1].split("/", 1)[0].split(":", 1)[0]
+    return _HOST_SRC.get(host.lower(), "isna")
+
+
 def page_payload(canonical_url: str) -> str:
-    """Deterministic mini-markup: title + interleaved <p>/<img> blocks."""
+    """Deterministic mini-markup: title + interleaved text/image blocks,
+    wrapped in the source's markup dialect. Content is dialect-invariant
+    (pure function of the URL hash), so span-sequence equality across the
+    engine parser / oracle parser / any dialect holds on (kind, text,
+    media_ref, offset)."""
+    wrap = _DIALECT_WRAP[SOURCE_DIALECT[source_of_url(canonical_url)]]
     h = _u(xxh64_str(f"page:{canonical_url}"))
     n_blocks = 3 + h % 6
-    parts = [f"<title>{_slug(h % 100000)} {h % 997}</title>"]
+    parts = [wrap["title"].format(f"{_slug(h % 100000)} {h % 997}")]
     for b in range(n_blocks):
         hb = _u(xxh64_str(f"span:{canonical_url}:{b}"))
         if hb % 4 == 0:
-            parts.append(f'<img src="img://{hb % 1000000}.jpg">')
+            parts.append(wrap["image"].format(f"img://{hb % 1000000}.jpg"))
         else:
             words = " ".join(
                 _WORDS[_u(xxh64_str(f"pw:{canonical_url}:{b}:{k}")) % len(_WORDS)]
                 for k in range(4 + hb % 12)
             )
-            parts.append(f"<p>{words}</p>")
+            parts.append(wrap["text"].format(words))
     return "\n".join(parts)
 
 

@@ -162,3 +162,23 @@ def test_incremental_ingest_dedups(spark, engine_run):
         eng.robots,
     ).count()
     assert left == 0
+
+
+def test_first_wins_dedup_nulls_lose(spark):
+    """A NULL discovery_time must LOSE first-wins dedup (asc_nulls_last),
+    not win via struct comparison's nulls-first field ordering."""
+    from datetime import datetime
+
+    from news_crawler_spark.operators.seen_set import dedup_first_wins
+
+    batch = spark.createDataFrame(
+        [
+            (1, "https://h/a", "https://h/a", None),
+            (1, "https://h/a", "https://h/a", datetime(2024, 6, 1)),
+            (2, "https://h/b", "https://h/b", None),
+        ],
+        "url_hash long, canonical_url string, url string, discovery_time timestamp",
+    )
+    got = {r.url_hash: r.discovery_time for r in dedup_first_wins(batch).collect()}
+    assert got[1] == datetime(2024, 6, 1)   # real timestamp beats NULL
+    assert got[2] is None                    # all-NULL group still survives

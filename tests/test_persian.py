@@ -90,3 +90,54 @@ def test_archive_url_and_sitemap_key(spark):
     import base64, json
     decoded = json.loads(base64.b64decode(r.k))
     assert decoded == {"model": "news", "date": "1403-01-02"}
+
+
+# ---------------------------------------------------------------------------
+# F3 known-hard: the reference ALSO ships an APPROXIMATE Jalali converter
+# (utils/shamsi_converter.py:122-155) used by its TGJU/price path, which
+# disagrees with the exact algorithm on most dates. Test-only twin below
+# reproduces it bit-for-bit (including the min(day, 28) clamp and the
+# dead gregorian_day variable); the fixture pins a divergence table so
+# nobody "fixes" the engine to match the wrong one. The engine itself
+# (functions/persian.py) stays on the exact 33-year-cycle algorithm.
+
+def approx_shamsi_to_gregorian_twin(jy: int, jm: int, jd: int):
+    """Bit-exact twin of shamsi_converter.shamsi_to_gregorian:122-155."""
+    from datetime import date
+
+    if jy < 100:
+        jy += 1400 if jy < 50 else 1300
+    gy = jy + 621
+    if jm <= 6:
+        gm = jm + 3
+    else:
+        gm = jm - 6
+        gy += 1
+    if gm > 12:
+        gm -= 12
+        gy += 1
+    return date(gy, gm, min(jd, 28))
+
+
+def test_approximate_jalali_divergence_pinned():
+    """Pinned divergence set: (jalali input, exact result, approx result).
+    The approximate path is wrong by days-to-weeks on ordinary dates; the
+    engine must keep producing the EXACT column."""
+    from datetime import date
+
+    from news_crawler_spark.functions.persian import jalali_to_gregorian
+
+    cases = [
+        # (jy, jm, jd) -> exact, approx
+        ((1403, 1, 1), date(2024, 3, 20), date(2024, 4, 1)),
+        ((1403, 7, 1), date(2024, 9, 22), date(2025, 1, 1)),
+        ((1402, 12, 29), date(2024, 3, 19), date(2024, 6, 28)),
+        ((1403, 6, 31), date(2024, 9, 21), date(2024, 9, 28)),
+        ((1400, 10, 11), date(2022, 1, 1), date(2022, 4, 11)),
+        # short-year heuristic: 04 → 1404
+        ((4, 1, 1), date(2025, 3, 21), date(2025, 4, 1)),
+    ]
+    for (jy, jm, jd), exact_want, approx_want in cases:
+        assert date(*jalali_to_gregorian(jy if jy >= 100 else jy + 1400, jm, jd)) == exact_want
+        assert approx_shamsi_to_gregorian_twin(jy, jm, jd) == approx_want
+        assert exact_want != approx_want  # they genuinely diverge here

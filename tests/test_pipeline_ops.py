@@ -30,9 +30,16 @@ def _signed(u):
 
 
 def py_hash_i(s: str, i: int) -> int:
-    """Twin of dedup._hash_with_index: xxhash64(i::long, s)."""
+    """Twin of dedup._hash_with_index over strings: xxhash64(i::long, s)."""
     seed = xxh64(struct.pack("<q", i), 42)
     return _signed(xxh64(s.encode(), seed))
+
+
+def py_hash_i_long(h: int, i: int) -> int:
+    """Twin of dedup._hash_with_index over a hashed shingle (long):
+    xxhash64(i::long, h) — Spark hashes the 8 little-endian bytes."""
+    seed = xxh64(struct.pack("<q", i), 42)
+    return _signed(xxh64(struct.pack("<Q", h & ((1 << 64) - 1)), seed))
 
 
 def py_shingles(txt: str, n: int = 3) -> set[str]:
@@ -41,14 +48,19 @@ def py_shingles(txt: str, n: int = 3) -> set[str]:
 
 
 def py_minhash(txt: str, num_hashes: int = 128) -> list[int]:
-    sh = py_shingles(txt)
-    return [min(py_hash_i(s, i) for s in sh) for i in range(num_hashes)]
+    hs = {xxh64(s.encode(), 42) for s in py_shingles(txt)}  # hashed shingles
+    return [min(py_hash_i_long(h, i) for h in hs) for i in range(num_hashes)]
 
 
-def py_simhash(txt: str) -> int:
+def py_simhash(txt: str, token_hash: str = "md5") -> int:
+    import hashlib
+
     votes = [0] * 64
     for t in txt.split(" "):
-        u = xxh64(t.encode(), 42)
+        if token_hash == "md5":
+            u = int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
+        else:
+            u = xxh64(t.encode(), 42)
         for b in range(64):
             votes[b] += 1 if (u >> b) & 1 else -1
     out = 0
@@ -85,9 +97,13 @@ def test_minhash_signature_matches_python_twin(spark, docs, doc_rows):
 
 
 def test_simhash_matches_python_twin(spark, docs, doc_rows):
-    got = {r.doc_id: r.simhash for r in dedup.with_simhash(docs.limit(10)).collect()}
-    for doc_id, sh in got.items():
-        assert sh == py_simhash(doc_rows[doc_id]), doc_id
+    for th in ("md5", "xxhash64"):
+        got = {
+            r.doc_id: r.simhash
+            for r in dedup.with_simhash(docs.limit(10), token_hash=th).collect()
+        }
+        for doc_id, sh in got.items():
+            assert sh == py_simhash(doc_rows[doc_id], th), (th, doc_id)
 
 
 def test_lsh_equals_exact_jaccard(spark, docs, doc_rows):
@@ -112,12 +128,21 @@ def test_exact_duplicates(spark):
     assert sorted(got.values()) == [(1, 2), (3, 1)]
 
 
-def test_simhash_pairs_hamming_verified(spark, docs, doc_rows):
+def test_simhash_pairs_complete_at_radius(spark, docs, doc_rows):
+    """Default banding (n_bands = max_hamming + 1) must be COMPLETE: the
+    banded output equals the exact all-pairs hamming<=8 set (the same
+    contract the driver's DuckDB oracle enforces for d4)."""
     rows = dedup.simhash_pairs(docs, max_hamming=8).collect()
     sh = {d: py_simhash(t) for d, t in doc_rows.items()}
-    for r in rows:
-        ham = bin((sh[r.a_id] ^ sh[r.b_id]) & ((1 << 64) - 1)).count("1")
-        assert ham == r.hamming and ham <= 8
+    ids = sorted(sh)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ham = bin((sh[a] ^ sh[b]) & ((1 << 64) - 1)).count("1")
+            if ham <= 8:
+                want[(a, b)] = ham
+    got = {(r.a_id, r.b_id): r.hamming for r in rows}
+    assert got == want
 
 
 # -- similarity -------------------------------------------------------------
@@ -264,3 +289,37 @@ def test_lsh_cosine_pairs_recall(spark):
     assert fast <= brute                      # no false positives (verified)
     assert len(brute) >= 50                   # the plants really are near-dups
     assert len(fast & brute) / len(brute) >= 0.9
+
+
+def test_per_source_dialect_span_equality(spark):
+    """F12: each source's markup dialect parses to identical logical spans
+    via the engine regex configs AND the independent oracle affix parser;
+    the raw markup itself must differ across dialects."""
+    from news_crawler_spark import synth
+    from news_crawler_spark.operators.extract import doc_fields, parse_spans
+    from news_crawler_spark.oracle import extract_spans_oracle
+
+    payloads = {}
+    for art_key in range(200):
+        src, _host, url = synth.clean_url(art_key)
+        payloads.setdefault(synth.SOURCE_DIALECT[src], (src, url))
+        if len(payloads) == 3:
+            break
+    assert len(payloads) == 3  # all three dialects exercised
+    seen_markup = set()
+    for dialect, (src, url) in payloads.items():
+        payload = synth.page_payload(url)
+        seen_markup.add(payload.split("\n")[0][:10])
+        engine_spans = [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in parse_spans(payload, src)
+        ]
+        oracle_spans = extract_spans_oracle(payload, src)
+        assert engine_spans == oracle_spans and len(engine_spans) >= 3, dialect
+        title, summary, kws, _ = doc_fields(payload, src)
+        assert title and summary and kws, dialect
+        # wrong config must NOT parse this dialect (selector is load-bearing)
+        other = {"classic": "divs", "divs": "spans", "spans": "classic"}[dialect]
+        wrong_src = [s for s, d in synth.SOURCE_DIALECT.items() if d == other][0]
+        assert parse_spans(payload, wrong_src) == []
+    assert len(seen_markup) == 3  # three genuinely different markups
