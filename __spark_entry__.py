@@ -4,9 +4,8 @@
 pivot, range-densify in one plan) at sf0.001. ``queries()`` exposes every
 SQL-expressible operator from SURVEY.md §2 plus the training-data-pipeline
 operators (dedup / similarity / text analysis); ``oracle_sql()`` gives the
-DuckDB equivalent for each (d4_simhash_pairs is rows-only: DuckDB lacks
-xxhash64 — its correctness oracle is the pure-Python twin in
-tests/test_dedup.py).
+DuckDB equivalent for EVERY query (28/28 — d4 SimHash uses md5-derived
+token hashes precisely so DuckDB can recompute the sketch).
 """
 
 from __future__ import annotations

@@ -139,10 +139,11 @@ def _burn(_arg):
 
 
 def hw_parallel_ceiling(lo: int = 8, hi: int = 32) -> float:
-    """Calibrate what this box's memory system/SMT can give from lo→hi
-    pure-CPU processes (no Spark): the hardware ceiling any job's scaling
-    efficiency should be judged against. A 32-vCPU VM is typically 16
-    physical cores — 8→32 procs cannot reach 4× even in theory."""
+    """Pure-CPU spin-loop scaling lo→hi processes. Kept for reference
+    ONLY: it measures register-file arithmetic with zero memory traffic,
+    which over-states what an allocation-heavy python workload can reach
+    (round-1 postmortem: 0.967 spin vs 0.64 for the real per-row work).
+    ``workload_ceiling`` below is the honest ceiling."""
     import multiprocessing as mp
 
     rates = {}
@@ -152,38 +153,78 @@ def hw_parallel_ceiling(lo: int = 8, hi: int = 32) -> float:
     return round(rates[hi] / rates[lo] / (hi / lo), 3)
 
 
-def scaling_probe(path: str, n_urls: int, cores_list=(2, 8, 32)) -> dict[str, float]:
-    """Same fetch+extract job at each parallelism level (north rule: N vs
-    4N). 2→8 stays within physical cores (the honest N→4N datapoint);
-    8→32 additionally crosses into SMT/steal territory — reported next to
-    the measured pure-CPU hardware ceiling for that same transition."""
-    out: dict[str, float] = {"probe_urls": n_urls}
-    for cores in sorted(cores_list, reverse=True):
+def workload_ceiling(n_urls: int = 160_000, lo: int = 8, hi: int = 32) -> float:
+    """What lo→hi python processes deliver on the EXACT per-row work of
+    the fetch stage (synth fetch + extract + json), no Spark at all —
+    mp.Pool over the same row count. This is the ceiling Spark's python
+    stage should be judged against: it carries the same allocator and
+    memory-bandwidth pressure the spin loop hides."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    from profile_scaling import pool_run
+
+    t_lo = pool_run(n_urls, lo, 64, False)
+    t_hi = pool_run(n_urls, hi, 64, False)
+    return round(t_lo / t_hi / (hi / lo), 3)
+
+
+def scaling_probe(
+    path_small: str,
+    n_small: int,
+    path_big: str,
+    n_big: int,
+) -> dict[str, float]:
+    """Two-cluster-size evidence for the north rule (N vs 4N executors,
+    in-sandbox local[8] vs local[32] on identical input).
+
+    Two probe sizes, because round-1's single 160k probe mismeasured:
+    the fused stage carries ~2.5 s of size-independent overhead (job
+    setup, shuffle barrier, task launch), which at a 7 s runtime eats the
+    speedup and reads as "Spark doesn't scale". At 4× the rows the
+    overhead amortizes and the same job scales at the workload ceiling.
+    8→32 numbers are medians of 3 (this VM's wall clock swings ±50%);
+    the 2→8 datapoint stays within physical cores (the honest N→4N pair
+    on a 32-vCPU/16-physical-core box).
+    """
+    import statistics
+
+    out: dict[str, float] = {"probe_urls": n_small, "probe_urls_big": n_big}
+
+    def run_level(cores: int, path: str, n: int, reps: int) -> float:
         spark = get_spark(app_name=f"bench_scale_{cores}", cores=cores,
                           shuffle_partitions=cores)
         fetch_extract_job(spark, path)  # warm python workers + codegen
-        t0 = time.perf_counter()
-        fetch_extract_job(spark, path)
-        dt = time.perf_counter() - t0
-        out[f"local{cores}_sec"] = round(dt, 2)
-        out[f"local{cores}_urls_per_sec"] = round(n_urls / dt, 1)
-        log(f"  scaling local[{cores}]: {dt:.2f}s = {n_urls/dt:.0f} urls/s")
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fetch_extract_job(spark, path)
+            ts.append(time.perf_counter() - t0)
         spark.stop()
+        dt = statistics.median(ts)
+        log(f"  scaling local[{cores}] n={n}: {dt:.2f}s = {n/dt:.0f} urls/s "
+            f"(reps {[round(t, 1) for t in ts]})")
+        return dt
 
-    def eff(lo, hi):
-        return round(
-            out[f"local{hi}_urls_per_sec"]
-            / out[f"local{lo}_urls_per_sec"]
-            / (hi / lo),
-            3,
-        )
+    t32_big = run_level(32, path_big, n_big, reps=3)
+    t8_big = run_level(8, path_big, n_big, reps=3)
+    t32_small = run_level(32, path_small, n_small, reps=1)
+    t8_small = run_level(8, path_small, n_small, reps=1)
+    t2_small = run_level(2, path_small, n_small, reps=1)
 
-    out["efficiency_2_to_8"] = eff(2, 8)
-    out["efficiency_8_to_32"] = eff(8, 32)
+    out["local32_sec"] = round(t32_big, 2)
+    out["local8_sec"] = round(t8_big, 2)
+    out["local32_urls_per_sec"] = round(n_big / t32_big, 1)
+    out["local8_urls_per_sec"] = round(n_big / t8_big, 1)
+    out["efficiency_2_to_8"] = round(t2_small / t8_small / 4, 3)
+    out["efficiency_8_to_32_small"] = round(t8_small / t32_small / 4, 3)
+    out["efficiency_8_to_32"] = round(t8_big / t32_big / 4, 3)
+    out["workload_ceiling_8_to_32"] = workload_ceiling()
     out["hw_ceiling_8_to_32"] = hw_parallel_ceiling(8, 32)
     log(
-        f"  efficiency 2→8: {out['efficiency_2_to_8']}, 8→32: "
-        f"{out['efficiency_8_to_32']} (hw ceiling {out['hw_ceiling_8_to_32']})"
+        f"  efficiency 2→8: {out['efficiency_2_to_8']}, "
+        f"8→32 @ {n_small}: {out['efficiency_8_to_32_small']}, "
+        f"8→32 @ {n_big}: {out['efficiency_8_to_32']} "
+        f"(workload ceiling {out['workload_ceiling_8_to_32']}, "
+        f"spin ceiling {out['hw_ceiling_8_to_32']})"
     )
     return out
 
@@ -197,6 +238,7 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     n_seed = 20_000 if quick else 120_000
     n_probe = 20_000 if quick else 160_000
+    n_probe_big = 80_000 if quick else 640_000
 
     t_total = time.perf_counter()
     spark = get_spark(app_name="bench", cores=cpus, shuffle_partitions=cpus)
@@ -207,10 +249,12 @@ def main() -> None:
     import tempfile
 
     probe_path = tempfile.mkdtemp(prefix="bench_probe_") + "/cand.parquet"
+    probe_big_path = tempfile.mkdtemp(prefix="bench_probeb_") + "/cand.parquet"
     prepare_probe_input(spark, n_probe, probe_path)
+    prepare_probe_input(spark, n_probe_big, probe_big_path)
     spark.stop()
     log("== scaling probe (N vs 4N cores) ==")
-    scaling = scaling_probe(probe_path, n_probe)
+    scaling = scaling_probe(probe_path, n_probe, probe_big_path, n_probe_big)
     total = time.perf_counter() - t_total
 
     print(

@@ -363,19 +363,26 @@ def simhash_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk"))
+    # ORDER MATTERS: the hamming verify (xor + bit_count, codegen'd) runs
+    # on the raw banded join output BEFORE the distinct — verifying is a
+    # per-row expression, deduping is a shuffle, so the distinct must see
+    # only true pairs (thousands), never the full candidate stream
+    # (n²/2^chunk_bits per band). Doing distinct first measured 35.8 s at
+    # sf0.1; this order is ~3 s for identical output.
     pairs = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "chunk"])
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
         .select(
             F.col("x.doc_id").alias("a_id"),
             F.col("y.doc_id").alias("b_id"),
-            F.col("x.simhash").alias("sh_a"),
-            F.col("y.simhash").alias("sh_b"),
+            "hamming",
         )
         .distinct()
-        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("a_id", "b_id", "hamming")
     )
     return pairs

@@ -68,22 +68,37 @@ def unseen_only(candidates: DataFrame, seen: DataFrame) -> DataFrame:
 
 
 def ingest_batch(
-    candidates: DataFrame, seen: DataFrame | None, use_bloom: bool = False
+    candidates: DataFrame,
+    seen: DataFrame | None,
+    use_bloom: bool = False,
+    prefilter: str | None = None,
 ) -> DataFrame:
     """Full ON-CONFLICT-DO-NOTHING equivalent: within-batch first-wins dedup,
     then drop anything already seen. Returns the rows to insert.
 
-    ``use_bloom`` routes the cross-batch check through the partition-local
-    bloom pre-pass (functions/bloom.py) — identical output (property-tested),
+    ``prefilter`` routes the cross-batch check through a partition-local
+    approximate-membership pre-pass — identical output (property-tested),
     ~n·fpr of the candidates reach the exact join instead of all of them.
-    Worth it when |seen| ≫ |batch| (steady-state incremental crawl).
+    Worth it when |seen| ≫ |batch| (steady-state incremental crawl):
+
+    - ``"bloom"`` (functions/bloom.py): smallest memory, no delete.
+    - ``"cuckoo"`` (functions/cuckoo.py): similar fpr, supports DELETE —
+      use when seen-set retirement (domain removal, erasure) is live.
+
+    ``use_bloom=True`` is the legacy spelling of ``prefilter="bloom"``.
     """
     fresh = dedup_first_wins(candidates)
     if seen is not None:
         if use_bloom:
+            prefilter = "bloom"
+        if prefilter == "bloom":
             from ..functions.bloom import bloom_unseen
 
             fresh = bloom_unseen(fresh, seen)
+        elif prefilter == "cuckoo":
+            from ..functions.cuckoo import cuckoo_unseen
+
+            fresh = cuckoo_unseen(fresh, seen)
         else:
             fresh = unseen_only(fresh, seen)
     return fresh

@@ -323,3 +323,35 @@ def test_per_source_dialect_span_equality(spark):
         wrong_src = [s for s, d in synth.SOURCE_DIALECT.items() if d == other][0]
         assert parse_spans(payload, wrong_src) == []
     assert len(seen_markup) == 3  # three genuinely different markups
+
+
+def test_resize_and_frame_sample_plumbing(spark):
+    media = spark.createDataFrame(
+        [
+            ("m1", "image", multimodal.synth_media_payload("m1")),
+            ("m2", "video", multimodal.synth_media_payload("m2")),
+        ],
+        "media_ref string, kind string, payload binary",
+    )
+    # resize: every output payload exactly width*height bytes, meta synced
+    small = {r.media_ref: r for r in multimodal.resize_image(media, 8, 8).collect()}
+    for ref, r in small.items():
+        assert len(r.payload) == 64 and r.meta.n_bytes == 64
+        assert r.meta.width == 8 and r.meta.height == 8
+    # deterministic: same input bytes → same thumbnail
+    again = {r.media_ref: r.payload
+             for r in multimodal.resize_image(media, 8, 8).collect()}
+    assert {k: v.payload for k, v in small.items()} == again
+    # frame sampling: every_n-th fixed-size frame, indices correct
+    frames = multimodal.frame_sample(media, frame_bytes=32, every_n=2).collect()
+    by_ref = {}
+    for fr in frames:
+        assert fr.n_bytes == 32 and fr.frame_idx % 2 == 0
+        by_ref.setdefault(fr.media_ref, []).append(fr.frame_idx)
+    raw = {r.media_ref: r.payload for r in media.collect()}
+    for ref, idxs in by_ref.items():
+        n_frames = len(raw[ref]) // 32
+        assert sorted(idxs) == list(range(0, n_frames, 2))
+        # frame content slices the original payload
+        f0 = [f.frame for f in frames if f.media_ref == ref and f.frame_idx == 0][0]
+        assert bytes(f0) == bytes(raw[ref][:32])

@@ -87,3 +87,41 @@ def test_whole_stage_codegen_on_text_features(spark):
     # formatted explain marks codegen'd operators with "[codegen id : N]";
     # executedPlan.toString shows them as "*(N) Project" — accept either
     assert "codegen id" in p or "*(1)" in plan(df), p
+
+
+def test_v4_payload_filter_below_scoring(spark):
+    """v4: the payload predicate must be applied on the (tiny) payload
+    side below the semi-join — pushed into the parquet scan when reading
+    files (PushedFilters), or a Filter directly over the cached relation
+    when another test has cached the table — and the top-k must be
+    TakeOrderedAndProject: filter-then-score-then-k, never
+    score-everything-then-filter."""
+    df = analytics.v4_filtered_topk(spark, SF)
+    p = plan(df)
+    assert "TakeOrderedAndProject" in p
+    assert "LeftSemi" in p
+    # the payload filter exists as its own node (below the join build),
+    # NOT as a post-scoring filter: nothing filters on n_chars above the
+    # TakeOrderedAndProject (which is the root), and the semi-join build
+    # side carries the predicate
+    build_side = p.split("LeftSemi", 1)[1]
+    assert "n_chars" in build_side and "src3" in build_side, p
+
+
+def test_embed_claim_is_salted_two_phase(spark):
+    """S11 batch claim: the per-source window must rank within
+    (source, salt) first — parallelism sources×salts, not sources."""
+    import tempfile
+
+    from news_crawler_spark.embed_scheduler import EmbedScheduler
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"s{i % 2}", f"t{i}", f"w{i}") for i in range(20)],
+        "doc_id string, source string, title string, summary string",
+    )
+    sched = EmbedScheduler(spark, tempfile.mkdtemp(), batch_per_source=5)
+    pending = docs.selectExpr(
+        "doc_id", "source", "concat(title, '. ', summary) AS embed_text"
+    )
+    p = plan(sched._claim(pending))
+    assert "xxhash64" in p and p.count("Window") >= 2, p
