@@ -65,7 +65,23 @@ class CrawlEngine:
         politeness: DataFrame | None = None,
         default_refill: int = 20,
         max_retries: int = schemas.MAX_RETRIES,
+        merge_mode: str = "cow",
+        compact_every: int = 8,
     ):
+        """``merge_mode``:
+
+        - ``"cow"`` (default): copy-on-write — the pending slice is
+          rewritten whole each round (simple; write I/O O(|pending|)).
+        - ``"mor"``: merge-on-read — each round writes only a tombstone
+          delta (popped keys) and an addition delta (retry re-pends),
+          write I/O O(|popped|); reads reconstruct base ⊖ tombstones ⊕
+          additions, and every ``compact_every`` rounds the state is
+          compacted back to a full snapshot (bounding read depth). This
+          is the Iceberg MERGE-on-read analog and the mode that matters
+          at 10^10 pending rows, where rewriting the slice per round IS
+          the I/O bill. Equivalence with cow is fixture-pinned
+          (tests/test_crawl_engine.py).
+        """
         self.spark = spark
         self.catalog = SnapshotCatalog(spark, workdir)
         self.robots = robots if robots is not None else synth.robots_df(spark)
@@ -74,9 +90,86 @@ class CrawlEngine:
         )
         self.default_refill = default_refill
         self.max_retries = max_retries
+        if merge_mode not in ("cow", "mor"):
+            raise ValueError(f"merge_mode must be cow|mor, got {merge_mode!r}")
+        self.merge_mode = merge_mode
+        self.compact_every = max(1, compact_every)
         # cached eligible-pending count, maintained by lineage arithmetic
         # (eligible' = eligible - popped + re-pended); None = recount once
         self._eligible_left: int | None = None
+
+    # ------------------------------------------------------------- pending io
+    def _read_pending(self, round_no: int) -> DataFrame:
+        """The pending slice as of ``round_no``. cow: read the snapshot.
+        mor: latest-event-wins reconstruction — base snapshot ⊖ any key
+        with a delta event, ⊕ the rows whose newest event is an addition
+        (a round pops a row [tombstone] and may re-pend it [addition] in
+        the same round: the addition wins ties)."""
+        if self.merge_mode != "mor":
+            return self.catalog.read("pending", round_no)
+        base_r = next(
+            r for r in range(round_no, -1, -1)
+            if self.catalog.exists("pending", r)
+        )
+        base = self.catalog.read("pending", base_r)
+        adds, tombs = [], []
+        for r in range(base_r + 1, round_no + 1):
+            if self.catalog.exists("pending_add", r):
+                adds.append(
+                    self.catalog.read("pending_add", r).withColumn("__r", F.lit(r))
+                )
+            if self.catalog.exists("pending_tomb", r):
+                tombs.append(
+                    self.catalog.read("pending_tomb", r).withColumn("__r", F.lit(r))
+                )
+        if not adds and not tombs:
+            return base
+        keys = ["url_hash", "canonical_url"]
+        cols = base.columns
+        empty_add = self.spark.createDataFrame(
+            [], base.schema
+        ).withColumn("__r", F.lit(0))
+        add_all = empty_add
+        for a in adds:
+            add_all = add_all.unionByName(a)
+        latest_add = add_all.groupBy(*keys).agg(
+            F.max_by(F.struct(*cols), F.col("__r")).alias("__row"),
+            F.max("__r").alias("__ar"),
+        )
+        if tombs:
+            tomb_all = tombs[0]
+            for t in tombs[1:]:
+                tomb_all = tomb_all.unionByName(t)
+            latest_tomb = tomb_all.groupBy(*keys).agg(F.max("__r").alias("__tr"))
+        else:
+            latest_tomb = self.spark.createDataFrame(
+                [], "url_hash long, canonical_url string, __tr int"
+            )
+        ev = latest_add.join(latest_tomb, keys, "full")
+        survivors = ev.filter(
+            F.col("__ar").isNotNull()
+            & (F.col("__tr").isNull() | (F.col("__ar") >= F.col("__tr")))
+        ).select("__row.*")
+        touched = ev.select(*keys)
+        return base.join(touched, keys, "left_anti").unionByName(survivors)
+
+    def _write_pending(
+        self,
+        round_no: int,
+        next_pending: DataFrame,
+        tombstones: DataFrame,
+        additions: DataFrame,
+    ) -> None:
+        """cow / mor-compaction rounds: materialize the full slice.
+        mor delta rounds: write only O(|popped|) tombstone keys +
+        re-pend rows."""
+        if self.merge_mode == "mor" and round_no % self.compact_every != 0:
+            self.catalog.write(
+                "pending_tomb", round_no, tombstones.coalesce(4)
+            )
+            self.catalog.write("pending_add", round_no, additions.coalesce(4))
+        else:
+            self.catalog.write("pending", round_no, next_pending)
 
     # ------------------------------------------------------------------ ingest
     def ingest(self, seed: DataFrame) -> None:
@@ -129,7 +222,7 @@ class CrawlEngine:
         if prev is None:
             raise RuntimeError("ingest() first — no committed round 0")
         round_no = prev + 1
-        prev_pending = self.catalog.read("pending", prev)
+        prev_pending = self._read_pending(prev)
         prev_done = self.catalog.read_all("done", prev)
         seen = prev_pending.select("url_hash", "canonical_url").union(
             prev_done.select("url_hash", "canonical_url")
@@ -146,12 +239,16 @@ class CrawlEngine:
         ).cache()
         n_new = new_rows.count()
         merged = prev_pending.unionByName(new_rows)
-        self.catalog.write("pending", round_no, merged)
+        # discovery round = pure additions (nothing popped)
+        empty_keys = self.spark.createDataFrame(
+            [], "url_hash long, canonical_url string"
+        )
+        self._write_pending(round_no, merged, empty_keys, new_rows)
         self.catalog.write("done", round_no,
                            self.spark.createDataFrame([], merged.schema))
         self.catalog.write("tokens", round_no, self.catalog.read("tokens", prev))
         cursors = (
-            self.catalog.read("pending", round_no)
+            self._read_pending(round_no)
             .groupBy("source")
             .agg(
                 F.max_by("canonical_url", F.struct("published_ts", "url_hash"))
@@ -190,7 +287,12 @@ class CrawlEngine:
         committed). Idempotent: re-running after a crash overwrites the
         uncommitted outputs and commits once."""
         prev = round_no - 1
-        pending = self.catalog.read("pending", prev)
+        pending = self._read_pending(prev)
+        if self.merge_mode == "mor":
+            # the reconstructed slice feeds two actions this round (pop
+            # materialization + next-pending write); persist so the
+            # base⊖tombs⊕adds plan runs once, spilling if large
+            pending = pending.persist()
         prev_tokens = self.catalog.read("tokens", prev)
 
         eligible = frontier_ops.eligible(pending, self.max_retries)
@@ -282,7 +384,12 @@ class CrawlEngine:
             "url_hash",
         )
 
-        self.catalog.write("pending", round_no, next_pending)
+        self._write_pending(
+            round_no,
+            next_pending,
+            tombstones=popped.select("url_hash", "canonical_url"),
+            additions=still_pending,
+        )
         self.catalog.write("done", round_no, finished.coalesce(4))
         self.catalog.write("docs", round_no, docs)
         self.catalog.write("pops", round_no, pops_log.coalesce(4))
@@ -320,6 +427,8 @@ class CrawlEngine:
         self._eligible_left = pending_left
         popped.unpersist()
         fetched.unpersist()
+        if self.merge_mode == "mor":
+            pending.unpersist()
         return RoundStats(round_no, n_popped, n_ok, n_popped - n_ok, pending_left)
 
     def run(self, max_rounds: int = 1000) -> list[RoundStats]:
@@ -349,7 +458,7 @@ class CrawlEngine:
 
     def final_frontier(self) -> DataFrame:
         last = self.catalog.latest_round()
-        pending = self.catalog.read("pending", last)
+        pending = self._read_pending(last)
         done = self.catalog.read_all("done", last)
         return pending.unionByName(done)
 

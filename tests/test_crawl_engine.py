@@ -182,3 +182,67 @@ def test_first_wins_dedup_nulls_lose(spark):
     got = {r.url_hash: r.discovery_time for r in dedup_first_wins(batch).collect()}
     assert got[1] == datetime(2024, 6, 1)   # real timestamp beats NULL
     assert got[2] is None                    # all-NULL group still survives
+
+
+def test_mor_mode_equals_cow(spark, oracle_result, tmp_path_factory):
+    """Merge-on-read pending (tombstone/addition deltas + periodic
+    compaction) must be observation-equivalent to the reference-semantics
+    oracle (which the cow engine is pinned to by the fixtures above):
+    same pop sequence, same final state machine — while writing only
+    O(|popped|) pending bytes on delta rounds. (Compared against the
+    oracle, not the shared engine_run fixture: a later test mutates that
+    engine with incremental ingests.)"""
+    wd = str(tmp_path_factory.mktemp("engine_mor"))
+    eng = CrawlEngine(spark, wd, merge_mode="mor", compact_every=3)
+    eng.ingest(synth.build_seed_list(spark, N_SEED))
+    stats = eng.run()
+    assert len(stats) > 3  # deltas AND a compaction round both exercised
+    got_pops = [(r.round, r.host, r.canonical_url)
+                for r in eng.pops_in_order().collect()]
+    want_pops = sorted(oracle_result.pops, key=lambda p: (p[0], p[1]))
+    assert got_pops == want_pops
+    got = {r.canonical_url: (r.status, r.tried_count)
+           for r in eng.final_frontier().collect()}
+    robots = synth.robots_rows()
+    for cu, e in oracle_result.seen.items():
+        if not oracle._robots_allows(robots, e.host, cu):
+            assert got[cu] == (STATUS_PENDING, 0)
+        else:
+            assert got[cu] == (e.status, e.tried_count), cu
+    assert len(got) == len(oracle_result.seen)
+    assert eng.documents().count() == len(oracle_result.docs)
+    # delta rounds really skipped the full-slice write
+    import os
+    pend_rounds = set(os.listdir(os.path.join(wd, "pending")))
+    assert "round=1" not in pend_rounds            # delta round
+    assert "round=3" in pend_rounds                # compaction round
+
+
+def test_mor_resume_equals_uninterrupted(spark, tmp_path_factory):
+    """Kill/resume in mor mode: crash after a committed DELTA round (the
+    hard case — resume must reconstruct pending from base + deltas)."""
+    seeds = synth.build_seed_list(spark, N_SEED)
+    wd = str(tmp_path_factory.mktemp("mor_resume"))
+    eng = CrawlEngine(spark, wd, merge_mode="mor", compact_every=4)
+    eng.ingest(seeds)
+    eng.step(1)
+    eng.step(2)  # committed delta round; round 4 compaction not reached
+    # dangling uncommitted junk from the "crash"
+    eng.catalog.write("pending_tomb", 3,
+                      spark.createDataFrame([], "url_hash long, canonical_url string"))
+
+    eng2 = CrawlEngine(spark, wd, merge_mode="mor", compact_every=4)
+    eng2.run()  # resumes from round 2
+
+    wd_full = str(tmp_path_factory.mktemp("mor_full"))
+    eng_full = CrawlEngine(spark, wd_full, merge_mode="mor", compact_every=4)
+    eng_full.ingest(seeds)
+    eng_full.run()
+    got = [(r.round, r.host, r.canonical_url) for r in eng2.pops_in_order().collect()]
+    want = [(r.round, r.host, r.canonical_url) for r in eng_full.pops_in_order().collect()]
+    assert got == want
+    f1 = {(r.canonical_url, r.status, r.tried_count)
+          for r in eng_full.final_frontier().collect()}
+    f2 = {(r.canonical_url, r.status, r.tried_count)
+          for r in eng2.final_frontier().collect()}
+    assert f1 == f2
