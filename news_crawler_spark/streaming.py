@@ -30,6 +30,7 @@ that surface:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from . import schemas
@@ -88,6 +89,69 @@ def drain_available(engine: CrawlEngine, directory: str, checkpoint_dir: str) ->
         trigger={"availableNow": True},
     )
     q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# watermarked windowed aggregation: discovery-rate monitoring (ST1/A4 analog)
+
+def discovery_rates(
+    seed_stream: DataFrame,
+    window_duration: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Per-source discovered-links-per-window counts with late-data
+    handling — the streaming twin of the batch daily-pivot audit (A4) and
+    the operational rate counters the reference logs per poll
+    (news_fresh_links_scheduler.py's per-batch link counts).
+
+    ``withWatermark(discovery_time, watermark)`` bounds state: a window
+    is finalized (and its state evicted) once the watermark passes its
+    end, and any ROW whose event time is older than the current watermark
+    is dropped from the aggregate — Spark gates on the row's event time,
+    not on whether its window is still open (pinned in
+    tests/test_streaming.py). Out-of-order links newer than the watermark
+    still count. A dropped link loses only its monitoring count — the
+    downstream seen-set MERGE (ingest) still absorbs the link itself, so
+    the crawl never loses a URL. Append output mode ⇒ each
+    (window, source) row is emitted exactly once, when final — safe to
+    sink to the lineage table.
+    """
+    return (
+        seed_stream.withWatermark("discovery_time", watermark)
+        .groupBy(
+            F.window("discovery_time", window_duration).alias("w"),
+            "source",
+        )
+        .agg(F.count("*").alias("n_links"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "source",
+            "n_links",
+        )
+    )
+
+
+def start_rate_monitor(
+    seed_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    window_duration: str = "1 minute",
+    watermark: str = "2 minutes",
+    trigger: dict | None = None,
+):
+    """Run ``discovery_rates`` as an append-mode streaming query into a
+    parquet sink (finalized windows only; checkpointed/resumable)."""
+    rates = discovery_rates(seed_stream, window_duration, watermark)
+    writer = (
+        rates.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger is None:
+        trigger = {"availableNow": True}
+    return writer.trigger(**trigger).start()
 
 
 # ---------------------------------------------------------------------------

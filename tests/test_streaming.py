@@ -97,3 +97,68 @@ def test_cursor_cut_stream_stateful(spark, tmp_path):
          .option("checkpointLocation", ckpt).trigger(availableNow=True).start())
     q.awaitTermination()
     assert spark.read.parquet(out_dir).count() > after_replay
+
+
+def test_discovery_rates_watermark(spark, tmp_path):
+    """Watermarked windowed agg (1-min windows, 2-min watermark): late
+    rows inside the watermark are counted, later-than-watermark rows are
+    dropped from the aggregate, finalized windows are emitted exactly
+    once (append mode)."""
+    import os
+    import time as _time
+    from datetime import datetime
+
+    from news_crawler_spark import streaming
+
+    src = tmp_path / "rates_src"
+    src.mkdir()
+
+    def write_batch(name, rows, mtime):
+        df = spark.createDataFrame(
+            [("s1", f"https://h/{i}", ts, ts) for i, ts in enumerate(rows)],
+            "source string, url string, published_ts timestamp, discovery_time timestamp",
+        )
+        p = str(src / name)
+        df.coalesce(1).write.mode("overwrite").parquet(p)
+        os.utime(p, (mtime, mtime))  # file-source processes in mtime order
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (mtime, mtime))
+
+    out = str(tmp_path / "rates_out")
+    ckpt = str(tmp_path / "rates_ckpt")
+
+    def drain():
+        # one availableNow run per deposited file ⇒ hard batch boundaries;
+        # the watermark persists in the checkpoint across runs
+        stream = spark.readStream.schema(
+            "source string, url string, published_ts timestamp, discovery_time timestamp"
+        ).parquet(str(src) + "/*")
+        q = streaming.start_rate_monitor(
+            stream, out, ckpt, window_duration="1 minute", watermark="2 minutes"
+        )
+        q.awaitTermination()
+
+    t0 = _time.time()
+    # batch 1: two rows in window 10:00, one at 10:05 → watermark → 10:03
+    write_batch("b1", [datetime(2024, 6, 1, 10, 0, 10),
+                       datetime(2024, 6, 1, 10, 0, 40),
+                       datetime(2024, 6, 1, 10, 5, 0)], t0)
+    drain()
+    # batch 2: 10:00:50 is OLDER than the watermark (10:03) → dropped
+    # from the aggregate; 10:03:30 is late-arriving but >= watermark →
+    # counted (this is Spark's contract: the watermark gates on the ROW's
+    # event time, not on whether the window is still open)
+    write_batch("b2", [datetime(2024, 6, 1, 10, 0, 50),
+                       datetime(2024, 6, 1, 10, 3, 30)], t0 + 10)
+    drain()
+    # batch 3: advance watermark far enough to finalize everything ≤10:08
+    write_batch("b3", [datetime(2024, 6, 1, 10, 10, 0)], t0 + 20)
+    drain()
+    got = {
+        (r.window_start.strftime("%H:%M"), r.n_links)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert ("10:00", 2) in got          # late 10:00:50 was NOT added
+    assert ("10:03", 1) in got          # in-watermark late row counted
+    assert ("10:05", 1) in got
+    assert not any(w == "10:10" for w, _ in got)  # never finalized
