@@ -46,6 +46,7 @@ HEADLINE = [
     "d1_exact_dedup",
     "d3_minhash_lsh",
     "d4_simhash_pairs",
+    "d5_dup_clusters",
     "x1_lang_confusion",
     "x2_quality_by_source",
     "x3_token_stats",
@@ -58,6 +59,9 @@ def log(msg: str) -> None:
 
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
     out: dict[str, float] = {}
+    # warm the JVM/codegen/parquet-footer caches on a throwaway aggregate
+    # so the first timed query doesn't absorb ~5s of session warmup
+    analytics.load(spark, sf_dir, "orders").groupBy("o_orderstatus").count().count()
     for name in HEADLINE:
         fn = analytics.QUERIES[name]
         t0 = time.perf_counter()

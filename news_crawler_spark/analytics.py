@@ -488,6 +488,42 @@ LIMIT 5
 """
 
 
+N_PROBE = 3
+
+
+def v5_ivf_multiprobe(spark, sf):
+    """Multiprobe IVF: rank cells by centroid cosine, scan the best
+    N_PROBE cells only, exact top-k within them. The recall/cost dial of
+    a real IVF index (v2 probes 1 cell; brute force probes all)."""
+    return similarity.ivf_multiprobe_topk(
+        load(spark, sf, "embeddings"), QUERY_VEC_ID, k=10, n_probe=N_PROBE
+    )
+
+
+V5_SQL = f"""
+WITH ex AS (
+  SELECT label,
+         unnest(embedding) AS x,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings
+),
+comp AS (SELECT label, i, avg(x) AS m FROM ex GROUP BY 1, 2),
+cents AS (SELECT label, list(m ORDER BY i) AS c FROM comp GROUP BY 1),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+ranked AS (
+  SELECT label FROM cents, q
+  ORDER BY list_cosine_similarity(c::DOUBLE[], qe::DOUBLE[]) DESC, label
+  LIMIT {N_PROBE}
+)
+SELECT e.vec_id, e.label,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 4) AS score
+FROM embeddings e JOIN ranked r ON e.label = r.label, q
+WHERE e.vec_id <> {QUERY_VEC_ID}
+ORDER BY score DESC, e.vec_id
+LIMIT 10
+"""
+
+
 V4_SOURCES = ("src3", "src7")
 V4_MIN_CHARS = 200
 
@@ -593,6 +629,47 @@ def d3_minhash_lsh(spark, sf):
 
 
 D3_SQL = _JACCARD_ORACLE
+
+
+def d5_dup_clusters(spark, sf):
+    """Duplicate CLUSTERS from near-dup pairs: connected components over
+    the MinHash-LSH pair graph, canonical id = min doc_id per component
+    (iterative min-label propagation; the oracle closes the same graph
+    with a recursive CTE). This is the dedup pipeline's actual output —
+    'keep one of these k' — not just the pair list."""
+    pairs = dedup.minhash_lsh_pairs(
+        load(spark, sf, "documents"), threshold=JACCARD_THRESHOLD
+    )
+    return dedup.duplicate_clusters(pairs)
+
+
+D5_SQL = f"""
+WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+shj AS (SELECT doc_id,
+               list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                              for i in generate_series(1, len(t) - 2)]) AS s
+        FROM toks WHERE len(t) >= 3),
+ej AS (SELECT doc_id, unnest(s) AS shingle FROM shj),
+szj AS (SELECT doc_id, len(s) AS n FROM shj),
+cpairs AS (
+  SELECT e1.doc_id AS a_id, e2.doc_id AS b_id, count(*) AS common
+  FROM ej e1 JOIN ej e2 ON e1.shingle = e2.shingle AND e1.doc_id < e2.doc_id
+  GROUP BY 1, 2
+),
+jpairs AS (
+  SELECT a_id, b_id
+  FROM cpairs JOIN szj sa ON sa.doc_id = a_id JOIN szj sb ON sb.doc_id = b_id
+  WHERE round(common / (sa.n + sb.n - common), 4) >= {JACCARD_THRESHOLD}
+),
+edges AS (SELECT a_id AS u, b_id AS v FROM jpairs
+          UNION SELECT b_id, a_id FROM jpairs),
+reach(n, m) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT r.n, e.v FROM reach r JOIN edges e ON e.u = r.m
+)
+SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n
+"""
 
 
 def d4_simhash_pairs(spark, sf):
@@ -753,10 +830,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "v2_ivf_probe": v2_ivf_probe,
     "v3_embedding_neardup": v3_embedding_neardup,
     "v4_filtered_topk": v4_filtered_topk,
+    "v5_ivf_multiprobe": v5_ivf_multiprobe,
     "d1_exact_dedup": d1_exact_dedup,
     "d2_ngram_jaccard": d2_ngram_jaccard,
     "d3_minhash_lsh": d3_minhash_lsh,
     "d4_simhash_pairs": d4_simhash_pairs,
+    "d5_dup_clusters": d5_dup_clusters,
     "x1_lang_confusion": x1_lang_confusion,
     "x2_quality_by_source": x2_quality_by_source,
     "x3_token_stats": x3_token_stats,
@@ -784,10 +863,12 @@ ORACLES: dict[str, str] = {
     "v2_ivf_probe": V2_SQL,
     "v3_embedding_neardup": V3_SQL,
     "v4_filtered_topk": V4_SQL,
+    "v5_ivf_multiprobe": V5_SQL,
     "d1_exact_dedup": D1_SQL,
     "d2_ngram_jaccard": D2_SQL,
     "d3_minhash_lsh": D3_SQL,
     "d4_simhash_pairs": D4_SQL,
+    "d5_dup_clusters": D5_SQL,
     "x1_lang_confusion": X1_SQL,
     "x2_quality_by_source": X2_SQL,
     "x3_token_stats": X3_SQL,

@@ -252,6 +252,58 @@ def minhash_lsh_pairs(
 
 
 # --------------------------------------------------------------------------
+# duplicate clusters (connected components over near-dup pairs)
+
+def duplicate_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
+    """Near-dup PAIRS → CLUSTERS: (doc_id, cluster_id) where cluster_id =
+    the minimum doc_id in the pair-graph's connected component. This is
+    the step a real dedup pipeline ends with — pairs say "these two are
+    dups", clusters say "keep ONE of these k" (canonical = min id, the
+    same survivor rule as ``exact_duplicates``).
+
+    Iterative min-label propagation (the large-star/small-star family
+    without the orientation tricks): every node starts labeled with
+    itself; each round every node takes the min label in its closed
+    neighborhood; converged when no label changes. O(diameter) rounds —
+    near-dup components are tiny cliques/chains, so 2-4 rounds in
+    practice; ``localCheckpoint`` per round truncates the lineage so the
+    plan does not grow with iterations (the classic iterative-Spark
+    footgun). Driver-side work per round is ONE scalar count.
+    """
+    edges = (
+        pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+        .unionByName(pairs.select(F.col("b_id").alias("u"), F.col("a_id").alias("v")))
+        .distinct()
+    )
+    labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    ).localCheckpoint()
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
+                    "label"
+                ),
+                (F.col("label") != F.least(F.col("label"),
+                                           F.coalesce("nmin", F.col("label"))))
+                .alias("__changed"),
+            )
+        ).localCheckpoint()
+        changed = new_labels.filter(F.col("__changed")).limit(1).count()
+        labels = new_labels.drop("__changed")
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+# --------------------------------------------------------------------------
 # SimHash
 
 def md5_hash64(value: Column) -> Column:

@@ -129,6 +129,70 @@ def payload_filtered_topk(
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
 
 
+def cell_centroids(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """Per-cell element-wise mean vector — the IVF coarse quantizer's
+    codebook, computed from the existing cell assignment. One groupBy;
+    centroid count = n_cells (tiny) → always broadcastable."""
+    dim_arr = F.col(vec_col).cast("array<double>")
+    return (
+        embeddings.groupBy(cell_col)
+        .agg(F.array_agg(dim_arr).alias("vs"), F.count("*").alias("n"))
+        .select(
+            F.col(cell_col).alias("cell"),
+            F.transform(
+                F.sequence(F.lit(0), F.size(F.element_at("vs", 1)) - 1),
+                lambda i: F.aggregate(
+                    "vs", F.lit(0.0), lambda s, v: s + F.element_at(v, (i + 1).cast("int"))
+                )
+                / F.col("n"),
+            ).alias("centroid"),
+        )
+    )
+
+
+def ivf_multiprobe_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_probe: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "label",
+) -> DataFrame:
+    """Multiprobe IVF: rank cells by centroid similarity to the query and
+    scan only the ``n_probe`` best — the recall/cost dial every real IVF
+    index exposes (probing 1 cell misses neighbors that fell just across
+    a cell boundary; probing all is brute force). Scan cost =
+    n_probe/n_cells of the table; with the table written partitioned by
+    the cell column, the non-probed partitions are pruned at the source.
+
+    Plan shape: centroids (tiny) broadcast → top-n_probe cell ids (tiny)
+    broadcast-semi-join the vector scan → TakeOrderedAndProject(k)."""
+    q = embeddings.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("__qvec")
+    )
+    cents = cell_centroids(embeddings, vec_col, cell_col)
+    probed = (
+        cents.join(F.broadcast(q))
+        .withColumn("__cscore", cosine(F.col("centroid"), F.col("__qvec")))
+        .orderBy(F.desc("__cscore"), F.col("cell"))
+        .limit(n_probe)
+        .select(F.col("cell").alias(cell_col))
+    )
+    scored = (
+        embeddings.filter(F.col(id_col) != query_vec_id)
+        .join(F.broadcast(probed), cell_col, "left_semi")
+        .join(F.broadcast(q))
+        .withColumn("score", F.round(cosine(F.col(vec_col), F.col("__qvec")), 4))
+        .drop("__qvec", vec_col)
+    )
+    return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+
+
 def ivf_assign(
     embeddings: DataFrame,
     n_cells: int = 16,

@@ -355,3 +355,70 @@ def test_resize_and_frame_sample_plumbing(spark):
         # frame content slices the original payload
         f0 = [f.frame for f in frames if f.media_ref == ref and f.frame_idx == 0][0]
         assert bytes(f0) == bytes(raw[ref][:32])
+
+
+def test_duplicate_clusters_matches_union_find(spark):
+    """Iterative min-label propagation == python union-find on the same
+    pair graph (chain, clique, isolated pair, and a long path that needs
+    multiple propagation rounds)."""
+    pairs = [
+        (1, 2), (2, 3),                 # chain -> {1,2,3}
+        (10, 11), (10, 12), (11, 12),   # clique -> {10,11,12}
+        (20, 21),                       # pair
+        (30, 31), (31, 32), (32, 33), (33, 34), (34, 35),  # long path
+    ]
+    df = spark.createDataFrame(pairs, "a_id long, b_id long")
+    got = {r.doc_id: r.cluster_id
+           for r in dedup.duplicate_clusters(df).collect()}
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in pairs:
+        union(a, b)
+    want = {n: find(n) for n in parent}
+    assert got == want
+    assert got[35] == 30 and got[3] == 1 and got[12] == 10
+
+
+def test_ivf_multiprobe_matches_numpy(spark):
+    """Multiprobe IVF == numpy oracle: rank cells by centroid cosine,
+    probe top-3, exact top-k within; and n_probe=all == brute force."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    rows = emb.collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype="float64") for r in rows}
+    cells = {r.vec_id: r.label for r in rows}
+    q = vecs[7]
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    cents = {}
+    for lab in set(cells.values()):
+        members = [vecs[v] for v, l2 in cells.items() if l2 == lab]
+        cents[lab] = np.mean(members, axis=0)
+    probed = sorted(cents, key=lambda l2: (-cos(cents[l2], q), l2))[:3]
+    scored = sorted(
+        ((-round(cos(v, q), 4), vid) for vid, v in vecs.items()
+         if vid != 7 and cells[vid] in probed)
+    )[:10]
+    want = [(vid, -s) for s, vid in scored]
+    got = [(r.vec_id, r.score)
+           for r in similarity.ivf_multiprobe_topk(emb, 7, k=10, n_probe=3).collect()]
+    assert got == want
+    # probing every cell degenerates to brute force
+    n_cells = len(cents)
+    all_probe = [(r.vec_id, r.score) for r in
+                 similarity.ivf_multiprobe_topk(emb, 7, k=10, n_probe=n_cells).collect()]
+    brute = [(r.vec_id, r.score) for r in similarity.topk_cosine(emb, 7, k=10).collect()]
+    assert all_probe == brute
