@@ -41,10 +41,18 @@ def main() -> None:
     ap.add_argument("--master", default=None,
                     help="'inherit' under spark-submit; default local[N]")
     ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--merge-mode", choices=("cow", "mor"), default="cow",
+                    help="pending-state strategy: cow rewrites the slice "
+                         "per round; mor writes O(|popped|) deltas + "
+                         "periodic compaction (the 10^10-row mode)")
+    ap.add_argument("--compact-every", type=int, default=8,
+                    help="mor: full-snapshot compaction interval (rounds)")
     args = ap.parse_args()
 
     spark = get_spark(app_name="crawl_run", cores=args.cpus, master=args.master)
-    eng = CrawlEngine(spark, args.workdir, default_refill=args.refill)
+    eng = CrawlEngine(spark, args.workdir, default_refill=args.refill,
+                      merge_mode=args.merge_mode,
+                      compact_every=args.compact_every)
 
     t0 = time.perf_counter()
     if eng.catalog.latest_round() is None:
