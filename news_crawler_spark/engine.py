@@ -67,6 +67,7 @@ class CrawlEngine:
         max_retries: int = schemas.MAX_RETRIES,
         merge_mode: str = "cow",
         compact_every: int = 8,
+        seen_prefilter: str | None = None,
     ):
         """``merge_mode``:
 
@@ -94,6 +95,10 @@ class CrawlEngine:
             raise ValueError(f"merge_mode must be cow|mor, got {merge_mode!r}")
         self.merge_mode = merge_mode
         self.compact_every = max(1, compact_every)
+        # approximate-membership pre-pass for the incremental-ingest
+        # anti-join ("bloom" | "cuckoo" | None): worth it at steady state
+        # where |seen| >> |batch|; output identical either way
+        self.seen_prefilter = seen_prefilter
         # cached eligible-pending count, maintained by lineage arithmetic
         # (eligible' = eligible - popped + re-pended); None = recount once
         self._eligible_left: int | None = None
@@ -228,7 +233,7 @@ class CrawlEngine:
             prev_done.select("url_hash", "canonical_url")
         )
         cand = with_url_columns(seed, "url")
-        fresh = seen_set.ingest_batch(cand, seen=seen)
+        fresh = seen_set.ingest_batch(cand, seen=seen, prefilter=self.seen_prefilter)
         new_rows = fresh.select(
             "url", "canonical_url", "url_hash", "host", "source",
             F.pmod(F.col("url_hash"), F.lit(3)).cast("int").alias("priority"),

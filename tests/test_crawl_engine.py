@@ -246,3 +246,20 @@ def test_mor_resume_equals_uninterrupted(spark, tmp_path_factory):
     f2 = {(r.canonical_url, r.status, r.tried_count)
           for r in eng2.final_frontier().collect()}
     assert f1 == f2
+
+
+def test_seen_prefilter_modes_identical(spark, tmp_path_factory):
+    """Engine incremental ingest admits the identical set with no
+    prefilter, the bloom pre-pass, or the cuckoo pre-pass (approximate
+    structures only divert definite-negatives around the exact join)."""
+    results = {}
+    for pf in (None, "bloom", "cuckoo"):
+        wd = str(tmp_path_factory.mktemp(f"pf_{pf}"))
+        eng = CrawlEngine(spark, wd, seen_prefilter=pf)
+        eng.ingest(synth.build_seed_list(spark, 300))
+        n = eng.ingest_incremental(synth.build_seed_list(spark, 400))
+        pend = eng.catalog.read("pending", eng.catalog.latest_round())
+        urls = frozenset(r.canonical_url for r in pend.collect())
+        results[pf] = (n, urls)
+    assert results[None] == results["bloom"] == results["cuckoo"]
+    assert results[None][0] > 0  # the batch really admitted new URLs
