@@ -806,6 +806,49 @@ FROM documents
 """
 
 
+def x5_winnow_fingerprints(spark, sf):
+    """Rolling-hash winnowing fingerprints (SIGMOD'03): min hash per
+    sliding window over the word-3-gram hash sequence — the partial-
+    overlap fingerprint (shared runs of ≥6 tokens share a fingerprint).
+    One row per (doc_id, fingerprint)."""
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.explode(text.winnow_fingerprints("text", n=3, window=4)).alias("fp"),
+    )
+
+
+# DuckDB twin: same md5-derived 64-bit gram hashes (hi/lo 32-bit halves
+# packed into a signed BIGINT — (hi<<32)|lo computed as hi*2^32 shifted
+# into the signed range to dodge BIGINT overflow), same windowing incl.
+# the short-doc collapse to a single whole-sequence window.
+X5_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id,
+         [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+          for i in generate_series(1, len(t) - 2)] AS g
+  FROM toks WHERE len(t) >= 3
+),
+hs AS (
+  SELECT doc_id,
+         list_transform(g, s ->
+           (((('0x' || substring(md5(s), 1, 8))::BIGINT + CASE
+               WHEN ('0x' || substring(md5(s), 1, 8))::BIGINT >= 2147483648
+               THEN -4294967296 ELSE 0 END) * 4294967296)
+            + ('0x' || substring(md5(s), 9, 8))::BIGINT)) AS h
+  FROM grams
+),
+wins AS (
+  SELECT doc_id,
+         [list_min(h[j : least(j + 3, len(h))])
+          for j in generate_series(1, greatest(len(h) - 3, 1))] AS w
+  FROM hs
+)
+SELECT doc_id, unnest(list_distinct(w)) AS fp FROM wins
+"""
+
+
 # ===========================================================================
 # registry
 
@@ -840,6 +883,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x2_quality_by_source": x2_quality_by_source,
     "x3_token_stats": x3_token_stats,
     "x4_fingerprints": x4_fingerprints,
+    "x5_winnow_fingerprints": x5_winnow_fingerprints,
 }
 
 ORACLES: dict[str, str] = {
@@ -873,4 +917,5 @@ ORACLES: dict[str, str] = {
     "x2_quality_by_source": X2_SQL,
     "x3_token_stats": X3_SQL,
     "x4_fingerprints": X4_SQL,
+    "x5_winnow_fingerprints": X5_SQL,
 }

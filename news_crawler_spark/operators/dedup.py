@@ -5,25 +5,33 @@ The reference dedups only URLs (unique link index, db_models.py:40); a
 expressed Spark-first:
 
 - exact:       md5-groupBy (one shuffle on a 16-byte key)
-- n-gram Jaccard: exact pairwise similarity via shingle-inverted-index
-                 self-join (the correctness oracle; O(pairs-sharing-a-
-                 shingle), not O(n²))
-- MinHash+LSH: signature via JVM-side xxhash64 inside higher-order array
-               functions (zero Python), banded bucketing, candidate join,
-               exact-Jaccard verify — the scale path (O(n·bands) shuffle)
-- SimHash:     64-bit per-doc sketch from token hashes (pure expressions),
-               banded hamming candidates
+- n-gram Jaccard: exact pairwise similarity via a HASHED-shingle
+                 inverted-index self-join (the correctness oracle;
+                 O(pairs-sharing-a-shingle), not O(n²))
+- MinHash+LSH: signature via JVM-side xxhash64 over hashed shingles
+               inside higher-order array functions (zero Python), banded
+               bucketing, candidate join, exact-Jaccard verify on hashed
+               sets — the scale path (O(n·bands) shuffle)
+- SimHash:     64-bit per-doc sketch from token hashes (pure
+               expressions), banded hamming candidates with COMPLETE
+               recall at the named radius (n_bands = max_hamming+1)
+- clusters:    connected components over near-dup pairs (iterative
+               min-label propagation) — the pipeline's final output
 
-Every hash is Spark's builtin ``xxhash64`` (seed 42), bit-identical to the
-pure-Python twin in functions/xxh64.py — so pytest oracles verify
-signatures without a JVM, and nothing depends on partitioning.
+Hash provenance: shingle/MinHash hashes are Spark's builtin ``xxhash64``
+(seed 42), bit-identical to the pure-Python twin in functions/xxh64.py;
+SimHash token hashes default to md5-derived 64-bit values so the
+driver's DuckDB oracle recomputes the sketch exactly (analytics.D4_SQL;
+xxhash64 variant retained for speed via ``token_hash="xxhash64"``).
+Nothing depends on partitioning.
 
-Scale notes: the shingle inverted index explodes ~|doc|·|shingles| rows —
-at 100 TB use ``minhash_lsh_pairs`` (bounded signature width) and reserve
-``ngram_jaccard_pairs`` for verify-stage candidates only. Stop-shingle
-skew (a shingle shared by millions of docs) is the classic hot key: the
-LSH path never joins on raw shingles, and the exact path should pre-drop
-shingles with document frequency above a cap before the self-join.
+Scale notes: shingles travel as 8-byte hashes everywhere (3-5× smaller
+shuffles than strings; Jaccard identical up to 64-bit collisions, which
+the string-side sf0.01 oracle would catch). The inverted index still
+explodes ~|doc|·|shingles| rows — at 100 TB use ``minhash_lsh_pairs``
+(bounded signature width) and reserve ``ngram_jaccard_pairs`` for
+verify-stage candidates. Stop-shingle skew (one shingle shared by k docs
+= k²/2 join rows) is capped by ``df_cap`` (on by default).
 """
 
 from __future__ import annotations
@@ -323,15 +331,24 @@ def simhash64(text_col: str, token_hash: str = "md5") -> Column:
     64-long counter array, sign → bit. No Python, no explode.
 
     ``token_hash``: "md5" (default — oracle-able in DuckDB, see
-    analytics.D4_SQL) or "xxhash64" (faster; pure-Python twin in
-    tests/test_pipeline_ops.py)."""
+    analytics.D4_SQL) or "xxhash64" (cheaper hash; pure-Python twin in
+    tests/test_pipeline_ops.py).
+
+    The token hash is materialized ONCE per token (a ``transform`` into
+    an array of longs) and the 64 bit-probes run on the bound lambda
+    variable. Inlining the hash expression into ``bit_votes`` instead
+    re-evaluates it per BIT — 64 md5s per token, measured 10× the whole
+    sketch cost (the same captured-expression trap as the O(tokens²)
+    shingle bug in round 1)."""
     toks = tokens(text_col)
+    hfn = md5_hash64 if token_hash == "md5" else F.xxhash64
+    hashes = F.transform(toks, lambda t: hfn(t))
     zero = F.array_repeat(F.lit(0).cast("long"), 64)
 
-    def bit_votes(t):
+    def bit_votes(h):
+        # h is the fold's bound variable (already-computed long).
         # shiftright needs a literal bit count → unroll the 64 bits in
         # Python; the generated expression stays fully JVM-side.
-        h = md5_hash64(t) if token_hash == "md5" else F.xxhash64(t)
         return F.array(
             *[
                 F.when(
@@ -343,7 +360,7 @@ def simhash64(text_col: str, token_hash: str = "md5") -> Column:
         )
 
     votes = F.aggregate(
-        toks, zero, lambda acc, t: F.zip_with(acc, bit_votes(t), lambda a, v: a + v)
+        hashes, zero, lambda acc, h: F.zip_with(acc, bit_votes(h), lambda a, v: a + v)
     )
     # bit 63 is the sign bit in a Java long → use its signed value
     bit_value = F.array(

@@ -11,8 +11,9 @@ Operators:
 - tokenization (whitespace + a BPE-ish regex token count)
 - language ID (stopword-hit heuristic over n-gram-free token sets)
 - quality scoring (length / distinct-ratio / stopword-ratio mix)
-- document fingerprinting (md5 of normalized text; rolling-hash variant
-  in ``dedup.simhash64``)
+- document fingerprinting: whole-doc (md5 of normalized text) AND
+  partial-overlap winnowing fingerprints (the SIGMOD'03 rolling-hash
+  scheme — shared token runs share a fingerprint)
 
 Each has a ``queries()`` entry in __spark_entry__.py with a DuckDB oracle.
 """
@@ -100,6 +101,47 @@ def fingerprint(text: Column | str) -> Column:
     lowercase text (F10 analog; md5 so the DuckDB oracle reproduces it)."""
     c = F.col(text) if isinstance(text, str) else text
     return F.md5(F.trim(F.regexp_replace(F.lower(c), "\\s+", " ")))
+
+
+def winnow_fingerprints(
+    text: Column | str, n: int = 3, window: int = 4
+) -> Column:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    the rolling-hash document fingerprint): hash every word ``n``-gram,
+    slide a ``window`` over the hash sequence, keep each window's
+    minimum, dedup. Guarantees: any shared run of ≥ n+window-1 tokens
+    between two documents shares ≥1 fingerprint — the partial-overlap
+    detector that whole-document hashes (``fingerprint``) cannot be.
+
+    Pure higher-order expressions; hashes are md5-derived 64-bit values
+    (same construction as dedup.md5_hash64) so the DuckDB oracle
+    reproduces them exactly. Match documents on exploded fingerprints
+    via an inverted-index join — same shape as ngram_jaccard_pairs.
+    """
+    from .dedup import md5_hash64
+
+    c = F.col(text) if isinstance(text, str) else text
+    # NOTE: order-preserving n-grams (no distinct) — winnowing needs the
+    # positional hash sequence, so build from the raw transform
+    toks = F.split(c, " ")
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    hs = F.transform(grams, md5_hash64)
+    n_wins = F.size(hs) - window + 1
+    wins = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_wins, F.lit(1))),
+        lambda j: F.array_min(F.slice(hs, j, window)),
+    )
+    # short docs (fewer grams than the window) collapse to one window =
+    # min over all grams — deterministic, mirrored by the SQL oracle
+    return F.when(F.size(toks) >= n, F.array_distinct(wins)).otherwise(
+        F.array().cast("array<long>")
+    )
 
 
 def with_text_features(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -422,3 +422,34 @@ def test_ivf_multiprobe_matches_numpy(spark):
                  similarity.ivf_multiprobe_topk(emb, 7, k=10, n_probe=n_cells).collect()]
     brute = [(r.vec_id, r.score) for r in similarity.topk_cosine(emb, 7, k=10).collect()]
     assert all_probe == brute
+
+
+def test_winnow_fingerprint_overlap_guarantee(spark):
+    """Winnowing guarantee: documents sharing a run of >= n+window-1 (=6)
+    tokens share at least one fingerprint; disjoint-vocabulary documents
+    share none. Fingerprints are deterministic across runs."""
+    shared = "alpha beta gamma delta epsilon zeta"        # 6-token run
+    df = spark.createDataFrame(
+        [
+            (1, f"one two {shared} three four"),
+            (2, f"five six seven {shared} eight"),
+            (3, "red green blue cyan magenta yellow black white"),
+        ],
+        "doc_id long, text string",
+    )
+    out = df.select(
+        "doc_id", text.winnow_fingerprints("text", n=3, window=4).alias("fps")
+    ).collect()
+    fps = {r.doc_id: set(r.fps) for r in out}
+    assert fps[1] & fps[2]                 # shared run ⇒ shared fingerprint
+    assert not (fps[1] & fps[3])           # disjoint vocab ⇒ none
+    assert not (fps[2] & fps[3])
+    again = {r.doc_id: set(r.fps) for r in df.select(
+        "doc_id", text.winnow_fingerprints("text", n=3, window=4).alias("fps")
+    ).collect()}
+    assert again == fps                    # deterministic
+    # short docs: < n tokens → no fingerprints; >= n but < n+window-1 → 1 window
+    tiny = spark.createDataFrame([(9, "a b"), (10, "a b c d")], "doc_id long, text string")
+    trows = {r.doc_id: list(r.fps) for r in tiny.select(
+        "doc_id", text.winnow_fingerprints("text", n=3, window=4).alias("fps")).collect()}
+    assert trows[9] == [] and len(trows[10]) == 1
