@@ -103,6 +103,19 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(F.trim(F.regexp_replace(F.lower(c), "\\s+", " ")))
 
 
+def let_bound(value: Column, body) -> Column:
+    """Real let-binding for higher-order expressions: evaluate ``value``
+    ONCE and hand the bound variable to ``body``.
+
+    Spark lambdas re-evaluate captured EXPRESSIONS at every use site —
+    the trap behind round 1's O(tokens²) shingles and round 2's
+    64-md5s-per-token SimHash. Wrapping the value in a 1-element array
+    and transforming over it makes it a bound NamedLambdaVariable inside
+    ``body`` (evaluated once per row), at the cost of one array alloc.
+    """
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def winnow_fingerprints(
     text: Column | str, n: int = 3, window: int = 4
 ) -> Column:
@@ -117,31 +130,40 @@ def winnow_fingerprints(
     (same construction as dedup.md5_hash64) so the DuckDB oracle
     reproduces them exactly. Match documents on exploded fingerprints
     via an inverted-index join — same shape as ngram_jaccard_pairs.
+
+    Both the token array and the gram-hash array are ``let_bound`` —
+    inline they are re-evaluated per element / per window (measured
+    292 s → 7.2 s for the x5 query at sf0.1, identical output).
     """
     from .dedup import md5_hash64
 
     c = F.col(text) if isinstance(text, str) else text
-    # NOTE: order-preserving n-grams (no distinct) — winnowing needs the
-    # positional hash sequence, so build from the raw transform
-    toks = F.split(c, " ")
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-        ),
-    )
-    hs = F.transform(grams, md5_hash64)
-    n_wins = F.size(hs) - window + 1
-    wins = F.transform(
-        F.sequence(F.lit(1), F.greatest(n_wins, F.lit(1))),
-        lambda j: F.array_min(F.slice(hs, j, window)),
-    )
-    # short docs (fewer grams than the window) collapse to one window =
-    # min over all grams — deterministic, mirrored by the SQL oracle
-    return F.when(F.size(toks) >= n, F.array_distinct(wins)).otherwise(
-        F.array().cast("array<long>")
-    )
+
+    def with_toks(ts: Column) -> Column:
+        # order-preserving n-grams (no distinct) — winnowing needs the
+        # positional hash sequence
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size(ts) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(ts, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        )
+
+        def with_hashes(hs: Column) -> Column:
+            n_wins = F.size(hs) - window + 1
+            wins = F.transform(
+                F.sequence(F.lit(1), F.greatest(n_wins, F.lit(1))),
+                lambda j: F.array_min(F.slice(hs, j, window)),
+            )
+            return F.array_distinct(wins)
+
+        # short docs (fewer grams than the window) collapse to one
+        # window = min over all grams — mirrored by the SQL oracle
+        return F.when(
+            F.size(ts) >= n, let_bound(F.transform(grams, md5_hash64), with_hashes)
+        ).otherwise(F.array().cast("array<long>"))
+
+    return let_bound(F.split(c, " "), with_toks)
 
 
 def with_text_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
