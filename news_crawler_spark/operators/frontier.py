@@ -58,29 +58,38 @@ def allowed_by_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
     """
     from ..functions.urls import path_col
 
+    from .text import let_bound
+
     rules_by_host = robots.groupBy("host").agg(
         F.collect_list(F.struct("path_prefix", "rule_kind")).alias("__rules")
     )
     joined = frontier.join(F.broadcast(rules_by_host), "host", "left")
-    path = path_col("canonical_url")
-    matching = F.filter(
-        F.coalesce(
-            F.col("__rules"),
-            F.array().cast("array<struct<path_prefix:string,rule_kind:string>>"),
-        ),
-        lambda r: path.startswith(r["path_prefix"]),
-    )
+
     # max by (length, allow=1/deny=0): allow wins equal-length ties —
     # pinned by the crawl fixtures (same tie rule as the python oracle).
-    best = F.array_max(
-        F.transform(
-            matching,
-            lambda r: F.struct(
-                F.length(r["path_prefix"]).alias("len"),
-                F.when(r["rule_kind"] == "allow", 1).otherwise(0).alias("is_allow"),
+    # The URL path is let_bound: captured inline, the regexp extraction
+    # would re-run once PER RULE per row (lambdas re-evaluate captured
+    # expressions) — with real robots files of hundreds of prefixes per
+    # host that is the whole stage's cost.
+    def best_rule(p):
+        matching = F.filter(
+            F.coalesce(
+                F.col("__rules"),
+                F.array().cast("array<struct<path_prefix:string,rule_kind:string>>"),
             ),
+            lambda r: p.startswith(r["path_prefix"]),
         )
-    )
+        return F.array_max(
+            F.transform(
+                matching,
+                lambda r: F.struct(
+                    F.length(r["path_prefix"]).alias("len"),
+                    F.when(r["rule_kind"] == "allow", 1).otherwise(0).alias("is_allow"),
+                ),
+            )
+        )
+
+    best = let_bound(path_col("canonical_url"), best_rule)
     return (
         joined.withColumn("__best", best)
         .filter(F.col("__best").isNull() | (F.col("__best.is_allow") == 1))
