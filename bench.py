@@ -50,6 +50,7 @@ HEADLINE = [
     "x1_lang_confusion",
     "x2_quality_by_source",
     "x3_token_stats",
+    "x5_winnow_fingerprints",
 ]
 
 
