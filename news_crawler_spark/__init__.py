@@ -15,4 +15,29 @@ checkpoint/resume-able. All Python execution is vectorized (pandas/Arrow
 UDFs); no row-at-a-time Python UDFs anywhere.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+# Public API — the surface a user of the reference system needs
+# (lazy imports keep bare `import news_crawler_spark` JVM-free).
+__all__ = [
+    "CrawlEngine",
+    "EmbedScheduler",
+    "SnapshotCatalog",
+    "get_spark",
+]
+
+
+def __getattr__(name):
+    if name == "CrawlEngine":
+        from .engine import CrawlEngine
+        return CrawlEngine
+    if name == "EmbedScheduler":
+        from .embed_scheduler import EmbedScheduler
+        return EmbedScheduler
+    if name == "SnapshotCatalog":
+        from .catalog import SnapshotCatalog
+        return SnapshotCatalog
+    if name == "get_spark":
+        from .session import get_spark
+        return get_spark
+    raise AttributeError(f"module 'news_crawler_spark' has no attribute {name!r}")

@@ -47,12 +47,17 @@ def main() -> None:
                          "periodic compaction (the 10^10-row mode)")
     ap.add_argument("--compact-every", type=int, default=8,
                     help="mor: full-snapshot compaction interval (rounds)")
+    ap.add_argument("--seen-prefilter", choices=("bloom", "cuckoo"),
+                    default=None,
+                    help="approximate pre-pass for incremental-ingest "
+                         "anti-joins (steady state, |seen| >> |batch|)")
     args = ap.parse_args()
 
     spark = get_spark(app_name="crawl_run", cores=args.cpus, master=args.master)
     eng = CrawlEngine(spark, args.workdir, default_refill=args.refill,
                       merge_mode=args.merge_mode,
-                      compact_every=args.compact_every)
+                      compact_every=args.compact_every,
+                      seen_prefilter=args.seen_prefilter)
 
     t0 = time.perf_counter()
     if eng.catalog.latest_round() is None:
