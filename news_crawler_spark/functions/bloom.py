@@ -4,20 +4,26 @@ Spark's runtime bloom-filter join injection
 (``spark.sql.optimizer.runtime.bloomFilter.enabled``, on in session.py)
 covers the common case; this module is the *explicit* pre-pass for engines
 where that rule is unavailable or the seen side is reused across many
-rounds. Semantics contract: the bloom is only ever used to prove
-"definitely NOT seen" — a "maybe seen" always falls through to the exact
-anti-join, so the result is bit-identical to the exact path (asserted by
+rounds (operators/seen_filter.py persists these filters per bucket).
+Semantics contract: the bloom is only ever used to prove "definitely NOT
+seen" — a "maybe seen" always falls through to the exact anti-join, so
+the result is bit-identical to the exact path (asserted by
 tests/test_bloom.py property tests).
 
 Shape: candidates and seen keys are cogrouped on ``pmod(url_hash,
 n_buckets)`` — one co-partitioned shuffle on each side, then a
 numpy-vectorized build+probe per bucket (no global bitmap, no driver
 state, no mergeable-bloom problem: each bucket's bloom lives and dies
-inside its cogroup task). At 10^10 seen URLs and 4096 buckets each bucket
-holds ~2.4M keys → a 3 MB bitmap at 10 bits/key — comfortably in-task.
+inside its cogroup task — or is loaded from the persisted store). At
+10^10 seen URLs and 4096 buckets each bucket holds ~2.4M keys → a 3 MB
+bitmap at 10 bits/key — comfortably in-task.
 
-Hashing: double hashing off the 64-bit url_hash the engine already
-carries (h1 = low 32, h2 = high 32 | 1) — zero extra string hashing.
+Hashing: double hashing off the Fibonacci-MIXED 64-bit url_hash
+(h1 = low 32 of the mix, h2 = high 32 | 1). The mix matters: the cogroup
+key is the RAW low bits of url_hash, so unmixed h1 values within a task
+would share their low log2(n_buckets) bits and the i=0 probe position
+would concentrate on 1/n_buckets of the bitmap — saturating it and
+silently wasting one of the k hashes.
 """
 
 from __future__ import annotations
@@ -27,12 +33,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+_PHI = np.uint64(0x9E3779B97F4A7C15)  # Fibonacci hashing constant (odd)
 
 
 def _positions(hashes: np.ndarray, m: int, k: int) -> np.ndarray:
-    """(n, k) bit positions via double hashing: (h1 + i·h2) mod m."""
-    u = hashes.astype(np.int64).view(np.uint64)
+    """(n, k) bit positions via double hashing: (h1 + i·h2) mod m, off a
+    multiplicative mix so positions are independent of the raw low bits
+    (= the Spark cogroup key)."""
+    u = hashes.astype(np.int64).view(np.uint64) * _PHI
     h1 = (u & np.uint64(0xFFFFFFFF)).astype(np.uint64)
     h2 = ((u >> np.uint64(32)) | np.uint64(1)).astype(np.uint64)
     i = np.arange(k, dtype=np.uint64)[None, :]
@@ -51,6 +59,50 @@ def _probe(bits: np.ndarray, hashes: np.ndarray, m: int, k: int) -> np.ndarray:
     if not len(hashes):
         return np.zeros(0, dtype=bool)
     return bits[_positions(hashes, m, k)].all(axis=1)
+
+
+class BloomFilter:
+    """Fixed-size bloom over 64-bit key hashes, serializable so
+    operators/seen_filter.py can persist one per bucket and fold new
+    keys in incrementally (insert = OR bits — blooms merge for free).
+    Exceeding ``capacity`` degrades fpr (more rows pay the exact join),
+    never correctness; the store rebuilds at 2× when that happens."""
+
+    def __init__(self, capacity: int, bits_per_key: int = 10, num_hashes: int = 7):
+        self.m = max(64, int(capacity) * bits_per_key)
+        self.k = num_hashes
+        self.capacity = int(capacity)
+        self.n_keys = 0
+        self.bits = np.zeros(self.m, dtype=bool)
+
+    def insert(self, hashes: np.ndarray) -> int:
+        if len(hashes):
+            self.bits[_positions(hashes, self.m, self.k).ravel()] = True
+            self.n_keys += len(hashes)
+        return 0  # blooms never fail to place — signature parity w/ cuckoo
+
+    def contains(self, hashes: np.ndarray) -> np.ndarray:
+        return _probe(self.bits, hashes, self.m, self.k)
+
+    @property
+    def load(self) -> float:
+        return self.n_keys / max(self.capacity, 1)
+
+    def to_bytes(self) -> bytes:
+        header = np.array(
+            [self.m, self.k, self.capacity, self.n_keys], dtype=np.uint64
+        )
+        return header.tobytes() + np.packbits(self.bits).tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "BloomFilter":
+        m, k, capacity, n_keys = np.frombuffer(data, dtype=np.uint64, count=4)
+        self = cls.__new__(cls)
+        self.m, self.k = int(m), int(k)
+        self.capacity, self.n_keys = int(capacity), int(n_keys)
+        packed = np.frombuffer(data, dtype=np.uint8, offset=32)
+        self.bits = np.unpackbits(packed)[: self.m].astype(bool)
+        return self
 
 
 def bloom_split(

@@ -40,6 +40,53 @@ def test_filter_delete_then_absent():
     assert cf.contains(members[500:]).all()
 
 
+def test_filter_correlated_low_bits_all_placed():
+    """The Spark cogroup groups keys by pmod(url_hash, n_buckets), so
+    within one task every key shares its low bits. The table-bucket
+    derivation must be independent of them (round-2 advice measured
+    311/5000 insert failures when bucket1 used the raw low bits)."""
+    base = _hashes("c", 50_000).view(np.uint64)
+    correlated = ((base >> np.uint64(8)) << np.uint64(8)) | np.uint64(0x2A)
+    cf = CuckooFilter(len(correlated))
+    assert cf.build(correlated.view(np.int64)) == 0
+    assert cf.contains(correlated.view(np.int64)).all()
+
+
+def test_filter_serialization_roundtrip():
+    members = _hashes("s", 10_000)
+    others = _hashes("t", 5_000)
+    cf = CuckooFilter(len(members))
+    cf.build(members)
+    cf2 = CuckooFilter.from_bytes(cf.to_bytes())
+    assert cf2.m == cf.m and cf2.n_keys == cf.n_keys
+    assert cf2.contains(members).all()
+    assert (cf2.contains(others) == cf.contains(others)).all()
+
+
+def test_filter_stash_overflow_stays_exact_per_key():
+    """Over-full table → stash absorbs the overflow; membership stays
+    exact per-key (never a bucket-wide degradation, never a false
+    negative), and the stash survives serialization."""
+    members = _hashes("x", 2_000)
+    cf = CuckooFilter(4)  # ~8 slots for 2000 keys
+    assert cf.build(members) > 0
+    assert cf.contains(members).all()
+    cf2 = CuckooFilter.from_bytes(cf.to_bytes())
+    assert cf2.contains(members).all()
+
+
+def test_filter_incremental_insert_equals_bulk_build():
+    a, b = _hashes("ia", 8_000), _hashes("ib", 8_000)
+    both = np.concatenate([a, b])
+    bulk = CuckooFilter(len(both))
+    bulk.build(both)
+    inc = CuckooFilter(len(both))
+    inc.insert(a)
+    inc.insert(b)
+    assert inc.contains(both).all()
+    assert inc.n_keys == bulk.n_keys == len(both)
+
+
 @pytest.fixture()
 def cand_seen(spark):
     cand = spark.range(0, 2000).select(
