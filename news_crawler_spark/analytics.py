@@ -559,6 +559,74 @@ LIMIT 10
 """
 
 
+V6_KEYWORD = "vector"
+V6_TEXT_TERM = "merge"
+
+
+def v6_keyword_topk(spark, sf):
+    """Keyword + full-text filtered vector search — the reference builds
+    a KEYWORD payload index and a dedicated full-text index and filters
+    real searches on them (create_vector_db_index.py:77-98 keyword/text
+    payload schemas; qdrant_full_text_search_index.py). The testdata
+    documents carry no keywords column, so keywords := the first 6
+    whitespace tokens of the text (computed identically in the DuckDB
+    oracle); predicate = array_contains(keywords, kw) AND full-text
+    contains(term) — applied on the payload side BEFORE any vector is
+    touched (same plan contract as v4, asserted in tests/test_plans.py)."""
+    emb = load(spark, sf, "embeddings")
+    payload = load(spark, sf, "documents").select(
+        F.col("doc_id").alias("vec_id"),
+        "text",
+        F.slice(F.split(F.col("text"), " "), 1, 6).alias("keywords"),
+    )
+    pred = F.array_contains(F.col("keywords"), V6_KEYWORD) & F.col(
+        "text"
+    ).contains(V6_TEXT_TERM)
+    return similarity.payload_filtered_topk(emb, payload, pred, QUERY_VEC_ID, k=10)
+
+
+V6_SQL = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+SELECT e.vec_id, e.label,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 4) AS score
+FROM embeddings e
+JOIN documents d ON d.doc_id = e.vec_id, q
+WHERE e.vec_id <> {QUERY_VEC_ID}
+  AND list_contains(list_slice(string_split(d.text, ' '), 1, 6), '{V6_KEYWORD}')
+  AND d.text LIKE '%{V6_TEXT_TERM}%'
+ORDER BY score DESC, e.vec_id
+LIMIT 10
+"""
+
+
+def j9_docs_vectors_reconcile(spark, sf):
+    """Docs⟕vectors collection-health audit: per-source count drift and
+    dim consistency (monitor_collection.py:50-57 article-vs-point counts;
+    vector_db_manager.py:99-121 dim check). n_missing/n_dims are the
+    alarm columns; healthy = (0, 1) everywhere."""
+    from .operators.embed import reconcile_docs_vectors
+
+    return reconcile_docs_vectors(
+        load(spark, sf, "documents"),
+        load(spark, sf, "embeddings"),
+        doc_id_col="doc_id",
+        vec_id_col="vec_id",
+        group_col="source",
+    ).orderBy("source")
+
+
+J9_SQL = """
+SELECT d.source,
+       count(*) AS n_docs,
+       count(e.vec_id) AS n_vectors,
+       count(*) - count(e.vec_id) AS n_missing,
+       count(DISTINCT len(e.embedding)) AS n_dims
+FROM documents d LEFT JOIN embeddings e ON e.vec_id = d.doc_id
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
 def v3_embedding_neardup(spark, sf):
     """Embedding-cosine near-duplicate pairs (exact tier)."""
     return similarity.cosine_pairs(
@@ -866,6 +934,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j6_audit_join": j6_audit_join,
     "j7_broadcast_dims": j7_broadcast_dims,
     "j8_json_props": j8_json_props,
+    "j9_docs_vectors_reconcile": j9_docs_vectors_reconcile,
     "t1_frontier_pop": t1_frontier_pop,
     "t3_cursor_cut": t3_cursor_cut,
     "t4_latest_cursor": t4_latest_cursor,
@@ -874,6 +943,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "v3_embedding_neardup": v3_embedding_neardup,
     "v4_filtered_topk": v4_filtered_topk,
     "v5_ivf_multiprobe": v5_ivf_multiprobe,
+    "v6_keyword_topk": v6_keyword_topk,
     "d1_exact_dedup": d1_exact_dedup,
     "d2_ngram_jaccard": d2_ngram_jaccard,
     "d3_minhash_lsh": d3_minhash_lsh,
@@ -900,6 +970,7 @@ ORACLES: dict[str, str] = {
     "j6_audit_join": J6_SQL,
     "j7_broadcast_dims": J7_SQL,
     "j8_json_props": J8_SQL,
+    "j9_docs_vectors_reconcile": J9_SQL,
     "t1_frontier_pop": T1_SQL,
     "t3_cursor_cut": T3_SQL,
     "t4_latest_cursor": T4_SQL,
@@ -908,6 +979,7 @@ ORACLES: dict[str, str] = {
     "v3_embedding_neardup": V3_SQL,
     "v4_filtered_topk": V4_SQL,
     "v5_ivf_multiprobe": V5_SQL,
+    "v6_keyword_topk": V6_SQL,
     "d1_exact_dedup": D1_SQL,
     "d2_ngram_jaccard": D2_SQL,
     "d3_minhash_lsh": D3_SQL,

@@ -70,6 +70,25 @@ class SnapshotCatalog:
             f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(p)
         )
 
+    def latest_existing(self, table: str, upto_round: int) -> int | None:
+        """Largest round ≤ upto_round with a written snapshot of ``table``
+        (commit-agnostic — callers pass an already-committed upper bound)."""
+        for r in range(upto_round, -1, -1):
+            if self.exists(table, r):
+                return r
+        return None
+
+    def prune_upto(self, table: str, upto_round: int) -> None:
+        """Remove snapshots of ``table`` with round ≤ upto_round — called
+        only AFTER a commit whose compacted snapshot supersedes them, so
+        a crash mid-prune just leaves unread garbage for the next call."""
+        tdir = os.path.join(self.root, table)
+        if not os.path.isdir(tdir):
+            return
+        for name in os.listdir(tdir):
+            if name.startswith("round=") and int(name.split("=", 1)[1]) <= upto_round:
+                shutil.rmtree(os.path.join(tdir, name), ignore_errors=True)
+
     def read_all(self, table: str, upto_round: int | None = None) -> DataFrame:
         """Union of all committed snapshots of an append-only table."""
         rounds = self.committed_rounds()

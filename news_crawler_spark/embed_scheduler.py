@@ -62,16 +62,30 @@ class EmbedScheduler:
         self.dim = dim
         self.batch_per_source = batch_per_source
         self.salts = salts
+        # cached pending count, carried arithmetically across rounds
+        # (pending' = pending - claimed) instead of re-reading and
+        # counting the freshly written slice every round; None = count
+        # once on first step / resume (same pattern as CrawlEngine)
+        self._pending_left: int | None = None
 
     # ------------------------------------------------------------------
     def ingest(self, docs: DataFrame) -> None:
         """Documents → embed round 0: project the embed text (P10), drop
         empties (P8), status=pending. ``docs`` needs doc_id, source, and
-        title/summary columns (the engine's documents table shape)."""
+        title/summary columns (the engine's documents table shape);
+        ``published_ts`` is carried when present so the drain order can
+        match the reference's oldest-first claim
+        (database_manager.py:296-297 ORDER BY published_datetime ASC)."""
+        ts = (
+            F.col("published_ts")
+            if "published_ts" in docs.columns
+            else F.lit(None).cast("timestamp")
+        )
         pending = (
             docs.select(
                 "doc_id",
                 "source",
+                ts.alias("published_ts"),
                 embed_text_col().alias("embed_text"),
             )
             .filter(F.coalesce(F.trim("embed_text"), F.lit("")) != "")
@@ -89,19 +103,23 @@ class EmbedScheduler:
 
     # ------------------------------------------------------------------
     def _claim(self, pending: DataFrame) -> DataFrame:
-        """Per-source batch claim: deterministic top-k by doc_id within
-        each source (reference: fetch_pending_news LIMIT batch per
-        source). Two-phase salted window — identical output to a single
+        """Per-source batch claim: deterministic OLDEST-FIRST top-k by
+        (published_ts, doc_id) within each source — the reference drains
+        pending articles oldest first (database_manager.py:296-297,
+        323-324 ``ORDER BY published_datetime ASC LIMIT batch``); doc_id
+        breaks ties and orders docs with no timestamp (nulls last).
+        Two-phase salted window — identical output to a single
         per-source window, salts× its parallelism."""
         k = self.batch_per_source
+        order = [F.asc_nulls_last("published_ts"), F.asc("doc_id")]
         salt = F.pmod(F.xxhash64("doc_id"), F.lit(self.salts))
-        w1 = Window.partitionBy("source", salt).orderBy("doc_id")
+        w1 = Window.partitionBy("source", salt).orderBy(*order)
         pruned = (
             pending.withColumn("__rn1", F.row_number().over(w1))
             .filter(F.col("__rn1") <= k)
             .drop("__rn1")
         )
-        w2 = Window.partitionBy("source").orderBy("doc_id")
+        w2 = Window.partitionBy("source").orderBy(*order)
         return (
             pruned.withColumn("__rn", F.row_number().over(w2))
             .filter(F.col("__rn") <= k)
@@ -111,6 +129,8 @@ class EmbedScheduler:
     def step(self, round_no: int) -> EmbedRoundStats:
         prev = round_no - 1
         pending = self.catalog.read("embed_pending", prev)
+        if self._pending_left is None:
+            self._pending_left = pending.count()
         claimed = self._claim(pending).cache()
         n_claimed = claimed.count()
 
@@ -124,8 +144,12 @@ class EmbedScheduler:
 
         self.catalog.write("vectors", round_no, vectors)
         self.catalog.write("embed_pending", round_no, next_pending)
-        pending_left = self.catalog.read("embed_pending", round_no).count()
+        # pending_left by arithmetic, not a rescan of the written slice;
+        # the cache updates only after the commit so a crashed step's
+        # retry cannot apply the decrement twice
+        pending_left = self._pending_left - n_claimed
         self.catalog.commit(round_no)
+        self._pending_left = pending_left
         claimed.unpersist()
         return EmbedRoundStats(round_no, n_claimed, pending_left)
 

@@ -256,6 +256,13 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("a_id", "b_id", "jaccard")
     )
+    # materialize the (small, O(|true pairs|)) result, then release the
+    # persisted signatures — repeated calls in a long session must not
+    # accumulate cached partitions until storage eviction kicks in. The
+    # checkpoint also makes downstream iteration (duplicate_clusters)
+    # read a materialized pair graph instead of recomputing the LSH.
+    verified = verified.localCheckpoint(eager=True)
+    mh.unpersist()
     return verified
 
 
@@ -286,6 +293,7 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
         "label", F.col("node")
     ).localCheckpoint()
+    changed = -1
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.v == labels.node)
@@ -308,6 +316,20 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
         labels = new_labels.drop("__changed")
         if changed == 0:
             break
+    if changed != 0:
+        # min-label moves one hop per round, so a component whose
+        # diameter exceeds max_iters would exit here SILENTLY split into
+        # several clusters — surface it instead of returning wrong ids
+        import warnings
+
+        warnings.warn(
+            f"duplicate_clusters did not converge within max_iters="
+            f"{max_iters}: some connected component has a longer "
+            "diameter and its labels are still moving — its docs are "
+            "split across multiple cluster_ids. Raise max_iters.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
@@ -454,4 +476,8 @@ def simhash_pairs(
         )
         .distinct()
     )
+    # materialize, then release the persisted sketches (cache-lifetime
+    # hygiene — same reasoning as minhash_lsh_pairs)
+    pairs = pairs.localCheckpoint(eager=True)
+    sh.unpersist()
     return pairs

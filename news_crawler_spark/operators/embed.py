@@ -93,6 +93,36 @@ def embed_documents(
     return src.mapInPandas(run, schema="doc_id string, vector array<float>, dim int")
 
 
+def reconcile_docs_vectors(
+    docs: DataFrame,
+    vectors: DataFrame,
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    group_col: str = "source",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Collection health audit: per-source doc/vector count drift + dim
+    consistency — the reference's monitor/manager checks restated as one
+    left-join aggregate (monitor_collection.py:50-57 compares DB article
+    counts with Qdrant point counts; vector_db_manager.py:99-121 verifies
+    the collection's vector dim). ``n_missing > 0`` or ``n_dims > 1`` is
+    the drift alarm. One broadcast-friendly join keyed by the doc id; at
+    scale both sides are bucketed by id so the join co-locates."""
+    v = vectors.select(
+        F.col(vec_id_col).alias("__vid"), F.size(F.col(vec_col)).alias("__dim")
+    )
+    return (
+        docs.join(v, docs[doc_id_col] == v["__vid"], "left")
+        .groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("__vid").alias("n_vectors"),
+            (F.count("*") - F.count("__vid")).alias("n_missing"),
+            F.countDistinct("__dim").alias("n_dims"),
+        )
+    )
+
+
 def search(
     embeddings: DataFrame,
     documents: DataFrame,

@@ -49,10 +49,24 @@ def merge_latest(
     tiebreak: str | None = None,
 ) -> DataFrame:
     """Fold a new batch into the cache snapshot: per key, keep whichever
-    side is newer (ties → the batch, last-write-wins like Redis SET)."""
-    return upsert_latest(
-        cache.unionByName(batch), key=key, ts_col=ts_col, tiebreak=tiebreak
+    side is newer (ties → the batch, last-write-wins like Redis SET).
+
+    The LWW guarantee is enforced with an internal origin flag (cache=0,
+    batch=1) as the FINAL tie-break key — without it, ``max_by`` over
+    equal (ts, tiebreak) tuples picks nondeterministically between the
+    cache row and the batch re-write of the same value's key.
+    """
+    cols = cache.columns
+    tagged = cache.withColumn("__origin", F.lit(0)).unionByName(
+        batch.withColumn("__origin", F.lit(1))
     )
+    order = (
+        [F.col(ts_col)]
+        + ([F.col(tiebreak)] if tiebreak else [])
+        + [F.col("__origin")]
+    )
+    pick = F.max_by(F.struct(*cols), F.struct(*order)).alias("__r")
+    return tagged.groupBy(key).agg(pick).select("__r.*")
 
 
 def valid_at(

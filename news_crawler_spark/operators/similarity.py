@@ -342,10 +342,15 @@ def lsh_cosine_pairs(
         .distinct()
     )
     vecs = sketched.select("vid", "vec")
-    return (
+    out = (
         cand.join(vecs.withColumnRenamed("vid", "a_id").withColumnRenamed("vec", "va"), "a_id")
         .join(vecs.withColumnRenamed("vid", "b_id").withColumnRenamed("vec", "vb"), "b_id")
         .withColumn("score", F.round(cosine(F.col("va"), F.col("vb")), 4))
         .filter(F.col("score") >= F.lit(threshold))
         .select("a_id", "b_id", "score")
     )
+    # materialize, then release the persisted sketches (cache-lifetime
+    # hygiene — same reasoning as dedup.minhash_lsh_pairs)
+    out = out.localCheckpoint(eager=True)
+    sketched.unpersist()
+    return out

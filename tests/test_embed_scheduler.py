@@ -38,6 +38,44 @@ def test_drain_batches_per_source(spark, docs, tmp_path):
     assert bad == 0
 
 
+def test_drain_order_is_oldest_first(spark, tmp_path):
+    """Reference fidelity: the per-source claim drains OLDEST first
+    (database_manager.py:296-297 ORDER BY published_datetime ASC), with
+    doc_id breaking ties — so round 1's vectors are exactly the k oldest
+    (published_ts, doc_id) docs of each source."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 5, 1)
+    rows = [
+        (
+            f"d{i:03d}",
+            f"src{i % 2}",
+            f"title {i}",
+            f"summary {i}",
+            base + timedelta(hours=(i * 37) % 60),  # shuffled timestamps
+        )
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id string, source string, title string, summary string, "
+        "published_ts timestamp",
+    )
+    sched = EmbedScheduler(spark, str(tmp_path / "wd"), batch_per_source=7)
+    sched.ingest(docs)
+    sched.step(1)
+    got = {
+        r.doc_id for r in sched.catalog.read("vectors", 1).select("doc_id").collect()
+    }
+    want = set()
+    for src in ("src0", "src1"):
+        members = sorted(
+            ((ts, did) for did, s, _, _, ts in rows if s == src),
+        )[:7]
+        want |= {did for _, did in members}
+    assert got == want
+
+
 def test_resume_no_double_embed_none_skipped(spark, docs, tmp_path):
     wd = str(tmp_path / "wd")
     sched = EmbedScheduler(spark, wd, batch_per_source=10)

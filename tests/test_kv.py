@@ -43,6 +43,19 @@ def test_merge_latest_is_last_write_wins(spark):
     assert {r.symbol: r.price for r in cache2.collect()} == {"usd": 1.0}
 
 
+def test_merge_equal_ts_batch_wins(spark):
+    """Redis SET semantics: a batch write at exactly the cached ts must
+    deterministically replace the cache row (origin flag breaks the tie;
+    without it max_by picks arbitrarily between equal tuples)."""
+    cache = kv.upsert_latest(_obs(spark, [("usd", 1.0, T0, 7)]), tiebreak="obs_id")
+    batch = _obs(spark, [("usd", 2.0, T0, 7)])  # same ts, same obs_id
+    got = kv.merge_latest(cache, batch, tiebreak="obs_id").collect()
+    assert [(r.symbol, r.price) for r in got] == [("usd", 2.0)]
+    # and with no tiebreak column at all
+    got2 = kv.merge_latest(cache, batch).collect()
+    assert [(r.symbol, r.price) for r in got2] == [("usd", 2.0)]
+
+
 def test_ttl_expiry(spark):
     cache = kv.upsert_latest(_obs(spark, [
         ("usd", 1.0, T0, 1),

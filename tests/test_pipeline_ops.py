@@ -389,6 +389,25 @@ def test_duplicate_clusters_matches_union_find(spark):
     assert got[35] == 30 and got[3] == 1 and got[12] == 10
 
 
+def test_duplicate_clusters_warns_when_unconverged(spark):
+    """A component wider than max_iters hops must WARN (labels still
+    moving → silently-split clusters otherwise)."""
+    import warnings
+
+    chain = [(i, i + 1) for i in range(12)]  # diameter 12
+    df = spark.createDataFrame(chain, "a_id long, b_id long")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        dedup.duplicate_clusters(df, max_iters=3).collect()
+    assert any("did not converge" in str(w.message) for w in caught)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = {r.doc_id: r.cluster_id
+               for r in dedup.duplicate_clusters(df, max_iters=20).collect()}
+    assert not any("did not converge" in str(w.message) for w in caught)
+    assert set(got.values()) == {0}
+
+
 def test_ivf_multiprobe_matches_numpy(spark):
     """Multiprobe IVF == numpy oracle: rank cells by centroid cosine,
     probe top-3, exact top-k within; and n_probe=all == brute force."""

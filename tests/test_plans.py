@@ -108,6 +108,18 @@ def test_v4_payload_filter_below_scoring(spark):
     assert "n_chars" in build_side and "src3" in build_side, p
 
 
+def test_v6_keyword_filter_below_scoring(spark):
+    """v6: keyword + full-text predicates evaluate on the payload side
+    below the semi-join (filter → ids → score), ending in
+    TakeOrderedAndProject — same contract as v4."""
+    df = analytics.v6_keyword_topk(spark, SF)
+    p = plan(df)
+    assert "TakeOrderedAndProject" in p
+    assert "LeftSemi" in p
+    build_side = p.split("LeftSemi", 1)[1]
+    assert "array_contains" in build_side and "Contains" in build_side, p
+
+
 def test_embed_claim_is_salted_two_phase(spark):
     """S11 batch claim: the per-source window must rank within
     (source, salt) first — parallelism sources×salts, not sources."""
@@ -121,7 +133,10 @@ def test_embed_claim_is_salted_two_phase(spark):
     )
     sched = EmbedScheduler(spark, tempfile.mkdtemp(), batch_per_source=5)
     pending = docs.selectExpr(
-        "doc_id", "source", "concat(title, '. ', summary) AS embed_text"
+        "doc_id",
+        "source",
+        "cast(null as timestamp) AS published_ts",
+        "concat(title, '. ', summary) AS embed_text",
     )
     p = plan(sched._claim(pending))
     assert "xxhash64" in p and p.count("Window") >= 2, p
