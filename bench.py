@@ -51,6 +51,8 @@ HEADLINE = [
     "x2_quality_by_source",
     "x3_token_stats",
     "x5_winnow_fingerprints",
+    "v6_keyword_topk",
+    "j9_docs_vectors_reconcile",
 ]
 
 
@@ -73,9 +75,10 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
-def crawl_bench(spark, n_seed: int, rounds: int) -> dict[str, float]:
-    """Rounds over a synthetic frontier with wide-open politeness budgets
-    (throughput mode: the budget ceiling, not the network, is the limit)."""
+def _crawl_once(spark, n_seed: int, rounds: int) -> dict[str, float]:
+    """One crawl run over a fresh synthetic frontier with wide-open
+    politeness budgets (throughput mode: the budget ceiling, not the
+    network, is the limit)."""
     import tempfile
 
     from news_crawler_spark.engine import CrawlEngine
@@ -114,6 +117,108 @@ def crawl_bench(spark, n_seed: int, rounds: int) -> dict[str, float]:
         "fetched_urls_per_sec": round(fetched / t_rounds, 1),
         "frontier_ops_per_sec": round(frontier_ops / (t_ingest + t_rounds), 1),
     }
+
+
+def crawl_bench(spark, n_seed: int, rounds: int, reps: int = 3) -> dict:
+    """Medians of ``reps`` independent crawl runs — this VM's wall clock
+    swings ±50% with background steal (the round-2 headline moved −21%/
+    +40% across same-code runs), so a single run is noise. The canonical
+    fetched_urls_per_sec is the median; per-rep values are kept so a
+    contended run is visible instead of silently poisoning the number."""
+    import statistics
+
+    runs = [_crawl_once(spark, n_seed, rounds) for _ in range(reps)]
+    med = statistics.median(r["fetched_urls_per_sec"] for r in runs)
+    by_med = min(runs, key=lambda r: abs(r["fetched_urls_per_sec"] - med))
+    out = dict(by_med)
+    out["fetched_urls_per_sec"] = med
+    out["frontier_ops_per_sec"] = statistics.median(
+        r["frontier_ops_per_sec"] for r in runs
+    )
+    out["reps_urls_per_sec"] = [r["fetched_urls_per_sec"] for r in runs]
+    out["reps_rounds_sec"] = [r["rounds_sec"] for r in runs]
+    return out
+
+
+def ingest_probe(spark, n_seen: int, n_batch: int) -> dict:
+    """Steady-state incremental-ingest probe (the round-2 verdict's done
+    criterion for the persistent prefilter): |seen| ≫ |batch| link-poll
+    batches, half redelivered / half new, exact anti-join vs the
+    persistent cuckoo-filter path — medians of 3 distinct batches on
+    identical state copies. mor merge mode + huge compact_every so the
+    measured work is the ingest dedup itself, not pending-slice rewrite."""
+    import shutil
+    import statistics
+    import tempfile
+
+    from news_crawler_spark.catalog import SnapshotCatalog
+    from news_crawler_spark.engine import CrawlEngine
+    from news_crawler_spark.operators.seen_filter import SeenFilterStore
+
+    half = n_batch // 2
+    base = tempfile.mkdtemp(prefix="bench_ingbase_")
+    t0 = time.perf_counter()
+    eng0 = CrawlEngine(spark, base)
+    eng0.ingest(synth.build_seed_list(spark, n_seen))
+    t_build = time.perf_counter() - t0
+    out: dict = {
+        "seen_urls": n_seen,
+        "batch_urls": n_batch,
+        "seen_build_sec": round(t_build, 1),
+    }
+
+    def mixed_batch(i: int):
+        # half previously-admitted, half new — worst case for a filter
+        # (every redelivered row is a true 'maybe')
+        lo = n_seen + i * half - half
+        return synth.build_seed_list(spark, lo + n_batch, lo=lo)
+
+    def fresh_batch(i: int):
+        # all-new links — the post-cursor-cut steady state (the cursor
+        # cut drops already-delivered links before ingest ever sees them)
+        lo = n_seen + 20 * n_batch + i * n_batch
+        return synth.build_seed_list(spark, lo + n_batch, lo=lo)
+
+    for mode in (None, "cuckoo"):
+        tag = mode or "exact"
+        wd = tempfile.mkdtemp(prefix=f"bench_ing_{tag}_")
+        shutil.rmtree(wd)
+        shutil.copytree(base, wd)
+        if mode:
+            cat = SnapshotCatalog(spark, wd)
+            store = SeenFilterStore(
+                cat,
+                kind=mode,
+                n_buckets=64,
+                capacity_per_bucket=max(1024, (2 * n_seen) // 64),
+            )
+            t0 = time.perf_counter()
+            store.fold(0, cat.read("seen_keys", 0))
+            out["filter_build_sec"] = round(time.perf_counter() - t0, 1)
+        eng = CrawlEngine(
+            spark, wd, merge_mode="mor", compact_every=10**6, seen_prefilter=mode
+        )
+        for kind, mk in (("mixed", mixed_batch), ("fresh", fresh_batch)):
+            ts, admitted = [], 0
+            for i in range(3):
+                t0 = time.perf_counter()
+                admitted = eng.ingest_incremental(mk(i))
+                ts.append(time.perf_counter() - t0)
+            med = statistics.median(ts)
+            out[f"{tag}_{kind}_sec"] = round(med, 2)
+            out[f"{tag}_{kind}_urls_per_sec"] = round(n_batch / med, 1)
+            out[f"{tag}_{kind}_reps"] = [round(t, 2) for t in ts]
+            log(
+                f"  ingest {tag}/{kind}: median {med:.2f}s "
+                f"({[round(t, 2) for t in ts]}, last admitted {admitted})"
+            )
+    out["prefilter_speedup_mixed"] = round(
+        out["exact_mixed_sec"] / out["cuckoo_mixed_sec"], 2
+    )
+    out["prefilter_speedup_fresh"] = round(
+        out["exact_fresh_sec"] / out["cuckoo_fresh_sec"], 2
+    )
+    return out
 
 
 def prepare_probe_input(spark, n_urls: int, path: str) -> None:
@@ -249,8 +354,14 @@ def main() -> None:
     spark = get_spark(app_name="bench", cores=cpus, shuffle_partitions=cpus)
     log(f"== headline queries @ {sf_dir} (local[{cpus}]) ==")
     queries = run_queries(spark, sf_dir)
-    log("== crawl engine throughput ==")
-    crawl = crawl_bench(spark, n_seed, rounds=4)
+    log("== crawl engine throughput (medians of 3) ==")
+    crawl = crawl_bench(spark, n_seed, rounds=4, reps=2 if quick else 3)
+    log("== incremental-ingest prefilter probe ==")
+    ingest = ingest_probe(
+        spark,
+        n_seen=100_000 if quick else 1_000_000,
+        n_batch=4_000 if quick else 20_000,
+    )
     import tempfile
 
     probe_path = tempfile.mkdtemp(prefix="bench_probe_") + "/cand.parquet"
@@ -271,6 +382,7 @@ def main() -> None:
                 "queries": queries,
                 "sf": sf,
                 "crawl": crawl,
+                "ingest": ingest,
                 "scaling": scaling,
                 "total_wall_sec": round(total, 1),
             }

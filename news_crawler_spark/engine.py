@@ -392,7 +392,13 @@ class CrawlEngine:
         self._write_seen_keys(round_no, new_keys, seen)
         if self.filter_store is not None:
             self.filter_store.fold(round_no, new_keys)
-            if self.filter_store.max_load(round_no) > 0.9:
+            # overflow check on the compaction cadence only — it is a
+            # driver round-trip, and a filter a few polls past 0.9 load
+            # just degrades fpr (never correctness)
+            if (
+                round_no % self.compact_every == 0
+                and self.filter_store.max_load(round_no) > 0.9
+            ):
                 # doubling rebuild from the full key set — amortized
                 # O(1)/key; the only O(|seen|) step left, and it is rare
                 self.filter_store.rebuild(

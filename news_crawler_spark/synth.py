@@ -139,11 +139,14 @@ def seed_row(i: int) -> dict:
     }
 
 
-def build_seed_list(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
+def build_seed_list(
+    spark: SparkSession, n: int, partitions: int | None = None, lo: int = 0
+) -> DataFrame:
     """Distributed seed-list generation: ``spark.range`` + ``mapInPandas``
     (each partition generates its own rows — scales linearly, no driver
-    materialization)."""
-    rng = spark.range(0, n, numPartitions=partitions or spark.sparkContext.defaultParallelism)
+    materialization). ``lo`` slices a later window of the same
+    deterministic sequence (incremental-discovery batches)."""
+    rng = spark.range(lo, n, numPartitions=partitions or spark.sparkContext.defaultParallelism)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
