@@ -259,3 +259,44 @@ def robots_df(spark: SparkSession) -> DataFrame:
 
 def politeness_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(politeness_rows(), schema=schemas.POLITENESS)
+
+
+# ---------------------------------------------------------------------------
+# synthetic price feed (K6: the TGJU collector's shape)
+
+# the reference polls currency / gold / coin prices into the Redis cache
+# (collectors/tgju_collector.py:96-108 — price_dollar_rl, price_eur, sekee,
+# geram18, ...; redis_cache_manager.py:24-40 SET key value EX ttl)
+PRICE_SYMBOLS = [
+    "price_dollar_rl", "price_eur", "price_gbp",
+    "geram18", "sekee", "crypto-bitcoin",
+]
+_EPOCH_PRICE = datetime(2024, 6, 10, 8, 0, 0, tzinfo=timezone.utc)
+
+
+def price_row(symbol: str, poll: int, interval_s: int = 300) -> dict:
+    """Pure function (symbol, poll index) → one price observation: a
+    hash-driven deterministic walk, timestamped at poll cadence."""
+    base = 1000 + _u(xxh64_str(f"pricebase:{symbol}")) % 900_000
+    delta = (_u(xxh64_str(f"price:{symbol}:{poll}")) % 2001) - 1000  # ±0.1%·base
+    ts = _EPOCH_PRICE + timedelta(seconds=poll * interval_s)
+    return {
+        "symbol": symbol,
+        "price": round(base * (1.0 + delta / 1_000_000.0), 2),
+        "ts": ts.replace(tzinfo=None),
+        "obs_id": poll * len(PRICE_SYMBOLS) + PRICE_SYMBOLS.index(symbol),
+    }
+
+
+def price_observations(
+    spark: SparkSession, polls: int = 12, interval_s: int = 300
+) -> DataFrame:
+    """All observations of ``polls`` poll sweeps (a tiny dimension-sized
+    feed — one row per symbol per poll; the CACHE, not the feed, is the
+    scale object here)."""
+    rows = [
+        price_row(s, p, interval_s) for p in range(polls) for s in PRICE_SYMBOLS
+    ]
+    return spark.createDataFrame(
+        rows, "symbol string, price double, ts timestamp, obs_id long"
+    )

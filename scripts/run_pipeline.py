@@ -30,10 +30,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from news_crawler_spark import sources  # noqa: E402
+from news_crawler_spark import sources, synth  # noqa: E402
 from news_crawler_spark.embed_scheduler import EmbedScheduler  # noqa: E402
 from news_crawler_spark.engine import CrawlEngine  # noqa: E402
-from news_crawler_spark.operators import dedup, embed  # noqa: E402
+from news_crawler_spark.operators import dedup, embed, kv  # noqa: E402
 from news_crawler_spark.session import get_spark  # noqa: E402
 
 
@@ -86,6 +86,27 @@ def main() -> None:
     )
     out["canonical_docs"] = keep.count()
     out["near_dup_removed"] = out["documents"] - out["canonical_docs"]
+
+    # 3b. price feed → KV latest-value cache (K6): the TGJU collector
+    # analog — poll sweeps fold into one latest-row-per-symbol snapshot
+    # (collectors/tgju_collector.py:96-108 → redis SET key val EX ttl),
+    # then the TTL read filter gives "latest price unless stale"
+    obs = synth.price_observations(spark, polls=12)
+    first = obs.filter(F.col("obs_id") < 6 * len(synth.PRICE_SYMBOLS))
+    rest = obs.filter(F.col("obs_id") >= 6 * len(synth.PRICE_SYMBOLS))
+    cache = kv.merge_latest(
+        kv.upsert_latest(first, tiebreak="obs_id"), rest, tiebreak="obs_id"
+    )
+    price_dir = os.path.join(args.workdir, "prices")
+    cache.coalesce(1).write.mode("overwrite").parquet(price_dir)
+    cache = spark.read.parquet(price_dir)
+    as_of = obs.agg(F.max("ts")).collect()[0][0]
+    fresh_prices = kv.valid_at(cache, F.lit(as_of), ttl_seconds=1800)
+    out["price_symbols"] = cache.count()
+    out["price_fresh"] = fresh_prices.count()
+    out["price_usd"] = cache.filter(
+        F.col("symbol") == "price_dollar_rl"
+    ).collect()[0].price
 
     # 4. embed: resumable pending→completed drain over canonical docs
     sched = EmbedScheduler(spark, os.path.join(args.workdir, "embed"),

@@ -65,3 +65,30 @@ def test_ttl_expiry(spark):
     assert {r.symbol for r in fresh.collect()} == {"usd"}   # gold expired
     all_fresh = kv.valid_at(cache, F.lit(T0), ttl_seconds=600)
     assert all_fresh.count() == 2
+
+
+def test_price_feed_through_cache(spark):
+    """K7-style end-to-end: the synthetic TGJU price feed folds into the
+    cache as latest-per-symbol, matching a pure-python fold of the same
+    deterministic observations."""
+    from news_crawler_spark import synth
+
+    obs = synth.price_observations(spark, polls=8)
+    first = obs.filter(F.col("obs_id") < 4 * len(synth.PRICE_SYMBOLS))
+    rest = obs.filter(F.col("obs_id") >= 4 * len(synth.PRICE_SYMBOLS))
+    cache = kv.merge_latest(
+        kv.upsert_latest(first, tiebreak="obs_id"), rest, tiebreak="obs_id"
+    )
+    got = {r.symbol: (r.price, r.ts) for r in cache.collect()}
+    want = {}
+    for p in range(8):
+        for s in synth.PRICE_SYMBOLS:
+            r = synth.price_row(s, p)
+            if s not in want or r["ts"] > want[s][1]:
+                want[s] = (r["price"], r["ts"])
+    assert got == want and len(got) == len(synth.PRICE_SYMBOLS)
+    # TTL: at the last poll + 1h every entry is stale at ttl=30min
+    last_ts = max(ts for _, ts in want.values())
+    from datetime import timedelta
+    stale = kv.valid_at(cache, F.lit(last_ts + timedelta(hours=1)), ttl_seconds=1800)
+    assert stale.count() == 0
