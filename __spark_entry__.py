@@ -4,8 +4,10 @@
 pivot, range-densify in one plan) at sf0.001. ``queries()`` exposes every
 SQL-expressible operator from SURVEY.md §2 plus the training-data-pipeline
 operators (dedup / similarity / text analysis); ``oracle_sql()`` gives the
-DuckDB equivalent for EVERY query (28/28 — d4 SimHash uses md5-derived
-token hashes precisely so DuckDB can recompute the sketch).
+DuckDB equivalent for EVERY query (33/33 — d4 SimHash uses md5-derived
+token hashes precisely so DuckDB can recompute the sketch; round 3 adds
+v6 keyword/full-text filtered search and the j9 docs⟕vectors
+reconciliation audit).
 """
 
 from __future__ import annotations

@@ -347,7 +347,9 @@ def md5_hash64(value: Column) -> Column:
     return F.shiftleft(hi, 32).bitwiseOR(lo)
 
 
-def simhash64(text_col: str, token_hash: str = "md5") -> Column:
+def simhash64(
+    text_col: str, token_hash: str = "md5", hash_fn=None
+) -> Column:
     """64-bit SimHash of the whitespace tokens — pure expressions:
     per-token hash, per-bit ±1 vote aggregated with a fold over a
     64-long counter array, sign → bit. No Python, no explode.
@@ -363,7 +365,7 @@ def simhash64(text_col: str, token_hash: str = "md5") -> Column:
     sketch cost (the same captured-expression trap as the O(tokens²)
     shingle bug in round 1)."""
     toks = tokens(text_col)
-    hfn = md5_hash64 if token_hash == "md5" else F.xxhash64
+    hfn = hash_fn or (md5_hash64 if token_hash == "md5" else F.xxhash64)
     hashes = F.transform(toks, lambda t: hfn(t))
     zero = F.array_repeat(F.lit(0).cast("long"), 64)
 
@@ -407,6 +409,105 @@ def with_simhash(
     return docs.select(
         F.col(id_col).alias("doc_id"), simhash64(text_col, token_hash).alias("simhash")
     )
+
+
+# ---- 128-bit variant -------------------------------------------------------
+# At 10^9+ docs, complete recall at hamming radius 8 over a 64-bit sketch
+# needs 9 bands of ~7 bits → only 128 bucket values per band, so candidate
+# volume grows ~n²/128 per band on dissimilar corpora (the scale note on
+# simhash_pairs). Doubling the sketch to 128 bits keeps the same pigeonhole
+# guarantee with ~14-bit chunks — 16384 bucket values per band, two orders
+# of magnitude fewer accidental collisions — at 2× sketch cost.
+
+def md5_hash64_w2(value: Column) -> Column:
+    """The SECOND 64-bit word of md5 (hex chars 17-32) — md5 is 128 bits,
+    so the two words give two independent 64-bit token hashes for free."""
+    hx = F.md5(value)
+    hi = F.conv(F.substring(hx, 17, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(hx, 25, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
+def with_simhash128(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, sh_w1, sh_w2): a 128-bit SimHash as two independent
+    64-bit sketches — each bit of a SimHash is independent, so sketching
+    the two md5 words separately IS the 128-bit sketch."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        simhash64(text_col, hash_fn=md5_hash64).alias("sh_w1"),
+        simhash64(text_col, hash_fn=md5_hash64_w2).alias("sh_w2"),
+    )
+
+
+def simhash128_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    n_bands: int | None = None,
+) -> DataFrame:
+    """ALL pairs with hamming128 <= max_hamming via the banded pigeonhole
+    over the 128-bit sketch (same contract and plan order as
+    ``simhash_pairs``; chunks never straddle the word boundary, so every
+    chunk is one shiftright+mask on one long)."""
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    sh = with_simhash128(docs, text_col, id_col).persist()
+    bands_w1 = (n_bands + 1) // 2
+    bands_w2 = n_bands - bands_w1
+
+    def word_chunks(col: str, n: int, band_off: int):
+        bounds = [b * 64 // n for b in range(n + 1)]
+        return [
+            F.struct(
+                F.lit(band_off + b).alias("band"),
+                F.shiftright(F.col(col), bounds[b])
+                .bitwiseAND(F.lit((1 << (bounds[b + 1] - bounds[b])) - 1).cast("long"))
+                .alias("chunk"),
+            )
+            for b in range(n)
+        ]
+
+    banded = sh.select(
+        "doc_id",
+        "sh_w1",
+        "sh_w2",
+        F.explode(
+            F.array(
+                *word_chunks("sh_w1", bands_w1, 0),
+                *word_chunks("sh_w2", bands_w2, bands_w1),
+            )
+        ).alias("bb"),
+    ).select(
+        "doc_id", "sh_w1", "sh_w2",
+        F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk"),
+    )
+    # verify BEFORE distinct (the d4 lesson: dedupe true pairs, never the
+    # raw candidate stream)
+    pairs = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "chunk"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("x.sh_w1").bitwiseXOR(F.col("y.sh_w1")))
+            + F.bit_count(F.col("x.sh_w2").bitwiseXOR(F.col("y.sh_w2"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("x.doc_id").alias("a_id"),
+            F.col("y.doc_id").alias("b_id"),
+            "hamming",
+        )
+        .distinct()
+    )
+    pairs = pairs.localCheckpoint(eager=True)
+    sh.unpersist()
+    return pairs
 
 
 def simhash_pairs(

@@ -389,6 +389,55 @@ def test_duplicate_clusters_matches_union_find(spark):
     assert got[35] == 30 and got[3] == 1 and got[12] == 10
 
 
+def py_simhash128(txt: str) -> tuple[int, int]:
+    """Two independent 64-bit sketches from the two md5 words."""
+    import hashlib
+
+    out = []
+    for word in (0, 1):
+        votes = [0] * 64
+        for t in txt.split(" "):
+            hx = hashlib.md5(t.encode()).hexdigest()
+            u = int(hx[16 * word : 16 * word + 16], 16)
+            for b in range(64):
+                votes[b] += 1 if (u >> b) & 1 else -1
+        w = 0
+        for b in range(64):
+            if votes[b] > 0:
+                w |= 1 << b
+        out.append(_signed(w))
+    return tuple(out)
+
+
+def test_simhash128_matches_python_twin(spark, docs, doc_rows):
+    got = {
+        r.doc_id: (r.sh_w1, r.sh_w2)
+        for r in dedup.with_simhash128(docs.limit(10)).collect()
+    }
+    for doc_id, sh in got.items():
+        assert sh == py_simhash128(doc_rows[doc_id]), doc_id
+
+
+def test_simhash128_pairs_complete_at_radius(spark, docs, doc_rows):
+    """128-bit banding (bands split across the two words, never straddling
+    the word boundary) must be COMPLETE at the radius — output equals the
+    exact all-pairs hamming128<=8 set."""
+    rows = dedup.simhash128_pairs(docs, max_hamming=8).collect()
+    sh = {d: py_simhash128(t) for d, t in doc_rows.items()}
+    ids = sorted(sh)
+    mask = (1 << 64) - 1
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin(((sh[a][0] ^ sh[b][0]) & mask)).count("1") + bin(
+                ((sh[a][1] ^ sh[b][1]) & mask)
+            ).count("1")
+            if h <= 8:
+                want[(a, b)] = h
+    got = {(r.a_id, r.b_id): r.hamming for r in rows}
+    assert got == want
+
+
 def test_duplicate_clusters_warns_when_unconverged(spark):
     """A component wider than max_iters hops must WARN (labels still
     moving → silently-split clusters otherwise)."""
