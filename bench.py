@@ -140,13 +140,84 @@ def crawl_bench(spark, n_seed: int, rounds: int, reps: int = 3) -> dict:
     return out
 
 
+def unseen_op_ab(
+    spark, n_keys: int, n_batch: int, kind: str = "bloom", reps: int = 5
+) -> dict:
+    """The unseen CHECK alone, exact anti-join vs persistent-filter
+    probe, interleaved A/B at a given |seen| — the slope evidence: the
+    exact path shuffles O(|seen|) rows per poll, the filter path's jobs
+    are O(|batch| + filter state) with a scan-only confirm. Interleaving
+    makes VM steal hit both arms equally so the RATIO is trustworthy.
+    Keys are synthesized directly (no engine state needed), so large
+    |seen| stays affordable."""
+    import statistics
+    import tempfile
+
+    from news_crawler_spark.catalog import SnapshotCatalog
+    from news_crawler_spark.operators import seen_set
+    from news_crawler_spark.operators.seen_filter import SeenFilterStore
+
+    tmp = tempfile.mkdtemp(prefix="bench_opab_")
+    key = lambda df: df.select(  # noqa: E731
+        F.xxhash64(F.concat(F.lit("k"), "id")).alias("url_hash"),
+        F.concat(F.lit("https://h/p/"), "id").alias("canonical_url"),
+    )
+    parts = max(8, spark.sparkContext.defaultParallelism)
+    key(spark.range(0, n_keys)).repartitionByRange(parts, "url_hash") \
+        .sortWithinPartitions("url_hash").write.parquet(tmp + "/seen")
+    seen = spark.read.parquet(tmp + "/seen")
+    n_buckets = max(64, n_keys // 250_000)
+    store = SeenFilterStore(
+        SnapshotCatalog(spark, tmp),
+        kind=kind,
+        n_buckets=n_buckets,
+        capacity_per_bucket=max(1024, (2 * n_keys) // n_buckets),
+    )
+    t0 = time.perf_counter()
+    store.fold(0, seen)
+    t_fold = time.perf_counter() - t0
+    half = n_batch // 2
+    batch = key(
+        spark.range(0, half).unionAll(spark.range(2 * n_keys, 2 * n_keys + half))
+    ).localCheckpoint(eager=True)  # half truly-seen + half truly-new
+    ts_e, ts_f = [], []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        seen_set.unseen_only(batch, seen).count()
+        ts_e.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        store.unseen(batch, seen, 0).count()
+        ts_f.append(time.perf_counter() - t0)
+    out = {
+        "seen_keys": n_keys,
+        "batch": n_batch,
+        "kind": kind,
+        "full_fold_sec": round(t_fold, 1),
+        "exact_sec": round(statistics.median(ts_e), 2),
+        "filter_sec": round(statistics.median(ts_f), 2),
+        "exact_reps": [round(t, 2) for t in ts_e],
+        "filter_reps": [round(t, 2) for t in ts_f],
+    }
+    out["speedup"] = round(out["exact_sec"] / out["filter_sec"], 2)
+    log(
+        f"  unseen A/B @ {n_keys}: exact {out['exact_sec']}s vs "
+        f"{kind} {out['filter_sec']}s ({out['speedup']}x)"
+    )
+    return out
+
+
 def ingest_probe(spark, n_seen: int, n_batch: int) -> dict:
     """Steady-state incremental-ingest probe (the round-2 verdict's done
     criterion for the persistent prefilter): |seen| ≫ |batch| link-poll
     batches, half redelivered / half new, exact anti-join vs the
     persistent cuckoo-filter path — medians of 3 distinct batches on
     identical state copies. mor merge mode + huge compact_every so the
-    measured work is the ingest dedup itself, not pending-slice rewrite."""
+    measured work is the ingest dedup itself, not pending-slice rewrite.
+
+    Run at TWO seen sizes (main): the scale evidence is the SLOPE — the
+    exact path's cost grows with |seen| (its anti-join shuffles the seen
+    side), the prefiltered path's does not (probe + fold touch O(|batch|)
+    + fixed filter state; the confirm is a pruned scan)."""
     import shutil
     import statistics
     import tempfile
@@ -154,6 +225,9 @@ def ingest_probe(spark, n_seen: int, n_batch: int) -> dict:
     from news_crawler_spark.catalog import SnapshotCatalog
     from news_crawler_spark.engine import CrawlEngine
     from news_crawler_spark.operators.seen_filter import SeenFilterStore
+
+    from news_crawler_spark.functions.urls import with_url_columns
+    from news_crawler_spark.operators import seen_set
 
     half = n_batch // 2
     base = tempfile.mkdtemp(prefix="bench_ingbase_")
@@ -166,6 +240,46 @@ def ingest_probe(spark, n_seen: int, n_batch: int) -> dict:
         "batch_urls": n_batch,
         "seen_build_sec": round(t_build, 1),
     }
+
+    # ---- op-level A/B: the unseen CHECK itself, interleaved ------------
+    # VM steal on this sandbox swings wall clock 3-10x between minutes;
+    # interleaving exact/prefilter reps makes contention hit both arms
+    # equally, so the RATIO is trustworthy even when absolutes are not.
+    cat0 = SnapshotCatalog(spark, base)
+    store0 = SeenFilterStore(
+        cat0, kind="cuckoo", n_buckets=64,
+        capacity_per_bucket=max(1024, (2 * n_seen) // 64),
+    )
+    t0 = time.perf_counter()
+    store0.fold(0, cat0.read("seen_keys", 0))
+    out["filter_build_sec"] = round(time.perf_counter() - t0, 1)
+    seen0 = cat0.read("seen_keys", 0)
+    op_batch = synth.build_seed_list(spark, half).unionByName(
+        synth.build_seed_list(
+            spark, n_seen + 50 * n_batch + half, lo=n_seen + 50 * n_batch
+        )
+    )  # half truly-seen + half truly-new
+    fresh0 = seen_set.dedup_first_wins(
+        with_url_columns(op_batch, "url")
+    ).localCheckpoint(eager=True)
+    ts_e, ts_c = [], []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        seen_set.unseen_only(fresh0, seen0).count()
+        ts_e.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        store0.unseen(fresh0, seen0, 0).count()
+        ts_c.append(time.perf_counter() - t0)
+    out["op_exact_sec"] = round(statistics.median(ts_e), 2)
+    out["op_cuckoo_sec"] = round(statistics.median(ts_c), 2)
+    out["op_exact_reps"] = [round(t, 2) for t in ts_e]
+    out["op_cuckoo_reps"] = [round(t, 2) for t in ts_c]
+    out["op_speedup"] = round(out["op_exact_sec"] / out["op_cuckoo_sec"], 2)
+    log(
+        f"  unseen-op A/B: exact {out['op_exact_sec']}s vs prefilter "
+        f"{out['op_cuckoo_sec']}s ({out['op_speedup']}x; "
+        f"reps e={out['op_exact_reps']} c={out['op_cuckoo_reps']})"
+    )
 
     def mixed_batch(i: int):
         # half previously-admitted, half new — worst case for a filter
@@ -183,18 +297,7 @@ def ingest_probe(spark, n_seen: int, n_batch: int) -> dict:
         tag = mode or "exact"
         wd = tempfile.mkdtemp(prefix=f"bench_ing_{tag}_")
         shutil.rmtree(wd)
-        shutil.copytree(base, wd)
-        if mode:
-            cat = SnapshotCatalog(spark, wd)
-            store = SeenFilterStore(
-                cat,
-                kind=mode,
-                n_buckets=64,
-                capacity_per_bucket=max(1024, (2 * n_seen) // 64),
-            )
-            t0 = time.perf_counter()
-            store.fold(0, cat.read("seen_keys", 0))
-            out["filter_build_sec"] = round(time.perf_counter() - t0, 1)
+        shutil.copytree(base, wd)  # carries the folded filter state
         eng = CrawlEngine(
             spark, wd, merge_mode="mor", compact_every=10**6, seen_prefilter=mode
         )
@@ -362,6 +465,10 @@ def main() -> None:
         n_seen=100_000 if quick else 1_000_000,
         n_batch=4_000 if quick else 20_000,
     )
+    ingest["op_ab"] = [
+        unseen_op_ab(spark, n, 4_000 if quick else 20_000)
+        for n in ((200_000,) if quick else (1_000_000, 16_000_000))
+    ]
     import tempfile
 
     probe_path = tempfile.mkdtemp(prefix="bench_probe_") + "/cand.parquet"

@@ -64,6 +64,15 @@ class SnapshotCatalog:
     def read(self, table: str, round_no: int) -> DataFrame:
         return self.spark.read.parquet(self._path(table, round_no))
 
+    def copy_snapshot(self, table: str, from_round: int, to_round: int) -> None:
+        """Carry a snapshot forward unchanged as a file copy — no Spark
+        job for a byte-identical table (Iceberg analog: a new snapshot
+        pointing at the same data files, metadata-only)."""
+        src, dst = self._path(table, from_round), self._path(table, to_round)
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        shutil.copytree(src, dst)
+
     def exists(self, table: str, round_no: int) -> bool:
         p = self._path(table, round_no)
         return os.path.isdir(p) and any(

@@ -387,7 +387,9 @@ class CrawlEngine:
             [], "url_hash long, canonical_url string"
         )
         self._write_pending(round_no, merged, empty_keys, new_rows)
-        self.catalog.write("tokens", round_no, self.catalog.read("tokens", prev))
+        # tokens are unchanged by a discovery round — metadata-only copy,
+        # not a Spark read+write job
+        self.catalog.copy_snapshot("tokens", prev, round_no)
         new_keys = new_rows.select("url_hash", "canonical_url")
         self._write_seen_keys(round_no, new_keys, seen)
         if self.filter_store is not None:

@@ -301,26 +301,33 @@ class SeenFilterStore:
         probe becomes an index lookup and this method is the only place
         to swap."""
         # materialize the (batch-sized) tagged probe once: both branches
-        # read it, and the maybe-count below must not re-run the cogroup
+        # read it, and the maybe inspection below must not re-run the
+        # cogroup
         tagged = self.probe(candidates, round_no).localCheckpoint(eager=True)
         definitely_new = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
         maybe = tagged.filter(F.col("maybe_seen")).drop("maybe_seen")
-        n_maybe = maybe.count()
-        if n_maybe == 0:
+        # ONE small job learns the sliver size AND (when small) the
+        # hashes for the scan predicate: collect up to the threshold+1
+        sliver = maybe.select("url_hash").limit(257).collect()
+        if not sliver:
             # nothing to confirm → the seen table is NOT TOUCHED AT ALL
             # this poll: an all-new batch costs O(|batch|) + filter
             # state, period.
             return definitely_new
         keys = ["url_hash", "canonical_url"]
         seen_side = seen_keys.select(*keys)
-        if n_maybe <= 2048:
+        if len(sliver) <= 256:
             # small sliver (fpr-only, the post-cursor-cut steady state):
             # ship the maybe hashes into the scan as an In predicate so
             # the range-sorted seen_keys base prunes to the few row
-            # groups that can contain them — the collect is ≤2048 longs,
-            # a semi-join reduction, not a driver-side loop
-            hashes = [r.url_hash for r in maybe.select("url_hash").collect()]
-            seen_side = seen_side.filter(F.col("url_hash").isin(hashes))
+            # groups that can contain them — ≤256 longs on the driver, a
+            # semi-join reduction, not a driver-side loop. 256 stays
+            # under the parquet pushdown cap (session.py): parquet
+            # evaluates a pushed In as a recursive Or tree and ~2000
+            # values overflow the executor stack
+            seen_side = seen_side.filter(
+                F.col("url_hash").isin([r.url_hash for r in sliver])
+            )
         truly_seen = seen_side.join(
             F.broadcast(maybe.select(*keys)), keys, "left_semi"
         )

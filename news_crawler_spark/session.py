@@ -62,11 +62,14 @@ def get_spark(
         # (note: runtimeFilter.semiJoinReduction hangs session startup on
         # this pyspark build — do not enable it)
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-        # push large IN-lists down to parquet (default 10): the seen-set
-        # confirm path filters the range-sorted seen_keys scan by the
-        # maybe-sliver's url_hash list, and rowgroup min/max stats prune
-        # it only if the In predicate actually reaches the reader
-        .config("spark.sql.parquet.pushdown.inFilterThreshold", "2048")
+        # push moderate IN-lists down to parquet (default 10): the
+        # seen-set confirm path filters the range-sorted seen_keys scan
+        # by the maybe-sliver's url_hash list, and rowgroup min/max
+        # stats prune it only if the In predicate actually reaches the
+        # reader. Capped at 300 — parquet evaluates a pushed In as a
+        # RECURSIVE Or tree, and ~2000 values overflowed the executor
+        # stack (scala.MatchError: StackOverflowError in FileScanRDD)
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "300")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -219,3 +219,23 @@ def test_engine_done_compaction_bounds_dirs(spark, tmp_path_factory):
         for r in e.final_frontier().groupBy("status").count().collect()
     }
     assert by_status(eng) == by_status(eng2)
+
+
+def test_store_unseen_small_sliver_in_pushdown(spark, tmp_path):
+    """Sliver ≤256 takes the In-predicate scan path (and must not blow
+    the parquet reader's recursive Or evaluation — ~2000 values did)."""
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    store = SeenFilterStore(cat, kind="cuckoo", n_buckets=8, capacity_per_bucket=8192)
+    seen = _keys(spark, 0, 5000)
+    store.fold(0, seen)
+    seen_path = str(tmp_path / "seen_pq")
+    seen.write.parquet(seen_path)
+    seen_tbl = spark.read.parquet(seen_path)
+    # overlap of 100 → sliver ≈ 100 (+ rare fps) ⇒ In path
+    cand = _keys(spark, 4900, 7000)
+    got = store.unseen(cand, seen_tbl, 0)
+    exact = cand.join(seen, ["url_hash", "canonical_url"], "left_anti")
+    assert sorted(r.url_hash for r in got.collect()) == sorted(
+        r.url_hash for r in exact.collect()
+    )
+    assert got.count() == 2000
