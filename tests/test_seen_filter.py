@@ -239,3 +239,46 @@ def test_store_unseen_small_sliver_in_pushdown(spark, tmp_path):
         r.url_hash for r in exact.collect()
     )
     assert got.count() == 2000
+
+
+def test_engine_triggers_filter_rebuild_on_overflow(spark, tmp_path_factory):
+    """An over-capacity filter store must double itself through the
+    ENGINE's compaction-cadence trigger (not just the store API), and
+    keep admitting correctly afterwards."""
+    wd = str(tmp_path_factory.mktemp("rb"))
+    eng = CrawlEngine(
+        spark, wd, seen_prefilter="bloom", compact_every=2,
+        filter_buckets=4, filter_capacity=32,  # tiny → overflow fast
+    )
+    eng.ingest(synth.build_seed_list(spark, 300))
+    store = eng.filter_store
+    cap0 = store.capacity
+    for i in range(1, 5):
+        eng.ingest_incremental(synth.build_seed_list(spark, 300 + 40 * i))
+    assert store.capacity > cap0  # doubling rebuild fired via the engine
+    # still exact: full redelivery admits nothing
+    assert eng.ingest_incremental(synth.build_seed_list(spark, 440)) == 0
+
+
+def test_streaming_ingest_with_persistent_filter(spark, tmp_path_factory):
+    """The foreachBatch streaming ingest path composes with the
+    persistent filter store: replayed micro-batches are absorbed, new
+    links admitted — same totals as the exact-path twin."""
+    import os as _os
+
+    from news_crawler_spark import streaming
+
+    def run(prefilter):
+        wd = str(tmp_path_factory.mktemp(f"st_{prefilter}"))
+        src = str(tmp_path_factory.mktemp(f"src_{prefilter}"))
+        ckpt = str(tmp_path_factory.mktemp(f"ck_{prefilter}"))
+        eng = CrawlEngine(spark, wd, seen_prefilter=prefilter)
+        eng.ingest(synth.build_seed_list(spark, 200))
+        synth.build_seed_list(spark, 260).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(_os.path.join(src, "batch1"))
+        streaming.drain_available(eng, _os.path.join(src, "batch1"), ckpt)
+        latest = eng.catalog.latest_round()
+        return {r.canonical_url for r in eng._read_seen_keys(latest).collect()}
+
+    assert run("cuckoo") == run(None)
