@@ -241,10 +241,10 @@ def ingest_probe(spark, n_seen: int, n_batch: int) -> dict:
         "seen_build_sec": round(t_build, 1),
     }
 
-    # ---- op-level A/B: the unseen CHECK itself, interleaved ------------
-    # VM steal on this sandbox swings wall clock 3-10x between minutes;
-    # interleaving exact/prefilter reps makes contention hit both arms
-    # equally, so the RATIO is trustworthy even when absolutes are not.
+    # fold the full seen set into a persistent store ONCE on the base
+    # workdir — both engine modes below copytree it (the cuckoo mode
+    # probes it; the exact mode ignores it). The unseen-CHECK A/B itself
+    # lives in unseen_op_ab (interleaved, two seen sizes).
     cat0 = SnapshotCatalog(spark, base)
     store0 = SeenFilterStore(
         cat0, kind="cuckoo", n_buckets=64,
@@ -253,33 +253,6 @@ def ingest_probe(spark, n_seen: int, n_batch: int) -> dict:
     t0 = time.perf_counter()
     store0.fold(0, cat0.read("seen_keys", 0))
     out["filter_build_sec"] = round(time.perf_counter() - t0, 1)
-    seen0 = cat0.read("seen_keys", 0)
-    op_batch = synth.build_seed_list(spark, half).unionByName(
-        synth.build_seed_list(
-            spark, n_seen + 50 * n_batch + half, lo=n_seen + 50 * n_batch
-        )
-    )  # half truly-seen + half truly-new
-    fresh0 = seen_set.dedup_first_wins(
-        with_url_columns(op_batch, "url")
-    ).localCheckpoint(eager=True)
-    ts_e, ts_c = [], []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        seen_set.unseen_only(fresh0, seen0).count()
-        ts_e.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        store0.unseen(fresh0, seen0, 0).count()
-        ts_c.append(time.perf_counter() - t0)
-    out["op_exact_sec"] = round(statistics.median(ts_e), 2)
-    out["op_cuckoo_sec"] = round(statistics.median(ts_c), 2)
-    out["op_exact_reps"] = [round(t, 2) for t in ts_e]
-    out["op_cuckoo_reps"] = [round(t, 2) for t in ts_c]
-    out["op_speedup"] = round(out["op_exact_sec"] / out["op_cuckoo_sec"], 2)
-    log(
-        f"  unseen-op A/B: exact {out['op_exact_sec']}s vs prefilter "
-        f"{out['op_cuckoo_sec']}s ({out['op_speedup']}x; "
-        f"reps e={out['op_exact_reps']} c={out['op_cuckoo_reps']})"
-    )
 
     def mixed_batch(i: int):
         # half previously-admitted, half new — worst case for a filter

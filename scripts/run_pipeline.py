@@ -87,6 +87,18 @@ def main() -> None:
     out["canonical_docs"] = keep.count()
     out["near_dup_removed"] = out["documents"] - out["canonical_docs"]
 
+    # 3a. media: the docs are INTERLEAVED text+media — materialize the
+    # span media_refs as a binary media table (payload in its own
+    # column, pruning-friendly) and reduce to fixed-width features; the
+    # features, not the bytes, are what downstream training joins on
+    from news_crawler_spark.operators import multimodal
+
+    media = multimodal.media_table(keep)
+    feats = multimodal.extract_media_features(media, dim=16)
+    media_dir = os.path.join(args.workdir, "media_features")
+    feats.write.mode("overwrite").parquet(media_dir)
+    out["media_items"] = spark.read.parquet(media_dir).count()
+
     # 3b. price feed → KV latest-value cache (K6): the TGJU collector
     # analog — poll sweeps fold into one latest-row-per-symbol snapshot
     # (collectors/tgju_collector.py:96-108 → redis SET key val EX ttl),
