@@ -360,6 +360,12 @@ class CrawlEngine:
         seen set), and the cursors fold prev ⊕ batch instead of
         re-scanning pending.
         """
+        # a crashed earlier attempt may have left uncommitted round dirs;
+        # every read below resolves strictly ≤ the last committed round,
+        # but the mor pending-base probe scans raw dirs — clean first so
+        # a direct ingest_incremental() after a crash (without run())
+        # never reads a half-written snapshot
+        self.catalog.drop_uncommitted()
         prev = self.catalog.latest_round()
         if prev is None:
             raise RuntimeError("ingest() first — no committed round 0")
