@@ -35,6 +35,17 @@ fold and only the TOUCHED buckets' bytes actually change.
 
 Config (kind, n_buckets, capacity) persists in ``seen_filter/_META.json``
 so a resumed engine attaches with the same geometry.
+
+Measured caveat (BENCH.md round 3, interleaved A/B at 1M and 16M keys):
+on this Spark build the PLAIN exact anti-join is already semi-join-
+reduced by the runtime bloom-filter injection (session.py enables it),
+so at sandbox scales and file counts the exact path wins wall-clock and
+stays the engine default. This store is the right tool where runtime
+filters are unavailable, where the per-poll seen SCAN is the bill
+(object-storage tables with ~10^5 range-sorted files, which the In
+fast path prunes at file level), or where seen-set retirement (cuckoo
+delete) is needed — and its output is equivalence-pinned to the exact
+path either way.
 """
 
 from __future__ import annotations
