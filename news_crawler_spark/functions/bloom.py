@@ -66,23 +66,39 @@ class BloomFilter:
     operators/seen_filter.py can persist one per bucket and fold new
     keys in incrementally (insert = OR bits — blooms merge for free).
     Exceeding ``capacity`` degrades fpr (more rows pay the exact join),
-    never correctness; the store rebuilds at 2× when that happens."""
+    never correctness; the store rebuilds at 2× when that happens.
+
+    The bitmap stays PACKED (uint8, np.packbits bit order: bit i → byte
+    i>>3, mask 0x80>>(i&7)) in memory and on disk: probing indexes the
+    packed bytes directly, so deserializing a large persisted bucket
+    never materializes an 8× bool array (measured: the 16M-key probe
+    spent most of its 10 s unpacking 40 MB of state into 320 MB of
+    bools)."""
 
     def __init__(self, capacity: int, bits_per_key: int = 10, num_hashes: int = 7):
         self.m = max(64, int(capacity) * bits_per_key)
         self.k = num_hashes
         self.capacity = int(capacity)
         self.n_keys = 0
-        self.bits = np.zeros(self.m, dtype=bool)
+        self.packed = np.zeros((self.m + 7) // 8, dtype=np.uint8)
 
     def insert(self, hashes: np.ndarray) -> int:
         if len(hashes):
-            self.bits[_positions(hashes, self.m, self.k).ravel()] = True
+            idx = _positions(hashes, self.m, self.k).ravel()
+            # ufunc.at: repeated byte indexes within one batch must OR
+            # cumulatively (plain fancy-index |= drops duplicates)
+            np.bitwise_or.at(
+                self.packed, idx >> 3, (0x80 >> (idx & 7)).astype(np.uint8)
+            )
             self.n_keys += len(hashes)
         return 0  # blooms never fail to place — signature parity w/ cuckoo
 
     def contains(self, hashes: np.ndarray) -> np.ndarray:
-        return _probe(self.bits, hashes, self.m, self.k)
+        if not len(hashes):
+            return np.zeros(0, dtype=bool)
+        idx = _positions(hashes, self.m, self.k)
+        hit = (self.packed[idx >> 3] & (0x80 >> (idx & 7)).astype(np.uint8)) != 0
+        return hit.all(axis=1)
 
     @property
     def load(self) -> float:
@@ -92,7 +108,7 @@ class BloomFilter:
         header = np.array(
             [self.m, self.k, self.capacity, self.n_keys], dtype=np.uint64
         )
-        return header.tobytes() + np.packbits(self.bits).tobytes()
+        return header.tobytes() + self.packed.tobytes()
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "BloomFilter":
@@ -100,8 +116,7 @@ class BloomFilter:
         self = cls.__new__(cls)
         self.m, self.k = int(m), int(k)
         self.capacity, self.n_keys = int(capacity), int(n_keys)
-        packed = np.frombuffer(data, dtype=np.uint8, offset=32)
-        self.bits = np.unpackbits(packed)[: self.m].astype(bool)
+        self.packed = np.frombuffer(data, dtype=np.uint8, offset=32).copy()
         return self
 
 
