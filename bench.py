@@ -167,15 +167,23 @@ def unseen_op_ab(
         .sortWithinPartitions("url_hash").write.parquet(tmp + "/seen")
     seen = spark.read.parquet(tmp + "/seen")
     n_buckets = max(64, n_keys // 250_000)
+    cap = max(1024, (2 * n_keys) // n_buckets)
     store = SeenFilterStore(
         SnapshotCatalog(spark, tmp),
         kind=kind,
         n_buckets=n_buckets,
-        capacity_per_bucket=max(1024, (2 * n_keys) // n_buckets),
+        capacity_per_bucket=cap,
     )
     t0 = time.perf_counter()
-    store.fold(0, seen)
+    # bulk build = rebuild (one O(|seen|) pass into bucket-partitioned
+    # blobs); per-poll folds are O(|batch|) deltas and never touch blobs
+    store.rebuild(0, seen, capacity_per_bucket=cap)
     t_fold = time.perf_counter() - t0
+    # the per-poll fold (the round-3 design rewrote the FULL state table
+    # here — the 12-20 GB/poll scale-killer; now an O(|batch|) delta)
+    t0 = time.perf_counter()
+    store.fold(1, key(spark.range(3 * n_keys, 3 * n_keys + n_batch)))
+    t_incr_fold = time.perf_counter() - t0
     half = n_batch // 2
     batch = key(
         spark.range(0, half).unionAll(spark.range(2 * n_keys, 2 * n_keys + half))
@@ -192,7 +200,8 @@ def unseen_op_ab(
         "seen_keys": n_keys,
         "batch": n_batch,
         "kind": kind,
-        "full_fold_sec": round(t_fold, 1),
+        "full_build_sec": round(t_fold, 1),
+        "incr_fold_sec": round(t_incr_fold, 2),
         "exact_sec": round(statistics.median(ts_e), 2),
         "filter_sec": round(statistics.median(ts_f), 2),
         "exact_reps": [round(t, 2) for t in ts_e],
@@ -246,12 +255,12 @@ def ingest_probe(spark, n_seen: int, n_batch: int) -> dict:
     # probes it; the exact mode ignores it). The unseen-CHECK A/B itself
     # lives in unseen_op_ab (interleaved, two seen sizes).
     cat0 = SnapshotCatalog(spark, base)
+    cap0 = max(1024, (2 * n_seen) // 64)
     store0 = SeenFilterStore(
-        cat0, kind="cuckoo", n_buckets=64,
-        capacity_per_bucket=max(1024, (2 * n_seen) // 64),
+        cat0, kind="cuckoo", n_buckets=64, capacity_per_bucket=cap0
     )
     t0 = time.perf_counter()
-    store0.fold(0, cat0.read("seen_keys", 0))
+    store0.rebuild(0, cat0.read("seen_keys", 0), capacity_per_bucket=cap0)
     out["filter_build_sec"] = round(time.perf_counter() - t0, 1)
 
     def mixed_batch(i: int):

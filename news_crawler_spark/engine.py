@@ -111,6 +111,7 @@ class CrawlEngine:
                 kind=seen_prefilter,
                 n_buckets=filter_buckets,
                 capacity_per_bucket=filter_capacity,
+                compact_every=self.compact_every,
             )
             if seen_prefilter
             else None
@@ -259,9 +260,8 @@ class CrawlEngine:
         if base_r is not None:
             self.catalog.prune_upto("seen_keys_delta", base_r)
             self.catalog.prune_upto("seen_keys", base_r - 1)
-        filt_r = self.catalog.latest_existing("seen_filter", latest)
-        if filt_r is not None:
-            self.catalog.prune_upto("seen_filter", filt_r - 1)
+        # filter-state pruning lives in SeenFilterStore (it prunes its
+        # own superseded bases/deltas at compaction/rebuild time)
 
     # ----------------------------------------------------------------- cursors
     # cursors(source, last_url, published_ts, url_hash, round): the newest
@@ -375,6 +375,7 @@ class CrawlEngine:
         cand = with_url_columns(seed, "url")
         fresh = seen_set.dedup_first_wins(cand)
         if self.filter_store is not None:
+            self._ensure_filter_fresh(prev, seen)
             fresh = self.filter_store.unseen(fresh, seen, prev)
         else:
             fresh = seen_set.unseen_only(fresh, seen)
@@ -423,6 +424,29 @@ class CrawlEngine:
         if self._eligible_left is not None:
             self._eligible_left += n_new  # admitted rows are all eligible
         return n_new
+
+    def _ensure_filter_fresh(self, prev: int, seen: DataFrame) -> None:
+        """Rebuild filter state when it lags the seen_keys table — a
+        store attached to a pre-existing catalog (or re-enabled after
+        exact-path ingests, or orphaned by a crash between a compaction's
+        base write and its commit) would otherwise re-admit every key
+        that was never folded (round-3 advice bug). Newest-write
+        comparison only — two directory probes, no data read."""
+        seen_rounds = [
+            r
+            for r in (
+                self.catalog.latest_existing("seen_keys", prev),
+                self.catalog.latest_existing("seen_keys_delta", prev),
+            )
+            if r is not None
+        ]
+        if not seen_rounds:
+            return
+        filt_r = self.filter_store.latest_state_round(prev)
+        if filt_r is None or filt_r < max(seen_rounds):
+            self.filter_store.rebuild(
+                prev, seen, capacity_per_bucket=self.filter_store.capacity
+            )
 
     # ------------------------------------------------------------------ rounds
     def _budgets(self, pending: DataFrame, prev_tokens: DataFrame) -> DataFrame:

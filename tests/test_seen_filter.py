@@ -70,10 +70,13 @@ def test_store_rebuild_grows_capacity(spark, tmp_path):
     cat = SnapshotCatalog(spark, str(tmp_path))
     store = SeenFilterStore(cat, kind="bloom", n_buckets=4, capacity_per_bucket=256)
     store.fold(0, _keys(spark, 0, 1500))
-    assert store.max_load(0) > 0.9  # over capacity
+    load_before = store.max_load(0)
+    assert load_before > 0.9  # over capacity
+    # (rebuild prunes superseded deltas, so capture the load first —
+    # historical rounds are not queryable past a newer base)
     store.rebuild(1, _keys(spark, 0, 1500))
     assert store.capacity == 512
-    assert store.max_load(1) < store.max_load(0)
+    assert store.max_load(1) < load_before
     assert store.probe(_keys(spark, 0, 1500), 1).filter(
         ~F.col("maybe_seen")
     ).count() == 0
@@ -115,6 +118,130 @@ def test_confirm_join_never_shuffles_seen(spark, tmp_path):
         # only the batch/state cogroup shuffles (on the bucket id) — the
         # seen table's join keys never feed an Exchange
         assert "bucket" in cols and "url_hash" not in cols, p
+
+
+@pytest.mark.parametrize("kind", ["bloom", "cuckoo"])
+def test_store_compaction_folds_deltas_into_base(spark, tmp_path, kind):
+    """compact_every folds → deltas cogroup with the base ONCE and a new
+    bucket-partitioned base supersedes them; probes stay exact across the
+    base/delta boundary and superseded dirs are pruned."""
+    cat = SnapshotCatalog(spark, str(tmp_path / kind))
+    store = SeenFilterStore(
+        cat, kind=kind, n_buckets=8, capacity_per_bucket=4096, compact_every=2
+    )
+    store.fold(0, _keys(spark, 0, 1000))
+    store.fold(1, _keys(spark, 1000, 2000))  # 2nd delta → compaction at 1
+    store.fold(2, _keys(spark, 2000, 3000))  # fresh delta on top of base
+    base_dirs = [
+        d
+        for d in os.listdir(str(tmp_path / kind / "seen_filter"))
+        if d.startswith("round=")
+    ]
+    assert base_dirs == ["round=1"], base_dirs
+    delta_dirs = os.listdir(str(tmp_path / kind / "seen_filter_delta"))
+    assert [d for d in delta_dirs if d.startswith("round=")] == ["round=2"]
+    # bucket-partitioned base layout (the pruned-read unit)
+    assert any(
+        d.startswith("bucket=")
+        for d in os.listdir(str(tmp_path / kind / "seen_filter" / "round=1"))
+    )
+    tagged = store.probe(_keys(spark, 0, 3000), 2)
+    assert tagged.filter(~F.col("maybe_seen")).count() == 0  # no FN anywhere
+    fresh = store.probe(_keys(spark, 10_000, 12_000), 2)
+    assert fresh.filter(~F.col("maybe_seen")).count() >= 0.9 * 2000
+
+
+def test_probe_plan_never_moves_state(spark, tmp_path):
+    """The round-3 verdict's done criterion: a probe moves O(|batch| +
+    delta) through Spark — the state table appears NOWHERE in the plan
+    (blobs are pruned per-bucket storage reads inside the tasks), and the
+    only hash exchange is the batch's own bucket repartition."""
+    import re
+
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    store = SeenFilterStore(cat, kind="bloom", n_buckets=8, capacity_per_bucket=4096)
+    store.rebuild(0, _keys(spark, 0, 5000), capacity_per_bucket=4096)
+    store.fold(1, _keys(spark, 5000, 5200))  # a live delta as well
+    tagged = store.probe(_keys(spark, 0, 1000), 1)
+    p = tagged._jdf.queryExecution().executedPlan().toString()
+    assert "seen_filter/round" not in p, p  # state never scanned/exchanged
+    for cols in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", p):
+        assert "__bucket" in cols and "url_hash" not in cols, p
+    # correctness untouched: no false negatives, exact delta keys hit
+    assert tagged.filter(~F.col("maybe_seen")).count() == 0
+    covered = store.probe(_keys(spark, 5000, 5200), 1)
+    assert covered.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_fold_writes_only_delta_bytes(spark, tmp_path):
+    """A fold is O(|batch|) I/O: the base snapshot is byte-identical
+    afterwards and the delta is a small fraction of the state size (the
+    round-3 design rewrote every blob per fold — 12-20 GB/poll at the
+    10^10-key geometry)."""
+
+    def du(path):
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        return total
+
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    store = SeenFilterStore(
+        cat, kind="bloom", n_buckets=8, capacity_per_bucket=1 << 15
+    )
+    store.rebuild(0, _keys(spark, 0, 100_000), capacity_per_bucket=1 << 15)
+    base_dir = str(tmp_path / "seen_filter" / "round=0")
+    base_bytes = du(base_dir)
+    base_mtimes = {
+        os.path.join(r, f): os.path.getmtime(os.path.join(r, f))
+        for r, _d, fs in os.walk(base_dir)
+        for f in fs
+    }
+    store.fold(1, _keys(spark, 100_000, 100_200))
+    assert du(base_dir) == base_bytes
+    assert {
+        os.path.join(r, f): os.path.getmtime(os.path.join(r, f))
+        for r, _d, fs in os.walk(base_dir)
+        for f in fs
+    } == base_mtimes  # untouched, not rewritten-identical
+    delta_bytes = du(str(tmp_path / "seen_filter_delta" / "round=1"))
+    assert 0 < delta_bytes < base_bytes / 10, (delta_bytes, base_bytes)
+
+
+def test_store_unseen_no_state_falls_back_exact(spark, tmp_path):
+    """A store with NO filter state must not declare the whole batch
+    definitely-new (round-3 advice bug): unseen() falls back to the
+    exact anti-join."""
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    store = SeenFilterStore(cat, kind="bloom", n_buckets=8)
+    seen = _keys(spark, 0, 700)
+    cand = _keys(spark, 0, 1000)
+    got = store.unseen(cand, seen, 5)
+    assert got.count() == 300
+    assert (
+        got.join(seen, ["url_hash", "canonical_url"], "left_semi").count() == 0
+    )
+
+
+def test_bucket_filter_worker_cache(spark, tmp_path):
+    """The per-worker LRU: second load of the same (base, bucket) is a
+    cache hit — the executor-resident property that makes repeat probes
+    read zero state bytes."""
+    from news_crawler_spark.operators import seen_filter as sfmod
+
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    store = SeenFilterStore(cat, kind="cuckoo", n_buckets=4, capacity_per_bucket=4096)
+    store.rebuild(0, _keys(spark, 0, 2000), capacity_per_bucket=4096)
+    base = cat._path("seen_filter", 0)
+    sfmod._FILTER_CACHE.clear()
+    loads0, hits0 = sfmod._CACHE_STATS["loads"], sfmod._CACHE_STATS["hits"]
+    f1 = sfmod._load_bucket_filter(base, 0)
+    f2 = sfmod._load_bucket_filter(base, 0)
+    assert f1 is f2 and f1 is not None
+    assert sfmod._CACHE_STATS["loads"] == loads0 + 1
+    assert sfmod._CACHE_STATS["hits"] == hits0 + 1
+    # missing bucket dir → cached None, not an error
+    assert sfmod._load_bucket_filter(base, 9999) is None
 
 
 # ------------------------------------------------------------- engine level
@@ -191,6 +318,36 @@ def test_engine_prefilter_state_survives_restart(spark, tmp_path_factory):
     latest = eng2.catalog.latest_round()
     got = {r.canonical_url for r in eng2._read_seen_keys(latest).collect()}
     want = {r.canonical_url for r in ref._read_seen_keys(latest).collect()}
+    assert got == want
+
+
+def test_engine_attach_prefilter_to_existing_catalog(spark, tmp_path_factory):
+    """ADVICE (round 3, medium): an engine constructed with a prefilter
+    on a catalog whose seen_keys predate any filter state must NOT
+    re-admit the historical seen set — the freshness check rebuilds
+    filter state from seen_keys on attach."""
+    wd = str(tmp_path_factory.mktemp("attach"))
+    eng1 = CrawlEngine(spark, wd)  # exact path, no filter state written
+    eng1.ingest(synth.build_seed_list(spark, 200))
+    del eng1
+
+    eng2 = CrawlEngine(spark, wd, seen_prefilter="bloom")
+    assert eng2.ingest_incremental(synth.build_seed_list(spark, 200)) == 0
+    assert eng2.ingest_incremental(synth.build_seed_list(spark, 260)) > 0
+    # admitted set equals the exact twin's
+    wd_ref = str(tmp_path_factory.mktemp("attach_ref"))
+    ref = CrawlEngine(spark, wd_ref)
+    ref.ingest(synth.build_seed_list(spark, 200))
+    ref.ingest_incremental(synth.build_seed_list(spark, 200))
+    ref.ingest_incremental(synth.build_seed_list(spark, 260))
+    got = {
+        r.canonical_url
+        for r in eng2._read_seen_keys(eng2.catalog.latest_round()).collect()
+    }
+    want = {
+        r.canonical_url
+        for r in ref._read_seen_keys(ref.catalog.latest_round()).collect()
+    }
     assert got == want
 
 
