@@ -91,6 +91,21 @@ class EmbedScheduler:
             .filter(F.coalesce(F.trim("embed_text"), F.lit("")) != "")
             .withColumn("status", F.lit(STATUS_PENDING))
         )
+        # one row per doc_id (deterministic min-row pick): duplicate ids
+        # in the input would otherwise desync the arithmetic pending_left
+        # (claim counts both copies; the doc_id anti-join removes both),
+        # leaving run() to report pending>0 on a drained table — and
+        # would upsert the same vector id twice (round-3 advice)
+        pending = (
+            pending.groupBy("doc_id")
+            .agg(
+                F.min_by(
+                    F.struct("source", "published_ts", "embed_text", "status"),
+                    F.struct("published_ts", "source", "embed_text"),
+                ).alias("__r")
+            )
+            .select("doc_id", "__r.*")
+        )
         self.catalog.write("embed_pending", 0, pending)
         self.catalog.write(
             "vectors",

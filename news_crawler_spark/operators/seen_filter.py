@@ -77,8 +77,18 @@ from pyspark.sql import functions as F
 from ..functions.bloom import BloomFilter
 from ..functions.cuckoo import CuckooFilter
 
-STATE_SCHEMA = "bucket int, n_keys long, capacity long, state binary"
+STATE_SCHEMA = "bucket int, n_keys long, capacity long, stash_len long, state binary"
 _TAGS = {"bloom": b"B", "cuckoo": b"C"}
+
+# a cuckoo bucket whose exact-overflow stash grows past this is treated
+# as overloaded by max_load even below the 0.9 capacity trigger: the
+# stash is a linear-probed list, so a hot bucket must not sit on a long
+# one until the capacity trigger fires (round-3 advice)
+STASH_SOFT_LIMIT = 64
+
+
+def _stash_len(filt) -> int:
+    return len(getattr(filt, "stash", ()))
 
 
 def _new_filter(kind: str, capacity: int):
@@ -305,6 +315,7 @@ class SeenFilterStore:
                         "bucket": int(key[0]),
                         "n_keys": filt.n_keys,
                         "capacity": cap,
+                        "stash_len": _stash_len(filt),
                         "state": _to_state(kind, filt),
                     }
                 ]
@@ -333,24 +344,30 @@ class SeenFilterStore:
     def max_load(self, round_no: int) -> float:
         """Fullest bucket's (base n_keys + pending delta keys) over its
         OWN build-time capacity — the rebuild trigger, computed from the
-        tiny metadata columns + delta counts (blobs never read)."""
+        tiny metadata columns + delta counts (blobs never read). A cuckoo
+        bucket with a long exact-overflow stash reports ≥ 1.0 regardless
+        of key count (stash probes are linear — a hot bucket must
+        trigger the doubling rebuild even below the capacity trigger)."""
         base_r = self._base_round(round_no)
         spark = self.catalog.spark
         if base_r is not None:
             base = self.catalog.read(self.TABLE, base_r).select(
-                "bucket", "n_keys", "capacity"
+                "bucket", "n_keys", "capacity", "stash_len"
             )
         else:
-            base = spark.createDataFrame([], "bucket int, n_keys long, capacity long")
+            base = spark.createDataFrame(
+                [], "bucket int, n_keys long, capacity long, stash_len long"
+            )
         deltas = self._read_deltas(round_no)
         if deltas is None:
             dcnt = spark.createDataFrame([], "bucket int, dn long")
         else:
             dcnt = deltas.groupBy("bucket").agg(F.count("*").alias("dn"))
         joined = base.join(dcnt, "bucket", "full").select(
-            (
+            F.greatest(
                 (F.coalesce("n_keys", F.lit(0)) + F.coalesce("dn", F.lit(0)))
-                / F.greatest(F.coalesce("capacity", F.lit(self.capacity)), F.lit(1))
+                / F.greatest(F.coalesce("capacity", F.lit(self.capacity)), F.lit(1)),
+                F.coalesce("stash_len", F.lit(0)) / F.lit(float(STASH_SOFT_LIMIT)),
             ).alias("load")
         )
         row = joined.agg(F.max("load").alias("mx")).collect()[0]
@@ -379,6 +396,7 @@ class SeenFilterStore:
                         "bucket": int(key[0]),
                         "n_keys": filt.n_keys,
                         "capacity": cap,
+                        "stash_len": _stash_len(filt),
                         "state": _to_state(kind, filt),
                     }
                 ]

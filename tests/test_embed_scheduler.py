@@ -76,6 +76,31 @@ def test_drain_order_is_oldest_first(spark, tmp_path):
     assert got == want
 
 
+def test_duplicate_doc_ids_drain_to_zero(spark, tmp_path):
+    """Round-3 advice: duplicate doc_ids in the ingest input must not
+    desync the arithmetic pending_left (claim counted both copies, the
+    anti-join removed both) — ingest dedups per doc_id, the drain ends
+    at pending_left == 0, and each id is embedded exactly once."""
+    rows = [
+        (f"d{i:02d}", f"src{i % 2}", f"title {i}", f"summary {i}")
+        for i in range(40)
+    ]
+    dup = rows + rows[:15]  # 15 ids delivered twice
+    docs = spark.createDataFrame(
+        dup, "doc_id string, source string, title string, summary string"
+    )
+    sched = EmbedScheduler(spark, str(tmp_path / "wd"), batch_per_source=8)
+    sched.ingest(docs)
+    stats = sched.run()
+    assert stats[-1].pending_left == 0
+    vecs = sched.vectors()
+    assert vecs.count() == 40
+    assert vecs.select("doc_id").distinct().count() == 40
+    assert sched.catalog.read(
+        "embed_pending", sched.catalog.latest_round()
+    ).count() == 0
+
+
 def test_resume_no_double_embed_none_skipped(spark, docs, tmp_path):
     wd = str(tmp_path / "wd")
     sched = EmbedScheduler(spark, wd, batch_per_source=10)
