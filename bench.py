@@ -53,6 +53,9 @@ HEADLINE = [
     "x5_winnow_fingerprints",
     "v6_keyword_topk",
     "j9_docs_vectors_reconcile",
+    "v7_ts_range_topk",
+    "d6_simhash128_pairs",
+    "j10_frontier_machine",
 ]
 
 

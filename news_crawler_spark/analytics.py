@@ -382,6 +382,117 @@ FROM events GROUP BY 1
 """
 
 
+J10_BUDGET = 40
+J10_ROUNDS = 4
+J10_MAX_RETRIES = 3
+
+
+def j10_frontier_machine(spark, sf):
+    """J3/J5/ST4 under the hard oracle gate: the frontier status machine
+    replayed for 4 rounds over a synthetic frontier derived
+    deterministically from the events table (url_hash = md5-derived
+    long, host = event_type, priority = pmod(hash,3), fetch outcome =
+    pure function pmod(hash,10)≠0 — all DuckDB-reproducible). Each round
+    pops the per-host top-BUDGET by (priority, published_ts, url_hash)
+    through the REAL salted two-phase pop operator
+    (operators/frontier.pop_round) and applies the engine's MERGE rule
+    (ok → completed; fail → tried+1, failed at max_retries); the oracle
+    replays the same transitions with 4 unrolled window-rank CTEs.
+    Output: the (status, tried_count) census after round 4."""
+    from .operators import frontier as frontier_ops
+    from .operators.dedup import md5_hash64
+
+    e = load(spark, sf, "events")
+    base = e.select(
+        md5_hash64(F.concat(F.lit("u"), F.col("event_id").cast("string"))).alias(
+            "url_hash"
+        ),
+        F.col("event_type").alias("host"),
+        F.col("ts").alias("published_ts"),
+    )
+    frontier = base.select(
+        "url_hash",
+        "host",
+        F.pmod(F.col("url_hash"), F.lit(3)).cast("int").alias("priority"),
+        "published_ts",
+        F.lit("pending").alias("status"),
+        F.lit(0).alias("tried_count"),
+    )
+    budgets = (
+        frontier.select("host").distinct().withColumn("budget", F.lit(J10_BUDGET))
+    )
+    ok = F.pmod(F.col("url_hash"), F.lit(10)) != 0
+    for _ in range(J10_ROUNDS):
+        popped = frontier_ops.pop_round(
+            frontier_ops.eligible(frontier, J10_MAX_RETRIES), budgets
+        )
+        updated = (
+            popped.withColumn(
+                "tried_count",
+                F.when(ok, F.col("tried_count")).otherwise(F.col("tried_count") + 1),
+            )
+            .withColumn(
+                "status",
+                F.when(ok, F.lit("completed"))
+                .when(F.col("tried_count") >= J10_MAX_RETRIES, F.lit("failed"))
+                .otherwise(F.lit("pending")),
+            )
+        )
+        frontier = (
+            frontier.join(popped.select("url_hash"), "url_hash", "left_anti")
+            .unionByName(updated)
+            .localCheckpoint(eager=True)
+        )
+    return frontier.groupBy("status", "tried_count").agg(F.count("*").alias("n"))
+
+
+_J10_H = (
+    "((('0x' || substring(md5('u' || event_id::VARCHAR), 1, 8))::BIGINT"
+    " + CASE WHEN ('0x' || substring(md5('u' || event_id::VARCHAR), 1, 8))::BIGINT"
+    " >= 2147483648 THEN -4294967296 ELSE 0 END) * 4294967296"
+    " + ('0x' || substring(md5('u' || event_id::VARCHAR), 9, 8))::BIGINT)"
+)
+
+
+def _j10_round_sql(prev: str, cur: str) -> str:
+    b, r = J10_BUDGET, J10_MAX_RETRIES
+    return f"""
+{cur} AS (
+  SELECT s.url_hash, s.host, s.priority, s.published_ts,
+         CASE WHEN e.rn <= {b} THEN
+                CASE WHEN ((s.url_hash % 10) + 10) % 10 <> 0 THEN 'completed'
+                     WHEN s.tried + 1 >= {r} THEN 'failed'
+                     ELSE 'pending' END
+              ELSE s.status END AS status,
+         CASE WHEN e.rn <= {b} AND ((s.url_hash % 10) + 10) % 10 = 0
+              THEN s.tried + 1 ELSE s.tried END AS tried
+  FROM {prev} s LEFT JOIN (
+    SELECT url_hash,
+           row_number() OVER (PARTITION BY host
+                              ORDER BY priority, published_ts, url_hash) AS rn
+    FROM {prev} WHERE status = 'pending' AND tried < {r}
+  ) e USING (url_hash)
+)"""
+
+
+J10_SQL = (
+    f"""
+WITH r0 AS (
+  SELECT h AS url_hash, event_type AS host,
+         (((h % 3) + 3) % 3)::INT AS priority, ts AS published_ts,
+         'pending' AS status, 0 AS tried
+  FROM (SELECT {_J10_H} AS h, event_type, ts FROM events)
+),"""
+    + ",".join(
+        _j10_round_sql(f"r{i}", f"r{i + 1}") for i in range(J10_ROUNDS)
+    )
+    + f"""
+SELECT status, tried::INT AS tried_count, count(*) AS n
+FROM r{J10_ROUNDS} GROUP BY 1, 2
+"""
+)
+
+
 # ===========================================================================
 # T — frontier ordering / top-k / cursors
 
@@ -599,6 +710,47 @@ LIMIT 10
 """
 
 
+# window chosen to be non-empty AND selective for the vec_id-covering
+# event ids at every SF (3/500 at sf0.001, 44/500 at sf0.01, 405/2000 at
+# sf0.1 — low event_ids carry early-January timestamps)
+V7_TS_LO = "2024-01-01 01:00:00"
+V7_TS_HI = "2024-01-01 04:00:00"
+
+
+def v7_ts_range_topk(spark, sf):
+    """Published-timestamp RANGE filter below vector scoring — the third
+    leg of the reference's payload-index trio (create_vector_db_index.py
+    :90-98 builds source/keywords/published_timestamp indexes; real
+    searches range-filter on published_timestamp, search_news.py:83-88).
+    The testdata documents carry no timestamp, so the payload is the
+    events table (event_id keys cover every vec_id, ts is a real
+    timestamp column); predicate = ts ∈ [lo, hi) applied on the payload
+    side BEFORE any vector is touched (same plan contract as v4/v6,
+    asserted in tests/test_plans.py)."""
+    emb = load(spark, sf, "embeddings")
+    payload = load(spark, sf, "events").select(
+        F.col("event_id").alias("vec_id"), F.col("ts").alias("published_ts")
+    )
+    pred = (F.col("published_ts") >= F.lit(V7_TS_LO).cast("timestamp")) & (
+        F.col("published_ts") < F.lit(V7_TS_HI).cast("timestamp")
+    )
+    return similarity.payload_filtered_topk(emb, payload, pred, QUERY_VEC_ID, k=10)
+
+
+V7_SQL = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+SELECT e.vec_id, e.label,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 4) AS score
+FROM embeddings e
+JOIN events ev ON ev.event_id = e.vec_id, q
+WHERE e.vec_id <> {QUERY_VEC_ID}
+  AND ev.ts >= TIMESTAMP '{V7_TS_LO}'
+  AND ev.ts < TIMESTAMP '{V7_TS_HI}'
+ORDER BY score DESC, e.vec_id
+LIMIT 10
+"""
+
+
 def j9_docs_vectors_reconcile(spark, sf):
     """Docs⟕vectors collection-health audit: per-source count drift and
     dim consistency (monitor_collection.py:50-57 article-vs-point counts;
@@ -799,6 +951,62 @@ SELECT a_id, b_id, hamming FROM (
 """
 
 
+def d6_simhash128_pairs(spark, sf):
+    """128-bit SimHash near-dup pairs (hamming ≤ 8) — the 10^9+-docs
+    dedup path (operators/dedup.py: ~14-bit chunks → 16384 bucket values
+    per band vs the 64-bit sketch's 128, two orders of magnitude fewer
+    accidental candidate collisions). Sketch = two independent 64-bit
+    SimHashes over the two md5 words of each token, so DuckDB can
+    recompute it bit-for-bit; the oracle takes exact all-pairs hamming
+    over the recomputed 128-bit sketch — banding must find exactly that
+    set."""
+    return dedup.simhash128_pairs(
+        load(spark, sf, "documents"), max_hamming=8
+    ).withColumn("hamming", F.col("hamming").cast("int"))
+
+
+# DuckDB 128-bit twin: four 32-bit sketch words from the four md5 hex
+# octets (w1 = hex 1-16 → sh_w1's lo/hi halves, w2 = hex 17-32 → sh_w2),
+# per-bit ±1 votes per word, hamming = sum of the four popcounts — the
+# same two-32-bit-halves packing as D4_SQL, doubled.
+_D6_WORD = """
+         list_sum([CASE WHEN list_sum(list_transform({col},
+                     h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                   THEN (1::BIGINT << b) ELSE 0 END
+                   for b in generate_series(0, 31)])::BIGINT AS {col}32
+"""
+
+D6_SQL = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+                        s -> ('0x' || substring(md5(s), 1, 8))::BIGINT) AS w1hi,
+         list_transform(string_split(text, ' '),
+                        s -> ('0x' || substring(md5(s), 9, 8))::BIGINT) AS w1lo,
+         list_transform(string_split(text, ' '),
+                        s -> ('0x' || substring(md5(s), 17, 8))::BIGINT) AS w2hi,
+         list_transform(string_split(text, ' '),
+                        s -> ('0x' || substring(md5(s), 25, 8))::BIGINT) AS w2lo
+  FROM documents
+),
+words AS MATERIALIZED (
+  SELECT doc_id,
+{_D6_WORD.format(col="w1hi")},
+{_D6_WORD.format(col="w1lo")},
+{_D6_WORD.format(col="w2hi")},
+{_D6_WORD.format(col="w2lo")}
+  FROM toks
+)
+SELECT a_id, b_id, hamming FROM (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         (bit_count(xor(a.w1hi32, b.w1hi32)) + bit_count(xor(a.w1lo32, b.w1lo32))
+          + bit_count(xor(a.w2hi32, b.w2hi32)) + bit_count(xor(a.w2lo32, b.w2lo32)))::INT
+           AS hamming
+  FROM words a JOIN words b ON a.doc_id < b.doc_id
+) WHERE hamming <= 8
+"""
+
+
 # ===========================================================================
 # X — text analysis
 
@@ -948,6 +1156,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j7_broadcast_dims": j7_broadcast_dims,
     "j8_json_props": j8_json_props,
     "j9_docs_vectors_reconcile": j9_docs_vectors_reconcile,
+    "j10_frontier_machine": j10_frontier_machine,
     "t1_frontier_pop": t1_frontier_pop,
     "t3_cursor_cut": t3_cursor_cut,
     "t4_latest_cursor": t4_latest_cursor,
@@ -957,11 +1166,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "v4_filtered_topk": v4_filtered_topk,
     "v5_ivf_multiprobe": v5_ivf_multiprobe,
     "v6_keyword_topk": v6_keyword_topk,
+    "v7_ts_range_topk": v7_ts_range_topk,
     "d1_exact_dedup": d1_exact_dedup,
     "d2_ngram_jaccard": d2_ngram_jaccard,
     "d3_minhash_lsh": d3_minhash_lsh,
     "d4_simhash_pairs": d4_simhash_pairs,
     "d5_dup_clusters": d5_dup_clusters,
+    "d6_simhash128_pairs": d6_simhash128_pairs,
     "x1_lang_confusion": x1_lang_confusion,
     "x2_quality_by_source": x2_quality_by_source,
     "x3_token_stats": x3_token_stats,
@@ -984,6 +1195,7 @@ ORACLES: dict[str, str] = {
     "j7_broadcast_dims": J7_SQL,
     "j8_json_props": J8_SQL,
     "j9_docs_vectors_reconcile": J9_SQL,
+    "j10_frontier_machine": J10_SQL,
     "t1_frontier_pop": T1_SQL,
     "t3_cursor_cut": T3_SQL,
     "t4_latest_cursor": T4_SQL,
@@ -993,11 +1205,13 @@ ORACLES: dict[str, str] = {
     "v4_filtered_topk": V4_SQL,
     "v5_ivf_multiprobe": V5_SQL,
     "v6_keyword_topk": V6_SQL,
+    "v7_ts_range_topk": V7_SQL,
     "d1_exact_dedup": D1_SQL,
     "d2_ngram_jaccard": D2_SQL,
     "d3_minhash_lsh": D3_SQL,
     "d4_simhash_pairs": D4_SQL,
     "d5_dup_clusters": D5_SQL,
+    "d6_simhash128_pairs": D6_SQL,
     "x1_lang_confusion": X1_SQL,
     "x2_quality_by_source": X2_SQL,
     "x3_token_stats": X3_SQL,

@@ -120,6 +120,19 @@ def test_v6_keyword_filter_below_scoring(spark):
     assert "array_contains" in build_side and "Contains" in build_side, p
 
 
+def test_v7_ts_range_filter_below_scoring(spark):
+    """v7: the published-timestamp RANGE predicate evaluates on the
+    payload side below the semi-join (filter → ids → score), ending in
+    TakeOrderedAndProject — completes the reference's payload-index trio
+    (source v4, keywords/full-text v6, published_timestamp v7)."""
+    df = analytics.v7_ts_range_topk(spark, SF)
+    p = plan(df)
+    assert "TakeOrderedAndProject" in p
+    assert "LeftSemi" in p
+    build_side = p.split("LeftSemi", 1)[1]
+    assert "ts" in build_side and "2024-01-01" in build_side, p
+
+
 def test_embed_claim_is_salted_two_phase(spark):
     """S11 batch claim: the per-source window must rank within
     (source, salt) first — parallelism sources×salts, not sources."""
