@@ -309,6 +309,142 @@ def ingest_probe(spark, n_seen: int, n_batch: int) -> dict:
     return out
 
 
+def skew_probe(spark, n_urls: int, reps: int = 3) -> dict:
+    """X4 hot-host salting under REAL skew (round-3 verdict item 4): a
+    frontier where ONE host holds ~50% of the URLs, through the fused
+    fetch+extract stage three ways — uniform hosts (reference), skewed
+    salted (the engine default: repartition on (host, url_hash salt)),
+    and skewed UNSALTED (salts=1 → the hot host collapses onto one
+    task). Interleaved reps so VM steal hits all arms equally. The
+    claim under test: salted-skewed stays within ~1.3× of uniform,
+    while unsalted pays ~the hot host serially."""
+    import statistics
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="bench_skew_")
+    uniform_path = base + "/uniform.parquet"
+    skew_path = base + "/skew.parquet"
+    prepare_probe_input(spark, n_urls, uniform_path)
+    (
+        spark.read.parquet(uniform_path)
+        .withColumn(
+            "host",
+            F.when(
+                F.pmod(F.col("url_hash"), F.lit(2)) == 0, F.lit("hot.example.org")
+            ).otherwise(F.col("host")),
+        )
+        .write.mode("overwrite")
+        .parquet(skew_path)
+    )
+    uniform = spark.read.parquet(uniform_path)
+    skewed = spark.read.parquet(skew_path)
+    arms = {
+        "uniform_salted": lambda: fetch_extract_pages(uniform).count(),
+        "skew_salted": lambda: fetch_extract_pages(skewed).count(),
+        "skew_unsalted": lambda: fetch_extract_pages(skewed, salts=1).count(),
+    }
+    ts: dict[str, list[float]] = {k: [] for k in arms}
+    for k, fn in arms.items():
+        fn()  # warm codegen/workers once per arm
+    for _ in range(reps):
+        for k, fn in arms.items():
+            t0 = time.perf_counter()
+            fn()
+            ts[k].append(time.perf_counter() - t0)
+    out: dict = {"probe_urls": n_urls, "hot_host_share": 0.5}
+    for k in arms:
+        out[f"{k}_sec"] = round(statistics.median(ts[k]), 2)
+        out[f"{k}_reps"] = [round(t, 2) for t in ts[k]]
+    out["salted_vs_uniform"] = round(
+        out["skew_salted_sec"] / out["uniform_salted_sec"], 2
+    )
+    out["unsalted_vs_salted"] = round(
+        out["skew_unsalted_sec"] / out["skew_salted_sec"], 2
+    )
+    log(
+        f"  skew: uniform {out['uniform_salted_sec']}s, salted "
+        f"{out['skew_salted_sec']}s ({out['salted_vs_uniform']}x of uniform), "
+        f"unsalted {out['skew_unsalted_sec']}s "
+        f"({out['unsalted_vs_salted']}x of salted)"
+    )
+    return out
+
+
+def d3_profile(spark, sf_dir: str) -> dict:
+    """Stage split of the heaviest query (d3 MinHash+LSH): signature
+    build vs banding/candidates vs exact verify (round-3 verdict item 7
+    — know WHERE the 11.8 s goes before trying to shrink it)."""
+    from pyspark import StorageLevel
+
+    from news_crawler_spark.operators import dedup
+
+    docs = analytics.load(spark, sf_dir, "documents")
+    out: dict = {}
+    t0 = time.perf_counter()
+    mh = dedup.with_minhash(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    out["n_docs"] = mh.count()  # materializes shingles + 128-hash sigs
+    out["signature_sec"] = round(time.perf_counter() - t0, 2)
+
+    bands, rows_per_band = 64, 2
+    band_col = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.xxhash64(
+                    b.cast("long"),
+                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                ).alias("bucket"),
+            ),
+        )
+    )
+    buckets = mh.select("doc_id", band_col.alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    t0 = time.perf_counter()
+    cand = (
+        buckets.alias("x")
+        .join(buckets.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    out["n_candidates"] = cand.count()
+    out["banding_sec"] = round(time.perf_counter() - t0, 2)
+
+    sets = mh.select("doc_id", "sh")
+    t0 = time.perf_counter()
+    verified = (
+        cand.join(
+            sets.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sh", "sh_a"),
+            "a_id",
+        )
+        .join(
+            sets.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sh", "sh_b"),
+            "b_id",
+        )
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.size("sh_a") + F.size("sh_b") - F.col("common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.6)
+    )
+    out["n_pairs"] = verified.count()
+    out["verify_sec"] = round(time.perf_counter() - t0, 2)
+    mh.unpersist()
+    log(
+        f"  d3 split: signatures {out['signature_sec']}s, banding "
+        f"{out['banding_sec']}s ({out['n_candidates']} cands), verify "
+        f"{out['verify_sec']}s ({out['n_pairs']} pairs)"
+    )
+    return out
+
+
 def prepare_probe_input(spark, n_urls: int, path: str) -> None:
     """Materialize the popped-frontier stand-in once (deterministic), so
     both scaling runs read identical input — mirroring an engine round,
@@ -444,6 +580,14 @@ def main() -> None:
     queries = run_queries(spark, sf_dir)
     log("== crawl engine throughput (medians of 3) ==")
     crawl = crawl_bench(spark, n_seed, rounds=4, reps=2 if quick else 3)
+    log("== crawl scale-soak (1M seeds) ==")
+    crawl_1m = crawl_bench(
+        spark, 100_000 if quick else 1_000_000, rounds=4, reps=1 if quick else 2
+    )
+    log("== skew probe (hot host 50%) ==")
+    skew = skew_probe(spark, 40_000 if quick else 160_000, reps=2 if quick else 3)
+    log("== d3 stage profile ==")
+    d3_split = d3_profile(spark, sf_dir)
     log("== incremental-ingest prefilter probe ==")
     ingest = ingest_probe(
         spark,
@@ -474,6 +618,9 @@ def main() -> None:
                 "queries": queries,
                 "sf": sf,
                 "crawl": crawl,
+                "crawl_1m": crawl_1m,
+                "skew": skew,
+                "d3_profile": d3_split,
                 "ingest": ingest,
                 "scaling": scaling,
                 "total_wall_sec": round(total, 1),

@@ -164,6 +164,9 @@ class EmbedScheduler:
         # retry cannot apply the decrement twice
         pending_left = self._pending_left - n_claimed
         self.catalog.commit(round_no)
+        # post-commit GC: only the newest pending slice is ever read
+        # (vectors stay — they are the append-only data product)
+        self.catalog.prune_upto("embed_pending", round_no - 1)
         self._pending_left = pending_left
         claimed.unpersist()
         return EmbedRoundStats(round_no, n_claimed, pending_left)

@@ -193,20 +193,28 @@ class CrawlEngine:
         else:
             self.catalog.write("pending", round_no, next_pending)
 
-    def _read_done(self, upto_round: int) -> DataFrame:
-        """All completed/failed rows through ``upto_round``: newest
-        ``done_base`` snapshot ⊕ per-round deltas after it."""
-        base_r = self.catalog.latest_existing("done_base", upto_round)
+    def _read_accreted(self, table: str, upto_round: int) -> DataFrame:
+        """Generic base+delta read for an append-only table folded on the
+        compaction cadence: newest ``{table}_base`` snapshot ⊕ per-round
+        deltas after it. Bounds the read to O(compact_every) dirs however
+        many rounds have run (done since round 2 for ``done``; round 4
+        extends it to the ``pops``/``lineage`` logs)."""
+        base_r = self.catalog.latest_existing(f"{table}_base", upto_round)
+        df, lo = None, -1
         if base_r is not None:
-            df = self.catalog.read("done_base", base_r)
+            df = self.catalog.read(f"{table}_base", base_r)
             lo = base_r
-        else:
-            df = self.catalog.read("done", 0)
-            lo = 0
         for r in range(lo + 1, upto_round + 1):
-            if self.catalog.exists("done", r):
-                df = df.unionByName(self.catalog.read("done", r))
+            if self.catalog.exists(table, r):
+                d = self.catalog.read(table, r)
+                df = d if df is None else df.unionByName(d)
+        if df is None:
+            raise FileNotFoundError(f"no committed snapshots for {table}")
         return df
+
+    def _read_done(self, upto_round: int) -> DataFrame:
+        """All completed/failed rows through ``upto_round``."""
+        return self._read_accreted("done", upto_round)
 
     # --------------------------------------------------------------- seen keys
     # ``seen_keys`` = every (url_hash, canonical_url) ever admitted — the
@@ -262,6 +270,12 @@ class CrawlEngine:
             self.catalog.prune_upto("seen_keys", base_r - 1)
         # filter-state pruning lives in SeenFilterStore (it prunes its
         # own superseded bases/deltas at compaction/rebuild time)
+        cur_r = self.catalog.latest_existing("cursors", latest)
+        if cur_r is not None:
+            self.catalog.prune_upto("cursors", cur_r - 1)
+        self.catalog.prune_upto("tokens", latest - 1)
+        if self.merge_mode != "mor":
+            self.catalog.prune_upto("pending", latest - 1)
 
     # ----------------------------------------------------------------- cursors
     # cursors(source, last_url, published_ts, url_hash, round): the newest
@@ -594,6 +608,22 @@ class CrawlEngine:
         self.catalog.write("pops", round_no, pops_log.coalesce(4))
         self.catalog.write("lineage", round_no, lineage.coalesce(1))
         self.catalog.write("tokens", round_no, tokens_next.coalesce(1))
+        if compact_done:
+            # fold the pops/lineage LOGS on the same cadence (round-4 GC:
+            # without this, one tiny dir per round accretes forever — at
+            # 10^6 polls that is 10^6 directories of metadata). docs is
+            # exempt: it is the append-only DATA product (Iceberg-append
+            # analog), not a log.
+            parts = max(4, self.spark.sparkContext.defaultParallelism)
+            for table, delta in (("pops", pops_log), ("lineage", lineage)):
+                try:
+                    prior = self._read_accreted(table, prev)
+                    merged = prior.unionByName(delta)
+                except FileNotFoundError:
+                    merged = delta
+                self.catalog.write(
+                    f"{table}_base", round_no, merged.coalesce(parts)
+                )
 
         # fetch stats come from the (tiny) written lineage — no extra
         # count job over the cached fetched lineage
@@ -621,9 +651,26 @@ class CrawlEngine:
             ).count()
         pending_left = self._eligible_left - n_popped + (n_fail - n_marked_failed)
         self.catalog.commit(round_no)
+        # post-commit GC: every prune below removes only snapshots that a
+        # read at any committed round can no longer resolve to (the newer
+        # base/snapshot this round just committed supersedes them), so a
+        # crash mid-prune just leaves unread garbage for the next round.
         if compact_done:
             self.catalog.prune_upto("done", round_no)
             self.catalog.prune_upto("done_base", round_no - 1)
+            for table in ("pops", "lineage"):
+                self.catalog.prune_upto(table, round_no)
+                self.catalog.prune_upto(f"{table}_base", round_no - 1)
+        # tokens: only the newest snapshot is ever read (next step's prev)
+        self.catalog.prune_upto("tokens", round_no - 1)
+        # pending: cow rereads only the newest slice; mor needs the newest
+        # FULL snapshot (a compact round) plus the tomb/add deltas after it
+        if self.merge_mode != "mor":
+            self.catalog.prune_upto("pending", round_no - 1)
+        elif compact_done:
+            self.catalog.prune_upto("pending", round_no - 1)
+            self.catalog.prune_upto("pending_tomb", round_no)
+            self.catalog.prune_upto("pending_add", round_no)
         # cache update only after the commit: a failed commit + step retry
         # would otherwise apply the recurrence twice
         self._eligible_left = pending_left
@@ -654,9 +701,14 @@ class CrawlEngine:
     def pops_in_order(self) -> DataFrame:
         """The authoritative crawl-order log: (round, host, url) sorted by
         the same total order the oracle uses."""
-        return self.catalog.read_all("pops").orderBy(
+        return self._read_accreted("pops", self.catalog.latest_round()).orderBy(
             "round", "host", "priority", "published_ts", "url_hash"
         )
+
+    def lineage(self) -> DataFrame:
+        """Per-(round, host) fetch counters — the Prometheus-metrics
+        analog (base ⊕ deltas; folded on the compaction cadence)."""
+        return self._read_accreted("lineage", self.catalog.latest_round())
 
     def final_frontier(self) -> DataFrame:
         last = self.catalog.latest_round()
