@@ -1100,7 +1100,7 @@ def x5_winnow_fingerprints(spark, sf):
     sliding window over the word-3-gram hash sequence — the partial-
     overlap fingerprint (shared runs of ≥6 tokens share a fingerprint).
     One row per (doc_id, fingerprint)."""
-    d = load(spark, sf, "documents")
+    d = dedup.spread_for_cpu(load(spark, sf, "documents"))
     return d.select(
         "doc_id",
         F.explode(text.winnow_fingerprints("text", n=3, window=4)).alias("fp"),

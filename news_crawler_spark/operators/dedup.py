@@ -40,6 +40,22 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def spread_for_cpu(df: DataFrame) -> DataFrame:
+    """Guard for expression-bound stages over small inputs: a tiny
+    parquet table scans as ONE partition (file-size-based splitting), so
+    a per-row-heavy stage (128-hash MinHash signatures, SimHash bit
+    votes, winnowing) serializes on one core — measured as 87% of d3's
+    runtime at sf0.1 (11.7 s single-task signature build). Repartition
+    up to the cluster parallelism ONLY when the input has fewer
+    partitions than cores; at real scale (inputs already ≥ cores
+    partitions) this is a no-op, so no extra shuffle is introduced where
+    it would hurt."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 # --------------------------------------------------------------------------
 # exact
 
@@ -103,7 +119,7 @@ def with_hashed_shingles(
     over the strings up to 64-bit collisions (p ≈ m²/2⁶⁴ per doc pair —
     vanishing; the sf0.01 DuckDB string-side oracle would catch any).
     """
-    sh = with_shingles(docs, text_col, id_col, n)
+    sh = with_shingles(spread_for_cpu(docs), text_col, id_col, n)
     return sh.select(
         "doc_id",
         F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s))).alias("sh"),
@@ -406,7 +422,7 @@ def with_simhash(
     id_col: str = "doc_id",
     token_hash: str = "md5",
 ) -> DataFrame:
-    return docs.select(
+    return spread_for_cpu(docs).select(
         F.col(id_col).alias("doc_id"), simhash64(text_col, token_hash).alias("simhash")
     )
 
@@ -436,7 +452,7 @@ def with_simhash128(
     """(doc_id, sh_w1, sh_w2): a 128-bit SimHash as two independent
     64-bit sketches — each bit of a SimHash is independent, so sketching
     the two md5 words separately IS the 128-bit sketch."""
-    return docs.select(
+    return spread_for_cpu(docs).select(
         F.col(id_col).alias("doc_id"),
         simhash64(text_col, hash_fn=md5_hash64).alias("sh_w1"),
         simhash64(text_col, hash_fn=md5_hash64_w2).alias("sh_w2"),
