@@ -4,10 +4,11 @@
 pivot, range-densify in one plan) at sf0.001. ``queries()`` exposes every
 SQL-expressible operator from SURVEY.md §2 plus the training-data-pipeline
 operators (dedup / similarity / text analysis); ``oracle_sql()`` gives the
-DuckDB equivalent for EVERY query (33/33 — d4 SimHash uses md5-derived
-token hashes precisely so DuckDB can recompute the sketch; round 3 adds
-v6 keyword/full-text filtered search and the j9 docs⟕vectors
-reconciliation audit).
+DuckDB equivalent for EVERY query (36/36 — d4/d6 SimHash use md5-derived
+token hashes precisely so DuckDB can recompute the sketch; round 4 adds
+d6 128-bit SimHash, v7 timestamp-range filtered search, and j10 — the
+frontier status machine replayed through the real pop+MERGE operators
+against an unrolled window-rank SQL twin).
 """
 
 from __future__ import annotations
