@@ -159,6 +159,12 @@ class SeenFilterStore:
 
     TABLE = "seen_filter"
     DELTA = "seen_filter_delta"
+    # compact early when the accumulated deltas outgrow this many bytes
+    # on disk, regardless of round count: the probe BROADCASTS the delta
+    # keys, so a run of huge ingest bursts must not push an unbounded
+    # table through the driver (64 MB of delta ≈ 4-6M keys — within the
+    # session broadcast threshold with headroom)
+    MAX_DELTA_BYTES = 64 << 20
 
     def __init__(
         self,
@@ -266,8 +272,21 @@ class SeenFilterStore:
         )
         self.catalog.write(self.DELTA, round_no, keys_b.distinct().coalesce(4))
         self._write_meta()
-        if len(self._delta_rounds(round_no)) >= self.compact_every:
+        if (
+            len(self._delta_rounds(round_no)) >= self.compact_every
+            or self._delta_bytes(round_no) > self.MAX_DELTA_BYTES
+        ):
             self._compact(round_no)
+
+    def _delta_bytes(self, upto: int) -> int:
+        """On-disk bytes of the live deltas — a directory walk over
+        ≤compact_every dirs, no Spark job."""
+        total = 0
+        for r in self._delta_rounds(upto):
+            path = self.catalog._path(self.DELTA, r)
+            for root, _dirs, files in os.walk(path):
+                total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        return total
 
     def _compact(self, round_no: int, deletes: DataFrame | None = None) -> None:
         """Cogroup the accumulated delta keys (and optional deletes) with

@@ -208,6 +208,25 @@ def test_fold_writes_only_delta_bytes(spark, tmp_path):
     assert 0 < delta_bytes < base_bytes / 10, (delta_bytes, base_bytes)
 
 
+def test_fold_compacts_on_delta_bytes(spark, tmp_path):
+    """A run of large folds must compact EARLY (bytes trigger), not wait
+    for compact_every rounds: the probe broadcasts the delta keys, so
+    accumulated delta size is bounded regardless of batch sizes."""
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    store = SeenFilterStore(
+        cat, kind="bloom", n_buckets=8, capacity_per_bucket=1 << 17,
+        compact_every=100,  # round-count trigger effectively off
+    )
+    store.MAX_DELTA_BYTES = 1 << 16  # 64 KB for the test
+    store.fold(0, _keys(spark, 0, 20_000))  # ~160 KB of keys → compacts
+    assert store._base_round(0) == 0
+    assert store._delta_rounds(0) == []
+    store.fold(1, _keys(spark, 20_000, 20_500))  # small → stays a delta
+    assert store._delta_rounds(1) == [1]
+    tagged = store.probe(_keys(spark, 0, 20_500), 1)
+    assert tagged.filter(~F.col("maybe_seen")).count() == 0
+
+
 def test_store_unseen_no_state_falls_back_exact(spark, tmp_path):
     """A store with NO filter state must not declare the whole batch
     definitely-new (round-3 advice bug): unseen() falls back to the
