@@ -118,11 +118,39 @@ def with_hashed_shingles(
     cheaper sort/intersect, and Jaccard over hashed sets equals Jaccard
     over the strings up to 64-bit collisions (p ≈ m²/2⁶⁴ per doc pair —
     vanishing; the sf0.01 DuckDB string-side oracle would catch any).
+
+    The shingle hash is computed WITHOUT ever materializing the n-gram
+    string: each token is hashed once, and a shingle's hash is the
+    chained ``xxhash64(th_i, …, th_{i+n-1})`` over the n consecutive
+    token hashes (Spark chains multi-arg hashing by feeding the previous
+    hash in as the next seed — reproduced by the pytest twin). The
+    string path (token slice → concat_ws → hash a ~25-byte string per
+    shingle) was measured at 2× the cost of this arithmetic-only form
+    at sf0.1 (1.0 s → 0.27 s for the shingle stage, exp round 4): every
+    token's bytes are hashed n times either way, but the concat
+    allocates and copies each gram before hashing it. Jaccard over
+    either hash family is identical up to 64-bit collisions.
     """
-    sh = with_shingles(spread_for_cpu(docs), text_col, id_col, n)
-    return sh.select(
+    toked = spread_for_cpu(docs).select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks")
+    )
+    th = toked.select(
+        "doc_id", F.transform("__toks", lambda t: F.xxhash64(t)).alias("__th")
+    )
+    idx = F.sequence(F.lit(0), F.size(F.col("__th")) - n)
+    # __th is a PROJECTED column (cheap lambda capture — a reference,
+    # not a re-evaluated expression; see shingles_from_tokens note)
+    grams = F.transform(
+        idx,
+        lambda i: F.xxhash64(
+            *[F.element_at(F.col("__th"), (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return th.select(
         "doc_id",
-        F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s))).alias("sh"),
+        F.when(F.size("__th") >= n, F.array_distinct(grams))
+        .otherwise(F.array().cast("array<long>"))
+        .alias("sh"),
     )
 
 

@@ -47,8 +47,22 @@ def py_shingles(txt: str, n: int = 3) -> set[str]:
     return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)} if len(toks) >= n else set()
 
 
+def py_hashed_shingles(txt: str, n: int = 3) -> set[int]:
+    """Twin of dedup.with_hashed_shingles: token hashes chained through
+    xxhash64 (each arg's hash seeds the next), never a gram string."""
+    mask = (1 << 64) - 1
+    th = [xxh64(t.encode(), 42) for t in txt.split(" ")]
+    out = set()
+    for i in range(len(th) - n + 1):
+        seed = 42
+        for h in th[i : i + n]:
+            seed = xxh64(struct.pack("<Q", h & mask), seed)
+        out.add(seed)
+    return out
+
+
 def py_minhash(txt: str, num_hashes: int = 128) -> list[int]:
-    hs = {xxh64(s.encode(), 42) for s in py_shingles(txt)}  # hashed shingles
+    hs = py_hashed_shingles(txt)  # hashed shingles
     return [min(py_hash_i_long(h, i) for h in hs) for i in range(num_hashes)]
 
 
