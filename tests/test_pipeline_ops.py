@@ -101,6 +101,30 @@ def py_jaccard_pairs(doc_rows, threshold=0.6, n=3):
 
 # -- dedup ------------------------------------------------------------------
 
+def test_string_shingles_match_python_twin(spark, docs, doc_rows):
+    """dedup.with_shingles is the string-side reference form — the set
+    the DuckDB oracles and py_jaccard_pairs compute Jaccard over. The
+    production path (with_hashed_shingles) never materializes these
+    strings; this pins the reference form they stand in for."""
+    got = {
+        r.doc_id: set(r.shingles)
+        for r in dedup.with_shingles(docs.limit(8)).collect()
+    }
+    for doc_id, sh in got.items():
+        assert sh == py_shingles(doc_rows[doc_id]), doc_id
+
+
+def test_hashed_shingles_match_python_twin(spark, docs, doc_rows):
+    got = {
+        r.doc_id: set(r.sh)
+        for r in dedup.with_hashed_shingles(docs.limit(8)).collect()
+    }
+    signed = lambda v: v - (1 << 64) if v >= (1 << 63) else v  # noqa: E731
+    for doc_id, sh in got.items():
+        want = {signed(h) for h in py_hashed_shingles(doc_rows[doc_id])}
+        assert sh == want, doc_id
+
+
 def test_minhash_signature_matches_python_twin(spark, docs, doc_rows):
     got = {
         r.doc_id: list(r.sig)
