@@ -151,6 +151,11 @@ def with_hashed_shingles(
         F.when(F.size("__th") >= n, F.array_distinct(grams))
         .otherwise(F.array().cast("array<long>"))
         .alias("sh"),
+    ).filter(
+        # docs shorter than n tokens have no shingles — drop them (as the
+        # string path did): an empty set has no Jaccard pairs, and an
+        # all-NULL MinHash signature must never reach the banding join
+        F.size("sh") > 0
     )
 
 

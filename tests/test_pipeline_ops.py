@@ -114,6 +114,25 @@ def test_string_shingles_match_python_twin(spark, docs, doc_rows):
         assert sh == py_shingles(doc_rows[doc_id]), doc_id
 
 
+def test_short_docs_drop_out_of_shingle_pipelines(spark):
+    """A doc with fewer than n tokens has no shingles: it must vanish
+    from with_hashed_shingles (not surface as an empty array whose
+    all-NULL MinHash signature could band-collide) and must never pair."""
+    rows = [
+        ("short", "only two"),
+        ("a", "the quick brown fox jumps over the lazy dog"),
+        ("b", "the quick brown fox jumps over the lazy dog"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r.doc_id for r in dedup.with_hashed_shingles(df).collect()}
+    assert got == {"a", "b"}
+    pairs = {
+        (r.a_id, r.b_id)
+        for r in dedup.minhash_lsh_pairs(df, threshold=0.6).collect()
+    }
+    assert pairs == {("a", "b")}
+
+
 def test_hashed_shingles_match_python_twin(spark, docs, doc_rows):
     got = {
         r.doc_id: set(r.sh)
