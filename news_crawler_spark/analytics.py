@@ -1139,6 +1139,204 @@ SELECT doc_id, unnest(list_distinct(w)) AS fp FROM wins
 
 
 # ===========================================================================
+# M — interleaved text+media spans (the input_hint table shape, under the
+# hard oracle gate)
+#
+# The driver's ``documents`` table is plain text, so these queries derive
+# the interleaved-span documents DETERMINISTICALLY from it (both engines
+# can): tokens → 8-token paragraphs, an image span after every 3rd
+# paragraph, markup dialect = doc_id mod 3 (covering all three selector
+# families of operators/extract.py). The Spark side then runs the REAL
+# page→spans extractor (the same mapInPandas regex pass the crawl engine
+# uses — collectors/isna/page_parser.py:12-182 and peers in the
+# reference), while the DuckDB oracle computes the expected span sequence
+# INDEPENDENTLY from the token arithmetic, never seeing the markup. A
+# hash match is therefore exactly the north-rule invariant: span-sequence
+# equality (kind, text, media_ref, order) per document, across all three
+# markup dialects.
+
+M1_PARA_TOKENS = 8     # tokens per text span
+M1_IMG_EVERY = 3       # an image span after every 3rd paragraph
+# dialect index d = doc_id mod 3 picks (source, tag set); sources chosen
+# so extract.SOURCE_DIALECT maps them onto the three selector configs
+_M1_SOURCES = ["isna", "tasnim", "shargh"]          # classic, divs, spans
+_M1_T_PRE = ["<title>", '<h1 class="title">', '<meta name="title" content="']
+_M1_T_POST = ["</title>", "</h1>", '">']
+_M1_P_PRE = ["<p>", '<div class="item-text">', '<span class="body-text">']
+_M1_P_POST = ["</p>", "</div>", "</span>"]
+_M1_I_PRE = ['<img src="', '<figure data-src="', '<img data-original="']
+_M1_I_POST = ['">', '"></figure>', '">']
+
+
+def _m1_pages(docs: DataFrame) -> DataFrame:
+    """documents(doc_id, text) → fetched-page rows (payload = per-dialect
+    markup with interleaved paragraph/image tags) in the shape
+    ``extract_documents`` consumes. Pure built-in expressions — the
+    construction is the deterministic stand-in for the fetch stage."""
+    d = F.pmod(F.col("doc_id"), F.lit(3)).cast("int")
+
+    def pick(vals):
+        return F.element_at(F.array(*[F.lit(v) for v in vals]), d + 1)
+
+    toks = F.split(F.col("text"), " ")
+    n_para = F.ceil(F.size(toks) / F.lit(float(M1_PARA_TOKENS))).cast("int")
+    p_pre, p_post = pick(_M1_P_PRE), pick(_M1_P_POST)
+    i_pre, i_post = pick(_M1_I_PRE), pick(_M1_I_POST)
+    img_ref = lambda k: F.concat(  # noqa: E731
+        F.lit("img-"), F.col("doc_id").cast("string"), F.lit("-"),
+        k.cast("int").cast("string"),
+    )
+    body = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_para - 1),
+            lambda c: F.concat(
+                p_pre,
+                F.array_join(F.slice(toks, c * M1_PARA_TOKENS + 1, M1_PARA_TOKENS), " "),
+                p_post,
+                F.when(
+                    (c + 1) % M1_IMG_EVERY == 0,
+                    F.concat(i_pre, img_ref((c + 1) / M1_IMG_EVERY), i_post),
+                ).otherwise(F.lit("")),
+            ),
+        ),
+        "",
+    )
+    page = F.concat(
+        pick(_M1_T_PRE),
+        F.lit("doc "), F.col("doc_id").cast("string"),
+        pick(_M1_T_POST),
+        body,
+    )
+    return docs.select(
+        F.col("doc_id").cast("long").alias("url_hash"),
+        F.concat(
+            F.lit("https://synthetic.local/doc/"), F.col("doc_id").cast("string")
+        ).alias("canonical_url"),
+        pick(_M1_SOURCES).alias("source"),
+        F.lit("synthetic.local").alias("host"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("published_ts"),
+        F.lit(True).alias("ok"),
+        page.alias("payload"),
+    )
+
+
+def _m1_extracted(spark, sf) -> DataFrame:
+    from .operators import extract
+
+    pages = dedup.spread_for_cpu(_m1_pages(load(spark, sf, "documents")))
+    return extract.extract_documents(pages)
+
+
+def m1_interleaved_spans(spark, sf):
+    """Span-sequence equality under the hard gate: one row per extracted
+    span, (doc_id, title, offset, kind, text, media_ref). The Spark rows
+    come out of the real regex extractor over the built markup; the
+    oracle recomputes the sequence from token arithmetic alone — any
+    dialect's parser drifting (order, offsets, a tag family, the title
+    selector) breaks the value hash."""
+    return (
+        _m1_extracted(spark, sf)
+        .select("doc_id", "title", F.explode("spans").alias("s"))
+        .select(
+            "doc_id",
+            "title",
+            F.col("s.offset").alias("offset"),
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+        )
+    )
+
+
+# expected sequence from token arithmetic: paragraph c sits at position
+# c + c//3 (c//3 images precede it); image k (1-based) follows paragraph
+# 3k-1 at position 4k-1. doc_id in the output is the extractor's hex id
+# (printf %016x of the integer id).
+M1_SQL = f"""
+WITH base AS (
+  SELECT doc_id, printf('%016x', doc_id) AS hid,
+         string_split(text, ' ') AS toks,
+         CAST(ceil(len(string_split(text, ' ')) / {float(M1_PARA_TOKENS)}) AS INT)
+           AS np
+  FROM documents
+),
+textspans AS (
+  SELECT hid AS doc_id, 'doc ' || doc_id AS title,
+         (c + c // {M1_IMG_EVERY})::INT AS "offset",
+         'text' AS kind,
+         array_to_string(
+           toks[c*{M1_PARA_TOKENS}+1 : c*{M1_PARA_TOKENS}+{M1_PARA_TOKENS}], ' '
+         ) AS text,
+         NULL::VARCHAR AS media_ref
+  FROM base, unnest(generate_series(0, np - 1)) AS u(c)
+),
+imgspans AS (
+  SELECT hid AS doc_id, 'doc ' || doc_id AS title,
+         ({M1_IMG_EVERY + 1}*k - 1)::INT AS "offset",
+         'image' AS kind,
+         NULL::VARCHAR AS text,
+         'img-' || doc_id || '-' || k AS media_ref
+  FROM base, unnest(generate_series(1, np // {M1_IMG_EVERY})) AS g(k)
+)
+SELECT * FROM textspans UNION ALL SELECT * FROM imgspans
+"""
+
+
+def m2_media_pipeline(spark, sf):
+    """Multimodal plumbing under the hard gate: the m1 span docs feed
+    ``media_table`` (payload synthesis), ``frame_sample`` (row-explosion
+    demux) and ``resize_image`` (fixed-size thumbnails); output is one
+    row per media item with the sizes each stage is contracted to
+    produce. The oracle recomputes every size from one sha256 per ref
+    (payload length = 256 + 4·seed[0] by construction), so a drift in
+    payload synthesis, frame slicing/stride, or thumbnail sizing breaks
+    the hash. The feature-histogram path stays fixture-tested (DuckDB
+    cannot hash blobs, so the keystream is not SQL-expressible)."""
+    from .operators import multimodal
+
+    # three downstream branches (sizes, frames, thumbs) read the media
+    # rows — materialize once so payload synthesis runs once
+    media = multimodal.media_table(_m1_extracted(spark, sf)).localCheckpoint(
+        eager=True
+    )
+    frames = (
+        multimodal.frame_sample(media)
+        .groupBy("media_ref")
+        .agg(F.count("*").cast("int").alias("n_frames"))
+    )
+    thumbs = multimodal.resize_image(media).select(
+        "media_ref", F.length("payload").cast("int").alias("thumb_bytes")
+    )
+    return (
+        media.select("media_ref", "kind", F.col("meta.n_bytes").alias("n_bytes"))
+        .join(frames, "media_ref")
+        .join(thumbs, "media_ref")
+    )
+
+
+M2_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         CAST(ceil(len(string_split(text, ' ')) / 8.0) AS INT) AS np
+  FROM documents
+),
+refs AS (
+  SELECT DISTINCT 'img-' || doc_id || '-' || k AS media_ref
+  FROM base, unnest(generate_series(1, np // 3)) AS g(k)
+),
+sized AS (
+  SELECT media_ref,
+         (256 + 4 * ('0x' || substr(sha256(media_ref), 1, 2))::INT)::INT AS n_bytes
+  FROM refs
+)
+SELECT media_ref, 'image' AS kind, n_bytes,
+       (((n_bytes // 64) + 3) // 4)::INT AS n_frames,
+       256::INT AS thumb_bytes
+FROM sized
+"""
+
+
+# ===========================================================================
 # registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1178,6 +1376,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x3_token_stats": x3_token_stats,
     "x4_fingerprints": x4_fingerprints,
     "x5_winnow_fingerprints": x5_winnow_fingerprints,
+    "m1_interleaved_spans": m1_interleaved_spans,
+    "m2_media_pipeline": m2_media_pipeline,
 }
 
 ORACLES: dict[str, str] = {
@@ -1217,4 +1417,6 @@ ORACLES: dict[str, str] = {
     "x3_token_stats": X3_SQL,
     "x4_fingerprints": X4_SQL,
     "x5_winnow_fingerprints": X5_SQL,
+    "m1_interleaved_spans": M1_SQL,
+    "m2_media_pipeline": M2_SQL,
 }

@@ -288,6 +288,60 @@ def test_media_plumbing(spark):
         multimodal.decode_image(b"\xff\xd8")
 
 
+def _py_expected_spans(doc_id: int, text: str, para=8, img_every=3):
+    """Independent python twin of the m1 expected span sequence: 8-token
+    paragraphs, an image after every 3rd, positions by construction."""
+    toks = text.split(" ")
+    np_ = -(-len(toks) // para)
+    seq = []
+    for c in range(np_):
+        seq.append(("text", " ".join(toks[c * para:(c + 1) * para]), None))
+        if (c + 1) % img_every == 0:
+            seq.append(("image", None, f"img-{doc_id}-{(c + 1) // img_every}"))
+    return [(k, t, m, off) for off, (k, t, m) in enumerate(seq)]
+
+
+def test_m1_span_equality_all_dialects(spark, tmp_path):
+    """The m1 pipeline end-to-end on one doc per markup dialect: the real
+    regex extractor's span sequence equals the arithmetic twin — the
+    north-rule invariant (kind, text, media_ref, order) per dialect."""
+    from news_crawler_spark import analytics
+
+    texts = {
+        0: " ".join(f"w{i}" for i in range(20)),   # classic (isna), 3 paras
+        1: " ".join(f"x{i}" for i in range(25)),   # divs (tasnim), 4 paras
+        2: " ".join(f"y{i}" for i in range(49)),   # spans (shargh), 7 paras
+    }
+    p = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    ).coalesce(1).write.parquet(p)
+    out = analytics.m1_interleaved_spans(spark, str(tmp_path)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc) == 3
+    for doc_id, text in texts.items():
+        hid = format(doc_id, "016x")
+        rows = sorted(by_doc[hid], key=lambda r: r.offset)
+        assert rows[0].title == f"doc {doc_id}"
+        got = [(r.kind, r.text, r.media_ref, r.offset) for r in rows]
+        assert got == _py_expected_spans(doc_id, text), f"dialect {doc_id % 3}"
+    # dialect coverage: every doc produced at least one image span
+    assert all(
+        any(r.kind == "image" for r in rows) for rows in by_doc.values()
+    )
+
+    # m2 sizes from the same table, pinned to the python synth path
+    m2 = {r.media_ref: r for r in analytics.m2_media_pipeline(spark, str(tmp_path)).collect()}
+    assert m2  # at least one media item
+    for ref, r in m2.items():
+        n = len(multimodal.synth_media_payload(ref))
+        assert r.n_bytes == n
+        assert r.n_frames == ((n // 64) + 3) // 4
+        assert r.thumb_bytes == 256
+
+
 # -- fetch/extract path parity -----------------------------------------------
 
 def test_fused_fetch_extract_matches_two_stage(spark):
