@@ -4,7 +4,7 @@
 pivot, range-densify in one plan) at sf0.001. ``queries()`` exposes every
 SQL-expressible operator from SURVEY.md §2 plus the training-data-pipeline
 operators (dedup / similarity / text analysis); ``oracle_sql()`` gives the
-DuckDB equivalent for EVERY query (38/38 — d4/d6 SimHash use md5-derived
+DuckDB equivalent for EVERY query (39/39 — d4/d6 SimHash use md5-derived
 token hashes precisely so DuckDB can recompute the sketch; round 4 adds
 d6 128-bit SimHash, v7 timestamp-range filtered search, j10 — the
 frontier status machine replayed through the real pop+MERGE operators
@@ -12,7 +12,9 @@ against an unrolled window-rank SQL twin — and m1/m2: the interleaved
 text+media span extractor and the media plumbing under the hard gate,
 where the oracle recomputes the expected span sequence / media sizes
 independently of the markup, so a value-hash match IS the north rule's
-span-sequence-equality invariant).
+span-sequence-equality invariant — and s1: the applyInPandasWithState
+streaming cursor driven through a real two-micro-batch availableNow
+run, its emitted rows matched against a window-rank SQL twin).
 """
 
 from __future__ import annotations

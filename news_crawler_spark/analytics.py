@@ -1337,6 +1337,87 @@ FROM sized
 
 
 # ===========================================================================
+# S — Structured Streaming under the hard gate
+#
+# The stateful streaming cursor (ST3, streaming.cursor_cut_stream —
+# applyInPandasWithState, the reference's last-link JSON cache as true
+# streaming state) normally gets only fixture checks; here it runs as a
+# REAL two-micro-batch availableNow stream whose output is
+# SQL-expressible: batch 1 (even event_ids) all passes (empty state),
+# batch 2 (odd) passes only rows strictly beyond batch 1's per-source
+# (published_ts, url) cursor. Batch boundaries are pinned by writing the
+# two batches as separate files with forced mtime order and
+# maxFilesPerTrigger=1.
+
+def s1_stream_cursor_cut(spark, sf):
+    """ST3 stateful cursor cut, driven end-to-end through Structured
+    Streaming (file source → applyInPandasWithState → parquet sink,
+    availableNow) and returned as the sink's static rows."""
+    import os
+    import tempfile
+    import time
+
+    from . import streaming as streaming_mod
+
+    work = tempfile.mkdtemp(prefix="s1_stream_")
+    seeds_dir = os.path.join(work, "seeds")
+    os.makedirs(seeds_dir)
+    ev = load(spark, sf, "events").select(
+        F.col("event_type").alias("source"),
+        F.concat(
+            F.lit("https://synthetic.local/e/"), F.col("event_id").cast("string")
+        ).alias("url"),
+        F.col("ts").alias("published_ts"),
+        F.lit("2024-02-01 00:00:00").cast("timestamp").alias("discovery_time"),
+        F.pmod("event_id", F.lit(2)).alias("par"),
+    )
+    now = time.time()
+    for i in (0, 1):
+        path = os.path.join(seeds_dir, f"batch{i}.parquet")
+        ev.filter(F.col("par") == i).drop("par").toPandas().to_parquet(
+            path, coerce_timestamps="us"  # Spark reads µs, not pandas' ns
+        )
+        os.utime(path, (now - 200 + 100 * i, now - 200 + 100 * i))
+    out_dir = os.path.join(work, "out")
+    q = (
+        streaming_mod.cursor_cut_stream(
+            streaming_mod.read_seed_stream(spark, seeds_dir, max_files_per_trigger=1)
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(out_dir).select("source", "url", "published_ts")
+
+
+S1_SQL = """
+WITH seeds AS (
+  SELECT event_type AS source,
+         'https://synthetic.local/e/' || event_id AS url,
+         ts AS published_ts,
+         event_id % 2 AS par
+  FROM events
+),
+cur AS (
+  SELECT source, published_ts AS c_ts, url AS c_url
+  FROM (SELECT *, row_number() OVER (PARTITION BY source
+                  ORDER BY published_ts DESC, url DESC) AS rn
+        FROM seeds WHERE par = 0)
+  WHERE rn = 1
+)
+SELECT source, url, published_ts FROM seeds WHERE par = 0
+UNION ALL
+SELECT s.source, s.url, s.published_ts
+FROM seeds s JOIN cur USING (source)
+WHERE s.par = 1
+  AND (s.published_ts > c_ts OR (s.published_ts = c_ts AND s.url > c_url))
+"""
+
+
+# ===========================================================================
 # registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1378,6 +1459,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x5_winnow_fingerprints": x5_winnow_fingerprints,
     "m1_interleaved_spans": m1_interleaved_spans,
     "m2_media_pipeline": m2_media_pipeline,
+    "s1_stream_cursor_cut": s1_stream_cursor_cut,
 }
 
 ORACLES: dict[str, str] = {
@@ -1419,4 +1501,5 @@ ORACLES: dict[str, str] = {
     "x5_winnow_fingerprints": X5_SQL,
     "m1_interleaved_spans": M1_SQL,
     "m2_media_pipeline": M2_SQL,
+    "s1_stream_cursor_cut": S1_SQL,
 }
