@@ -1389,7 +1389,9 @@ def s1_stream_cursor_cut(spark, sf):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):  # partial sink must never be read
+        q.stop()
+        raise TimeoutError("s1 availableNow stream did not drain in 600s")
     return spark.read.parquet(out_dir).select("source", "url", "published_ts")
 
 

@@ -153,3 +153,15 @@ def test_embed_claim_is_salted_two_phase(spark):
     )
     p = plan(sched._claim(pending))
     assert "xxhash64" in p and p.count("Window") >= 2, p
+
+
+def test_m1_span_extract_single_python_pass(spark):
+    """m1: page construction is pure codegen'd expressions feeding ONE
+    MapInPandas extract pass — no join, no aggregate, and no exchange
+    beyond the tiny-input round-robin spread."""
+    df = analytics.m1_interleaved_spans(spark, SF)
+    p = plan(df)
+    assert p.count("MapInPandas") == 1
+    assert "Join" not in p and "HashAggregate" not in p
+    exchanges = [l for l in p.splitlines() if "Exchange" in l]
+    assert all("RoundRobinPartitioning" in l for l in exchanges), p
