@@ -458,3 +458,37 @@ def test_streaming_ingest_with_persistent_filter(spark, tmp_path_factory):
         return {r.canonical_url for r in eng._read_seen_keys(latest).collect()}
 
     assert run("cuckoo") == run(None)
+
+
+def test_engine_crash_mid_compaction_never_readmits(spark, tmp_path_factory):
+    """Crash window: a fold that triggered compaction prunes the old
+    base/deltas BEFORE the round commits. If the crash lands there, the
+    new base is an uncommitted round dir — resume must drop it
+    (catalog.drop_uncommitted) and the freshness check must rebuild from
+    seen_keys, so full redelivery still admits 0."""
+    from news_crawler_spark.operators.seen_filter import SeenFilterStore
+
+    wd = str(tmp_path_factory.mktemp("crash_compact"))
+    eng1 = CrawlEngine(spark, wd, seen_prefilter="bloom", compact_every=100)
+    eng1.ingest(synth.build_seed_list(spark, 200))
+    eng1.ingest_incremental(synth.build_seed_list(spark, 260))
+    committed = eng1.catalog.latest_round()
+
+    # mimic the in-flight round: fold new keys with a compaction forced
+    # NOW (compact_every=1) — this writes a new base at the uncommitted
+    # round and prunes every older base/delta — then "crash" (no commit)
+    crash_round = committed + 1
+    store = SeenFilterStore(eng1.catalog, kind="bloom")
+    store.compact_every = 1
+    new_keys = spark.range(0, 50).select(
+        F.xxhash64(F.concat(F.lit("crash"), "id")).alias("url_hash")
+    )
+    store.fold(crash_round, new_keys)
+    assert store._base_round(crash_round) == crash_round  # compacted
+    del eng1, store
+
+    eng2 = CrawlEngine(spark, wd, seen_prefilter="bloom")
+    # full redelivery of everything committed: zero re-admissions
+    assert eng2.ingest_incremental(synth.build_seed_list(spark, 260)) == 0
+    # and genuinely-new URLs still get through
+    assert eng2.ingest_incremental(synth.build_seed_list(spark, 320)) > 0
