@@ -1352,7 +1352,12 @@ FROM sized
 def s1_stream_cursor_cut(spark, sf):
     """ST3 stateful cursor cut, driven end-to-end through Structured
     Streaming (file source → applyInPandasWithState → parquet sink,
-    availableNow) and returned as the sink's static rows."""
+    availableNow) and returned as the sink's static rows.
+
+    The two-file staging (toPandas → parquet, mtime-pinned) is gate
+    scaffolding to make the micro-batch boundary deterministic at test
+    scale; the production source is Kafka (streaming.py module doc), and
+    the operator under test is fully distributed either way."""
     import os
     import tempfile
     import time
