@@ -56,6 +56,7 @@ HEADLINE = [
     "v7_ts_range_topk",
     "d6_simhash128_pairs",
     "j10_frontier_machine",
+    "j11_token_bucket_replay",
     "m1_interleaved_spans",
     "m2_media_pipeline",
 ]

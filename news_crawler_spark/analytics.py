@@ -493,6 +493,139 @@ FROM r{J10_ROUNDS} GROUP BY 1, 2
 )
 
 
+J11_REFILL = 700
+J11_CAP = 1000
+J11_ROUNDS = 5
+J11_MAX_RETRIES = 3
+
+
+def j11_token_bucket_replay(spark, sf):
+    """C1 under the hard gate: per-host token-bucket politeness with
+    CARRY, replayed through the real pop operator. Each round budget =
+    min(cap, tokens + refill) (the engine's _budgets expression), the
+    per-host top-budget pops through frontier.pop_round, the j10 MERGE
+    rule applies, and tokens_next = budget − popped(host). Parameters
+    are sized so that at the gate's sf0.01 both regimes engage: hosts
+    drain below budget around round 4 (carry accumulates) and the
+    bucket cap clips the refill in round 5. Output: final (host,
+    status) census joined with each host's leftover tokens."""
+    from .operators import frontier as frontier_ops
+    from .operators.dedup import md5_hash64
+
+    e = load(spark, sf, "events")
+    frontier = e.select(
+        md5_hash64(F.concat(F.lit("u"), F.col("event_id").cast("string"))).alias(
+            "url_hash"
+        ),
+        F.col("event_type").alias("host"),
+        F.pmod(
+            md5_hash64(F.concat(F.lit("u"), F.col("event_id").cast("string"))),
+            F.lit(3),
+        ).cast("int").alias("priority"),
+        F.col("ts").alias("published_ts"),
+        F.lit("pending").alias("status"),
+        F.lit(0).alias("tried_count"),
+    )
+    tokens = (
+        frontier.select("host").distinct().withColumn("tokens", F.lit(0).cast("long"))
+    )
+    ok = F.pmod(F.col("url_hash"), F.lit(10)) != 0
+    for _ in range(J11_ROUNDS):
+        budgets = tokens.select(
+            "host",
+            F.least(F.lit(J11_CAP).cast("long"), F.col("tokens") + F.lit(J11_REFILL))
+            .alias("budget"),
+        )
+        popped = frontier_ops.pop_round(
+            frontier_ops.eligible(frontier, J11_MAX_RETRIES), budgets
+        )
+        updated = popped.withColumn(
+            "tried_count",
+            F.when(ok, F.col("tried_count")).otherwise(F.col("tried_count") + 1),
+        ).withColumn(
+            "status",
+            F.when(ok, F.lit("completed"))
+            .when(F.col("tried_count") >= J11_MAX_RETRIES, F.lit("failed"))
+            .otherwise(F.lit("pending")),
+        )
+        frontier = (
+            frontier.join(popped.select("url_hash"), "url_hash", "left_anti")
+            .unionByName(updated)
+            .localCheckpoint(eager=True)
+        )
+        tokens = (
+            budgets.join(
+                popped.groupBy("host").agg(F.count("*").alias("__n")), "host", "left"
+            )
+            .select(
+                "host",
+                (F.col("budget") - F.coalesce("__n", F.lit(0)))
+                .cast("long")
+                .alias("tokens"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        frontier.groupBy("host", "status")
+        .agg(F.count("*").alias("n"))
+        .join(tokens, "host")
+    )
+
+
+def _j11_round_sql(i: int) -> str:
+    prev, cur = f"s{i}", f"s{i + 1}"
+    tp, tc = f"tk{i}", f"tk{i + 1}"
+    r = J11_MAX_RETRIES
+    return f"""
+b{i + 1} AS (
+  SELECT host, least({J11_CAP}, tokens + {J11_REFILL}) AS budget FROM {tp}
+),
+pops{i + 1} AS (
+  SELECT e.url_hash, e.host
+  FROM (SELECT url_hash, host,
+               row_number() OVER (PARTITION BY host
+                   ORDER BY priority, published_ts, url_hash) AS rn
+        FROM {prev} WHERE status = 'pending' AND tried < {r}) e
+  JOIN b{i + 1} USING (host)
+  WHERE e.rn <= budget
+),
+{cur} AS (
+  SELECT s.url_hash, s.host, s.priority, s.published_ts,
+         CASE WHEN p.url_hash IS NOT NULL THEN
+                CASE WHEN ((s.url_hash % 10) + 10) % 10 <> 0 THEN 'completed'
+                     WHEN s.tried + 1 >= {r} THEN 'failed'
+                     ELSE 'pending' END
+              ELSE s.status END AS status,
+         CASE WHEN p.url_hash IS NOT NULL AND ((s.url_hash % 10) + 10) % 10 = 0
+              THEN s.tried + 1 ELSE s.tried END AS tried
+  FROM {prev} s LEFT JOIN pops{i + 1} p USING (url_hash)
+),
+{tc} AS (
+  SELECT b.host, (b.budget - coalesce(p.n, 0))::BIGINT AS tokens
+  FROM b{i + 1} b LEFT JOIN (
+    SELECT host, count(*) AS n FROM pops{i + 1} GROUP BY 1
+  ) p USING (host)
+)"""
+
+
+J11_SQL = (
+    f"""
+WITH s0 AS (
+  SELECT h AS url_hash, event_type AS host,
+         (((h % 3) + 3) % 3)::INT AS priority, ts AS published_ts,
+         'pending' AS status, 0 AS tried
+  FROM (SELECT {_J10_H} AS h, event_type, ts FROM events)
+),
+tk0 AS (SELECT DISTINCT event_type AS host, 0::BIGINT AS tokens FROM events),"""
+    + ",".join(_j11_round_sql(i) for i in range(J11_ROUNDS))
+    + f"""
+SELECT s.host, s.status, count(*)::BIGINT AS n, min(t.tokens)::BIGINT AS tokens
+FROM s{J11_ROUNDS} s JOIN tk{J11_ROUNDS} t ON s.host = t.host
+GROUP BY 1, 2
+"""
+)
+
+
 # ===========================================================================
 # T — frontier ordering / top-k / cursors
 
@@ -1443,6 +1576,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j8_json_props": j8_json_props,
     "j9_docs_vectors_reconcile": j9_docs_vectors_reconcile,
     "j10_frontier_machine": j10_frontier_machine,
+    "j11_token_bucket_replay": j11_token_bucket_replay,
     "t1_frontier_pop": t1_frontier_pop,
     "t3_cursor_cut": t3_cursor_cut,
     "t4_latest_cursor": t4_latest_cursor,
@@ -1485,6 +1619,7 @@ ORACLES: dict[str, str] = {
     "j8_json_props": J8_SQL,
     "j9_docs_vectors_reconcile": J9_SQL,
     "j10_frontier_machine": J10_SQL,
+    "j11_token_bucket_replay": J11_SQL,
     "t1_frontier_pop": T1_SQL,
     "t3_cursor_cut": T3_SQL,
     "t4_latest_cursor": T4_SQL,
