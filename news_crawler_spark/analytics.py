@@ -698,6 +698,152 @@ FROM events GROUP BY 1
 
 
 # ===========================================================================
+# K/S — KV price cache (K6) and embed-drain schedule (S11)
+
+K1_TTL_SECONDS = 7200
+K1_WAVES = 3
+
+
+def k1_price_cache(spark, sf):
+    """K6 under the hard gate: the TGJU price cache — latest value per
+    symbol with a last-write-wins fold and a TTL read filter
+    (redis_cache_manager.py:24-40 ``set(key, value, ex=ttl)`` restated
+    as a snapshot table). Price observations derive from events
+    (symbol = event_type + user_id%5 → 25 symbols); the observation
+    stream is split into 3 waves by obs_id and folded through the REAL
+    kv operators (upsert_latest, then merge_latest per wave — the
+    per-poll MERGE), then read through valid_at(as_of = newest
+    observation, ttl 2h), which expires symbols last quoted >2h before
+    the feed's head. The fold equals the global per-symbol arg_max
+    because (ts, obs_id) totally orders observations — the oracle
+    states that closed form."""
+    from .operators import kv
+
+    e = load(spark, sf, "events")
+    obs = e.select(
+        F.concat_ws(
+            "_", "event_type", F.pmod(F.col("user_id"), F.lit(5))
+        ).alias("symbol"),
+        "ts",
+        F.col("value").alias("price"),
+        F.col("event_id").alias("obs_id"),
+    )
+    waves = [
+        obs.filter(F.pmod(F.col("obs_id"), F.lit(K1_WAVES)) == i)
+        for i in range(K1_WAVES)
+    ]
+    cache = kv.upsert_latest(waves[0], key="symbol", ts_col="ts", tiebreak="obs_id")
+    for w in waves[1:]:
+        cache = kv.merge_latest(cache, w, key="symbol", ts_col="ts", tiebreak="obs_id")
+    head = e.agg(F.max("ts").alias("__as_of"))
+    return (
+        kv.valid_at(
+            cache.crossJoin(F.broadcast(head)),
+            F.col("__as_of"),
+            K1_TTL_SECONDS,
+        )
+        .select("symbol", "ts", "price", "obs_id")
+    )
+
+
+K1_SQL = f"""
+WITH obs AS (
+  SELECT event_type || '_' || (((user_id % 5) + 5) % 5)::VARCHAR AS symbol,
+         ts, value AS price, event_id AS obs_id
+  FROM events
+)
+SELECT symbol, ts, price, obs_id
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY symbol
+                               ORDER BY ts DESC, obs_id DESC) AS rn
+  FROM obs
+)
+WHERE rn = 1
+  AND ts >= (SELECT max(ts) FROM events) - to_seconds({K1_TTL_SECONDS})
+"""
+
+
+def _md5_h_sql(expr: str) -> str:
+    """DuckDB twin of operators.dedup.md5_hash64 over the string SQL
+    expression ``expr``: hi/lo 32-bit md5 halves packed into one signed
+    BIGINT with Java's shiftleft sign wrap on the hi half."""
+    m = f"md5({expr})"
+    hi = f"('0x' || substring({m}, 1, 8))::BIGINT"
+    lo = f"('0x' || substring({m}, 9, 8))::BIGINT"
+    return (
+        f"(({hi} + CASE WHEN {hi} >= 2147483648 THEN -4294967296 ELSE 0 END)"
+        f" * 4294967296 + {lo})"
+    )
+
+
+E1_BATCH_PER_SOURCE = 6
+E1_SALTS = 4
+E1_ROUNDS = 5
+_E1_EPOCH = 1704067200  # 2024-01-01 00:00:00 UTC
+
+
+def e1_embed_drain_schedule(spark, sf):
+    """S11 under the hard gate: the embed scheduler's drain ORDER.
+    Replays the real claim operator (embed_scheduler.claim_batch — the
+    per-source oldest-first salted two-phase top-k, database_manager.py
+    296-297 ``ORDER BY published_datetime ASC LIMIT batch``) for 5
+    rounds over a pending table derived from documents, emitting each
+    claimed doc's round number. published_ts derives deterministically
+    from doc_id (md5-minutes offset from 2024-01-01; every 11th doc
+    NULL, pinning the nulls-last rule). The oracle is the closed form
+    iterated claim-k must equal: round = 1 + (oldest-first rank − 1)/k
+    within each source."""
+    from . import embed_scheduler as es
+    from .operators.dedup import md5_hash64
+
+    d = load(spark, sf, "documents")
+    h = md5_hash64(F.concat(F.lit("p"), F.col("doc_id").cast("string")))
+    pending = d.select(
+        "doc_id",
+        "source",
+        F.when(F.pmod(h, F.lit(11)) == 0, F.lit(None).cast("timestamp"))
+        .otherwise(
+            (F.lit(_E1_EPOCH) + 60 * F.pmod(h, F.lit(14400))).cast("timestamp")
+        )
+        .alias("published_ts"),
+    )
+    out = None
+    for rnd in range(1, E1_ROUNDS + 1):
+        claimed = es.claim_batch(pending, E1_BATCH_PER_SOURCE, salts=E1_SALTS)
+        tagged = claimed.select(
+            "doc_id", "source", F.lit(rnd).cast("int").alias("round_no")
+        ).localCheckpoint(eager=True)
+        out = tagged if out is None else out.unionByName(tagged)
+        pending = pending.join(
+            tagged.select("doc_id"), "doc_id", "left_anti"
+        ).localCheckpoint(eager=True)
+    return out
+
+
+_E1_H = _md5_h_sql("'p' || doc_id::VARCHAR")
+
+E1_SQL = f"""
+WITH pend AS (
+  SELECT doc_id, source,
+         CASE WHEN (({_E1_H} % 11) + 11) % 11 = 0 THEN NULL
+              ELSE TIMESTAMP '2024-01-01 00:00:00'
+                   + to_seconds(60 * ((({_E1_H} % 14400) + 14400) % 14400))
+         END AS published_ts
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY published_ts ASC NULLS LAST, doc_id) AS rn
+  FROM pend
+)
+SELECT doc_id, source, (1 + (rn - 1) // {E1_BATCH_PER_SOURCE})::INT AS round_no
+FROM ranked
+WHERE rn <= {E1_ROUNDS * E1_BATCH_PER_SOURCE}
+"""
+
+
+# ===========================================================================
 # V — vector similarity (T5/E2 + training-pipeline ANN)
 
 def v1_cosine_topk(spark, sf):
@@ -1580,6 +1726,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t1_frontier_pop": t1_frontier_pop,
     "t3_cursor_cut": t3_cursor_cut,
     "t4_latest_cursor": t4_latest_cursor,
+    "k1_price_cache": k1_price_cache,
+    "e1_embed_drain_schedule": e1_embed_drain_schedule,
     "v1_cosine_topk": v1_cosine_topk,
     "v2_ivf_probe": v2_ivf_probe,
     "v3_embedding_neardup": v3_embedding_neardup,
@@ -1623,6 +1771,8 @@ ORACLES: dict[str, str] = {
     "t1_frontier_pop": T1_SQL,
     "t3_cursor_cut": T3_SQL,
     "t4_latest_cursor": T4_SQL,
+    "k1_price_cache": K1_SQL,
+    "e1_embed_drain_schedule": E1_SQL,
     "v1_cosine_topk": V1_SQL,
     "v2_ivf_probe": V2_SQL,
     "v3_embedding_neardup": V3_SQL,

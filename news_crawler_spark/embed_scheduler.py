@@ -41,6 +41,32 @@ STATUS_PENDING = "pending"
 STATUS_COMPLETED = "completed"
 
 
+def claim_batch(pending: DataFrame, k: int, salts: int = 16) -> DataFrame:
+    """Per-source batch claim: deterministic OLDEST-FIRST top-k by
+    (published_ts, doc_id) within each source — the reference drains
+    pending articles oldest first (database_manager.py:296-297,
+    323-324 ``ORDER BY published_datetime ASC LIMIT batch``); doc_id
+    breaks ties and orders docs with no timestamp (nulls last).
+    Two-phase salted window — identical output to a single per-source
+    window, salts× its parallelism. Module-level so the analytics gate
+    (e1_embed_drain_schedule) replays the exact operator the scheduler
+    runs."""
+    order = [F.asc_nulls_last("published_ts"), F.asc("doc_id")]
+    salt = F.pmod(F.xxhash64("doc_id"), F.lit(salts))
+    w1 = Window.partitionBy("source", salt).orderBy(*order)
+    pruned = (
+        pending.withColumn("__rn1", F.row_number().over(w1))
+        .filter(F.col("__rn1") <= k)
+        .drop("__rn1")
+    )
+    w2 = Window.partitionBy("source").orderBy(*order)
+    return (
+        pruned.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 @dataclass
 class EmbedRoundStats:
     round_no: int
@@ -118,28 +144,7 @@ class EmbedScheduler:
 
     # ------------------------------------------------------------------
     def _claim(self, pending: DataFrame) -> DataFrame:
-        """Per-source batch claim: deterministic OLDEST-FIRST top-k by
-        (published_ts, doc_id) within each source — the reference drains
-        pending articles oldest first (database_manager.py:296-297,
-        323-324 ``ORDER BY published_datetime ASC LIMIT batch``); doc_id
-        breaks ties and orders docs with no timestamp (nulls last).
-        Two-phase salted window — identical output to a single
-        per-source window, salts× its parallelism."""
-        k = self.batch_per_source
-        order = [F.asc_nulls_last("published_ts"), F.asc("doc_id")]
-        salt = F.pmod(F.xxhash64("doc_id"), F.lit(self.salts))
-        w1 = Window.partitionBy("source", salt).orderBy(*order)
-        pruned = (
-            pending.withColumn("__rn1", F.row_number().over(w1))
-            .filter(F.col("__rn1") <= k)
-            .drop("__rn1")
-        )
-        w2 = Window.partitionBy("source").orderBy(*order)
-        return (
-            pruned.withColumn("__rn", F.row_number().over(w2))
-            .filter(F.col("__rn") <= k)
-            .drop("__rn")
-        )
+        return claim_batch(pending, self.batch_per_source, self.salts)
 
     def step(self, round_no: int) -> EmbedRoundStats:
         prev = round_no - 1
