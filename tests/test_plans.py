@@ -165,3 +165,17 @@ def test_m1_span_extract_single_python_pass(spark):
     assert "Join" not in p and "HashAggregate" not in p
     exchanges = [l for l in p.splitlines() if "Exchange" in l]
     assert all("RoundRobinPartitioning" in l for l in exchanges), p
+
+
+def test_k1_cache_fold_is_aggregate_not_window(spark):
+    """K6: the LWW cache fold must be max_by AGGREGATES (map-side
+    partial combine — the shuffle carries |symbols| rows per wave, not
+    |observations|) and the as-of head must broadcast; a window
+    implementation would shuffle every observation."""
+    p = plan(analytics.k1_price_cache(spark, SF))
+    assert "Window" not in p, p
+    assert "max_by" in p or "HashAggregate" in p
+    # partial aggregation before the exchange = map-side combine
+    assert "partial_max_by" in p, p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
