@@ -626,6 +626,99 @@ GROUP BY 1, 2
 )
 
 
+P9_SEGS = ["news", "archive", "admin", "tag", "static"]
+P9_RULES = [
+    ("click", "/admin", "deny"),
+    ("error", "/admin", "deny"),
+    ("purchase", "/admin", "deny"),
+    ("signup", "/admin", "deny"),
+    ("view", "/admin", "deny"),
+    ("click", "/archive", "deny"),
+    ("click", "/archive/2024", "allow"),
+    ("error", "/", "deny"),
+    ("error", "/news", "allow"),
+    ("purchase", "/tag", "deny"),
+    ("purchase", "/tag", "allow"),
+    ("view", "/static", "deny"),
+]
+
+
+def p9_robots_filter(spark, sf):
+    """P9 under the hard gate: longest-prefix robots evaluation through
+    the REAL operator (frontier.allowed_by_robots — broadcast rules +
+    higher-order functions, zero frontier-side shuffle, the same pass
+    the crawl engine runs; reference link_validator semantics). URLs
+    derive from events (host = event_type, two path depths so the
+    /archive vs /archive/2024 override does real work); the rule set
+    exercises every branch: longer-prefix override, root-deny with
+    carve-out, equal-length allow-beats-deny tie, deny-only, and
+    no-match ⇒ allow. The oracle scores each URL's matching rules with
+    max(2·prefix_len + is_allow) — equivalent to the operator's
+    lexicographic (len, allow) array_max. Output: per (host, first
+    path segment) census of allowed URLs."""
+    from .operators import frontier as frontier_ops
+
+    e = load(spark, sf, "events")
+    seg = F.element_at(
+        F.array(*[F.lit(s) for s in P9_SEGS]),
+        (F.pmod(F.col("event_id"), F.lit(5)) + 1).cast("int"),
+    )
+    deep = F.pmod(F.col("event_id"), F.lit(3)) == 0
+    path = F.concat(
+        F.lit("/"),
+        seg,
+        F.when(deep, F.lit("/2024/")).otherwise(F.lit("/")),
+        F.col("event_id").cast("string"),
+    )
+    urls = e.select(
+        "event_id",
+        F.col("event_type").alias("host"),
+        seg.alias("seg"),
+        F.concat(F.lit("https://"), F.col("event_type"), path).alias(
+            "canonical_url"
+        ),
+    )
+    rules = spark.createDataFrame(
+        P9_RULES, "host string, path_prefix string, rule_kind string"
+    )
+    return (
+        frontier_ops.allowed_by_robots(urls, rules)
+        .groupBy("host", "seg")
+        .agg(F.count("*").alias("n_allowed"))
+    )
+
+
+_P9_VALUES = ", ".join(f"('{h}', '{p}', '{k}')" for h, p, k in P9_RULES)
+
+P9_SQL = f"""
+WITH urls AS (
+  SELECT event_id, event_type AS host,
+         (['news', 'archive', 'admin', 'tag', 'static'])
+             [(((event_id % 5) + 5) % 5) + 1] AS seg,
+         '/' || (['news', 'archive', 'admin', 'tag', 'static'])
+             [(((event_id % 5) + 5) % 5) + 1]
+             || CASE WHEN ((event_id % 3) + 3) % 3 = 0
+                     THEN '/2024/' ELSE '/' END
+             || event_id::VARCHAR AS path
+  FROM events
+),
+rules(host, path_prefix, rule_kind) AS (VALUES {_P9_VALUES}),
+scored AS (
+  SELECT u.event_id, u.host, u.seg,
+         max(2 * length(r.path_prefix)
+             + CASE WHEN r.rule_kind = 'allow' THEN 1 ELSE 0 END) AS best
+  FROM urls u
+  LEFT JOIN rules r
+    ON u.host = r.host AND starts_with(u.path, r.path_prefix)
+  GROUP BY 1, 2, 3
+)
+SELECT host, seg, count(*)::BIGINT AS n_allowed
+FROM scored
+WHERE best IS NULL OR best % 2 = 1
+GROUP BY 1, 2
+"""
+
+
 # ===========================================================================
 # T — frontier ordering / top-k / cursors
 
@@ -1723,6 +1816,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j9_docs_vectors_reconcile": j9_docs_vectors_reconcile,
     "j10_frontier_machine": j10_frontier_machine,
     "j11_token_bucket_replay": j11_token_bucket_replay,
+    "p9_robots_filter": p9_robots_filter,
     "t1_frontier_pop": t1_frontier_pop,
     "t3_cursor_cut": t3_cursor_cut,
     "t4_latest_cursor": t4_latest_cursor,
@@ -1768,6 +1862,7 @@ ORACLES: dict[str, str] = {
     "j9_docs_vectors_reconcile": J9_SQL,
     "j10_frontier_machine": J10_SQL,
     "j11_token_bucket_replay": J11_SQL,
+    "p9_robots_filter": P9_SQL,
     "t1_frontier_pop": T1_SQL,
     "t3_cursor_cut": T3_SQL,
     "t4_latest_cursor": T4_SQL,
