@@ -936,6 +936,101 @@ WHERE rn <= {E1_ROUNDS * E1_BATCH_PER_SOURCE}
 """
 
 
+def s2_feed_discovery(spark, sf):
+    """S3-S5/P4-P6/F5 under the hard gate: feed-page link collection
+    through the REAL ``sources.collect_links`` pass. Each event becomes
+    one feed item (page = (source, day, event_id%4), built with a real
+    collect_list so the explode works on true multi-item pages); half
+    the items travel as RSS (RFC-822 pub_raw) and half as sitemap
+    (ISO-8601), so the string round-trip — date_format here, the
+    operator's try_to_timestamp + weekday strip on the way back — is
+    what the oracle checks: parsed timestamps are second-truncated, and
+    the DuckDB twin recomputes the survivors from timestamp arithmetic
+    alone (it never sees the strings). Noise channels: every md5-slot-7
+    item is a digit-free section URL (P6), slot 8 leaks a future day
+    (P5), slot 9 spills the previous day (P4). Output: per (source,
+    day) census of surviving links + newest parsed timestamp."""
+    from . import sources
+    from .operators.dedup import md5_hash64
+
+    e = load(spark, sf, "events")
+    h = md5_hash64(F.concat(F.lit("f"), F.col("event_id").cast("string")))
+    noise = F.pmod(h, F.lit(10))
+    pub_ts = (
+        F.when(noise == 8, F.col("ts") + F.expr("INTERVAL 1 DAY"))
+        .when(noise == 9, F.col("ts") - F.expr("INTERVAL 1 DAY"))
+        .otherwise(F.col("ts"))
+    )
+    kind = (
+        F.when(F.pmod(F.col("event_id"), F.lit(2)) == 0, F.lit("rss"))
+        .otherwise(F.lit("sitemap"))
+    )
+    url = (
+        F.when(
+            noise == 7,
+            F.concat(
+                F.lit("https://"),
+                F.col("event_type"),
+                F.lit(".example.com/section/overview"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://"),
+                F.col("event_type"),
+                F.lit(".example.com/news/"),
+                F.col("event_id").cast("string"),
+            )
+        )
+    )
+    pub_raw = (
+        F.when(kind == "rss", F.date_format(pub_ts, "EEE, dd MMM yyyy HH:mm:ss Z"))
+        .otherwise(F.date_format(pub_ts, "yyyy-MM-dd'T'HH:mm:ssXXX"))
+    )
+    items = e.select(
+        F.col("event_type").alias("source"),
+        kind.alias("feed_kind"),
+        F.to_date("ts").alias("day"),
+        F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("page_idx"),
+        F.struct(
+            url.alias("url"),
+            F.lit(None).cast("timestamp").alias("published_ts"),
+            pub_raw.alias("pub_raw"),
+        ).alias("it"),
+    )
+    pages = items.groupBy("source", "feed_kind", "day", "page_idx").agg(
+        F.collect_list("it").alias("items")
+    )
+    return (
+        sources.collect_links(pages)
+        .groupBy("source", "day")
+        .agg(
+            F.count("*").alias("n_links"),
+            F.max("published_ts").alias("newest_ts"),
+        )
+    )
+
+
+_S2_H = _md5_h_sql("'f' || event_id::VARCHAR")
+_S2_NOISE = f"(({_S2_H} % 10) + 10) % 10"
+
+S2_SQL = f"""
+WITH pub AS (
+  SELECT event_type AS source, ts::DATE AS day,
+         {_S2_NOISE} AS noise,
+         CASE WHEN {_S2_NOISE} = 8 THEN ts + INTERVAL 1 DAY
+              WHEN {_S2_NOISE} = 9 THEN ts - INTERVAL 1 DAY
+              ELSE ts END AS pub_ts
+  FROM events
+)
+SELECT source, day, count(*)::BIGINT AS n_links,
+       max(date_trunc('second', pub_ts)) AS newest_ts
+FROM pub
+WHERE noise <> 7 AND pub_ts::DATE = day
+GROUP BY 1, 2
+"""
+
+
 # ===========================================================================
 # V — vector similarity (T5/E2 + training-pipeline ANN)
 
@@ -1822,6 +1917,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t4_latest_cursor": t4_latest_cursor,
     "k1_price_cache": k1_price_cache,
     "e1_embed_drain_schedule": e1_embed_drain_schedule,
+    "s2_feed_discovery": s2_feed_discovery,
     "v1_cosine_topk": v1_cosine_topk,
     "v2_ivf_probe": v2_ivf_probe,
     "v3_embedding_neardup": v3_embedding_neardup,
@@ -1868,6 +1964,7 @@ ORACLES: dict[str, str] = {
     "t4_latest_cursor": T4_SQL,
     "k1_price_cache": K1_SQL,
     "e1_embed_drain_schedule": E1_SQL,
+    "s2_feed_discovery": S2_SQL,
     "v1_cosine_topk": V1_SQL,
     "v2_ivf_probe": V2_SQL,
     "v3_embedding_neardup": V3_SQL,
