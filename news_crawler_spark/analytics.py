@@ -508,7 +508,17 @@ def j11_token_bucket_replay(spark, sf):
     are sized so that at the gate's sf0.01 both regimes engage: hosts
     drain below budget around round 4 (carry accumulates) and the
     bucket cap clips the refill in round 5. Output: final (host,
-    status) census joined with each host's leftover tokens."""
+    status) census joined with each host's leftover tokens.
+
+    ONE Spark job per round: popped rows are stamped with the round
+    number (``__r``) before folding into the frontier checkpoint, so
+    this round's per-host pop counts — the only thing the token fold
+    needs — come from a cheap re-scan of the already-materialized
+    checkpoint (filter ``__r == i``) instead of a second job that
+    re-executes the pop. ``tokens`` stays a lazy 5-row plan over
+    checkpointed leaves, cut each round by a lazy localCheckpoint that
+    piggybacks on the next round's job (an eager one would be a whole
+    extra job for 5 rows)."""
     from .operators import frontier as frontier_ops
     from .operators.dedup import md5_hash64
 
@@ -525,28 +535,33 @@ def j11_token_bucket_replay(spark, sf):
         F.col("ts").alias("published_ts"),
         F.lit("pending").alias("status"),
         F.lit(0).alias("tried_count"),
+        F.lit(-1).cast("int").alias("__r"),
     )
     tokens = (
         frontier.select("host").distinct().withColumn("tokens", F.lit(0).cast("long"))
     )
     ok = F.pmod(F.col("url_hash"), F.lit(10)) != 0
-    for _ in range(J11_ROUNDS):
+    for i in range(J11_ROUNDS):
         budgets = tokens.select(
             "host",
             F.least(F.lit(J11_CAP).cast("long"), F.col("tokens") + F.lit(J11_REFILL))
             .alias("budget"),
         )
         popped = frontier_ops.pop_round(
-            frontier_ops.eligible(frontier, J11_MAX_RETRIES), budgets
+            frontier_ops.eligible(frontier, J11_MAX_RETRIES).drop("__r"), budgets
         )
-        updated = popped.withColumn(
-            "tried_count",
-            F.when(ok, F.col("tried_count")).otherwise(F.col("tried_count") + 1),
-        ).withColumn(
-            "status",
-            F.when(ok, F.lit("completed"))
-            .when(F.col("tried_count") >= J11_MAX_RETRIES, F.lit("failed"))
-            .otherwise(F.lit("pending")),
+        updated = (
+            popped.withColumn(
+                "tried_count",
+                F.when(ok, F.col("tried_count")).otherwise(F.col("tried_count") + 1),
+            )
+            .withColumn(
+                "status",
+                F.when(ok, F.lit("completed"))
+                .when(F.col("tried_count") >= J11_MAX_RETRIES, F.lit("failed"))
+                .otherwise(F.lit("pending")),
+            )
+            .withColumn("__r", F.lit(i).cast("int"))
         )
         frontier = (
             frontier.join(popped.select("url_hash"), "url_hash", "left_anti")
@@ -555,7 +570,11 @@ def j11_token_bucket_replay(spark, sf):
         )
         tokens = (
             budgets.join(
-                popped.groupBy("host").agg(F.count("*").alias("__n")), "host", "left"
+                frontier.filter(F.col("__r") == i)
+                .groupBy("host")
+                .agg(F.count("*").alias("__n")),
+                "host",
+                "left",
             )
             .select(
                 "host",
@@ -563,7 +582,7 @@ def j11_token_bucket_replay(spark, sf):
                 .cast("long")
                 .alias("tokens"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return (
         frontier.groupBy("host", "status")
