@@ -510,20 +510,36 @@ def j11_token_bucket_replay(spark, sf):
     bucket cap clips the refill in round 5. Output: final (host,
     status) census joined with each host's leftover tokens.
 
+    Merge-on-read replay, the engine's own state shape: the base
+    frontier is IMMUTABLE (scanned from parquet each round, never
+    rewritten), and only popped rows accumulate in a small ``overlay``
+    (≤ hosts × cap per round), latest-status-per-url. Eligibility is
+    base ⟕̸ broadcast(overlay keys) ∪ pending overlay rows, so the
+    per-round materialization is O(|popped so far|), not O(|frontier|)
+    — checkpointing the whole merged frontier each round was 4× slower
+    at sf0.1 and would be fatal at 10^10 rows.
+
     ONE Spark job per round: popped rows are stamped with the round
-    number (``__r``) before folding into the frontier checkpoint, so
+    number (``__r``) before folding into the overlay checkpoint, so
     this round's per-host pop counts — the only thing the token fold
     needs — come from a cheap re-scan of the already-materialized
-    checkpoint (filter ``__r == i``) instead of a second job that
+    overlay (filter ``__r == i``) instead of a second job that
     re-executes the pop. ``tokens`` stays a lazy 5-row plan over
     checkpointed leaves, cut each round by a lazy localCheckpoint that
     piggybacks on the next round's job (an eager one would be a whole
-    extra job for 5 rows)."""
+    extra job for 5 rows).
+
+    ``salts=8``, not pop_round's default 64: phase-2 input per host is
+    salts × budget, and with this query's cap-1000 budgets 64 salts
+    would keep up to 64 000 survivors per host — more than the whole
+    sf0.1 frontier, i.e. phase 1 would prune nothing (measured 3.7×
+    slower). Pick salts ≈ target-phase-2-rows / budget; the engine's
+    ≤20-row budgets keep the default 64."""
     from .operators import frontier as frontier_ops
     from .operators.dedup import md5_hash64
 
     e = load(spark, sf, "events")
-    frontier = e.select(
+    base = e.select(
         md5_hash64(F.concat(F.lit("u"), F.col("event_id").cast("string"))).alias(
             "url_hash"
         ),
@@ -537,8 +553,9 @@ def j11_token_bucket_replay(spark, sf):
         F.lit(0).alias("tried_count"),
         F.lit(-1).cast("int").alias("__r"),
     )
+    overlay = base.filter(F.lit(False)).localCheckpoint(eager=True)
     tokens = (
-        frontier.select("host").distinct().withColumn("tokens", F.lit(0).cast("long"))
+        base.select("host").distinct().withColumn("tokens", F.lit(0).cast("long"))
     )
     ok = F.pmod(F.col("url_hash"), F.lit(10)) != 0
     for i in range(J11_ROUNDS):
@@ -547,8 +564,13 @@ def j11_token_bucket_replay(spark, sf):
             F.least(F.lit(J11_CAP).cast("long"), F.col("tokens") + F.lit(J11_REFILL))
             .alias("budget"),
         )
+        merged = base.join(
+            F.broadcast(overlay.select("url_hash")), "url_hash", "left_anti"
+        ).unionByName(overlay)
         popped = frontier_ops.pop_round(
-            frontier_ops.eligible(frontier, J11_MAX_RETRIES).drop("__r"), budgets
+            frontier_ops.eligible(merged, J11_MAX_RETRIES).drop("__r"),
+            budgets,
+            salts=8,
         )
         updated = (
             popped.withColumn(
@@ -563,14 +585,14 @@ def j11_token_bucket_replay(spark, sf):
             )
             .withColumn("__r", F.lit(i).cast("int"))
         )
-        frontier = (
-            frontier.join(popped.select("url_hash"), "url_hash", "left_anti")
+        overlay = (
+            overlay.join(popped.select("url_hash"), "url_hash", "left_anti")
             .unionByName(updated)
             .localCheckpoint(eager=True)
         )
         tokens = (
             budgets.join(
-                frontier.filter(F.col("__r") == i)
+                overlay.filter(F.col("__r") == i)
                 .groupBy("host")
                 .agg(F.count("*").alias("__n")),
                 "host",
@@ -584,8 +606,11 @@ def j11_token_bucket_replay(spark, sf):
             )
             .localCheckpoint(eager=False)
         )
+    final = base.join(
+        F.broadcast(overlay.select("url_hash")), "url_hash", "left_anti"
+    ).unionByName(overlay)
     return (
-        frontier.groupBy("host", "status")
+        final.groupBy("host", "status")
         .agg(F.count("*").alias("n"))
         .join(tokens, "host")
     )
