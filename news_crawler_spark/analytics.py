@@ -398,7 +398,15 @@ def j10_frontier_machine(spark, sf):
     (operators/frontier.pop_round) and applies the engine's MERGE rule
     (ok → completed; fail → tried+1, failed at max_retries); the oracle
     replays the same transitions with 4 unrolled window-rank CTEs.
-    Output: the (status, tried_count) census after round 4."""
+    Output: the (status, tried_count) census after round 4.
+
+    Merge-on-read replay (same shape as j11 and the engine itself):
+    the base frontier is immutable and only the ≤ hosts·budget popped
+    rows per round accumulate in a checkpointed ``overlay``; each
+    round's eligibility is base ⟕̸ broadcast(overlay keys) ∪ pending
+    overlay rows. Checkpointing the whole merged frontier per round
+    re-materialized O(|frontier|) 4 times over — the overlay keeps the
+    per-round write at O(|popped so far|) (≤ 800 rows here)."""
     from .operators import frontier as frontier_ops
     from .operators.dedup import md5_hash64
 
@@ -421,10 +429,14 @@ def j10_frontier_machine(spark, sf):
     budgets = (
         frontier.select("host").distinct().withColumn("budget", F.lit(J10_BUDGET))
     )
+    overlay = frontier.filter(F.lit(False)).localCheckpoint(eager=True)
     ok = F.pmod(F.col("url_hash"), F.lit(10)) != 0
     for _ in range(J10_ROUNDS):
+        merged = frontier.join(
+            F.broadcast(overlay.select("url_hash")), "url_hash", "left_anti"
+        ).unionByName(overlay)
         popped = frontier_ops.pop_round(
-            frontier_ops.eligible(frontier, J10_MAX_RETRIES), budgets
+            frontier_ops.eligible(merged, J10_MAX_RETRIES), budgets
         )
         updated = (
             popped.withColumn(
@@ -438,12 +450,15 @@ def j10_frontier_machine(spark, sf):
                 .otherwise(F.lit("pending")),
             )
         )
-        frontier = (
-            frontier.join(popped.select("url_hash"), "url_hash", "left_anti")
+        overlay = (
+            overlay.join(popped.select("url_hash"), "url_hash", "left_anti")
             .unionByName(updated)
             .localCheckpoint(eager=True)
         )
-    return frontier.groupBy("status", "tried_count").agg(F.count("*").alias("n"))
+    final = frontier.join(
+        F.broadcast(overlay.select("url_hash")), "url_hash", "left_anti"
+    ).unionByName(overlay)
+    return final.groupBy("status", "tried_count").agg(F.count("*").alias("n"))
 
 
 _J10_H = (
