@@ -119,6 +119,11 @@ class CrawlEngine:
         # cached eligible-pending count, maintained by lineage arithmetic
         # (eligible' = eligible - popped + re-pended); None = recount once
         self._eligible_left: int | None = None
+        # pop_round salt count sized to the largest configured budget
+        # (salts × budget bounds the phase-2 re-rank input per host);
+        # resolved lazily from the politeness table on first step — one
+        # 1-row agg, once per engine lifetime
+        self._pop_salts: int | None = None
 
     # ------------------------------------------------------------- pending io
     def _read_pending(self, round_no: int) -> DataFrame:
@@ -497,7 +502,16 @@ class CrawlEngine:
         eligible = frontier_ops.eligible(pending, self.max_retries)
         allowed = frontier_ops.allowed_by_robots(eligible, self.robots)
         budgets = self._budgets(allowed, prev_tokens)
-        popped = frontier_ops.pop_round(allowed, budgets).cache()
+        if self._pop_salts is None:
+            max_cap = (
+                self.politeness.agg(F.max("bucket_capacity")).first()[0] or 0
+            )
+            self._pop_salts = frontier_ops.salts_for_budget(
+                max(max_cap, 2 * self.default_refill)
+            )
+        popped = frontier_ops.pop_round(
+            allowed, budgets, salts=self._pop_salts
+        ).cache()
 
         # size the python fetch stage by ROWS, not bytes (each row costs
         # ~1 ms of python): ~500 rows/task, capped at 2×cores; tiny rounds

@@ -70,3 +70,47 @@ def test_v4_payload_filter_matches_numpy(spark):
     # the unfiltered top-k differs => the filter is semantically load-bearing
     unfiltered = similarity.topk_cosine(emb, 7, k=5).collect()
     assert {r.vec_id for r in unfiltered} != {r.vec_id for r in got} or len(keep) == len(vecs)
+
+
+def test_salts_for_budget_bounds():
+    from news_crawler_spark.operators.frontier import salts_for_budget
+
+    assert salts_for_budget(20) == 64          # politeness-scale budgets keep max
+    assert salts_for_budget(128) == 64
+    assert salts_for_budget(1000) == 8         # j11-scale caps shrink
+    assert salts_for_budget(100_000) == 1      # degenerate: plain per-host window
+    assert salts_for_budget(0) == 64
+
+
+def test_pop_round_salt_invariant(spark):
+    """pop_round returns the identical set for any salt count (each salt
+    group keeps its own top-budget, so the true per-host top-k always
+    survives phase 1)."""
+    from news_crawler_spark.operators import frontier as fops
+    from pyspark.sql import functions as F
+
+    rows = [
+        {
+            "url_hash": i * 2654435761 % (1 << 31),
+            "host": f"h{i % 3}",
+            "priority": i % 4,
+            "status": "pending",
+            "tried_count": 0,
+        }
+        for i in range(400)
+    ]
+    frontier = spark.createDataFrame(rows).withColumn(
+        "published_ts", F.lit(None).cast("timestamp")
+    )
+    budgets = spark.createDataFrame(
+        [{"host": f"h{i}", "budget": 37} for i in range(3)]
+    )
+    outs = [
+        sorted(
+            (r.host, r.url_hash)
+            for r in fops.pop_round(frontier, budgets, salts=s).collect()
+        )
+        for s in (1, 8, 64)
+    ]
+    assert outs[0] == outs[1] == outs[2]
+    assert len(outs[0]) == 3 * 37
