@@ -41,7 +41,7 @@ STATUS_PENDING = "pending"
 STATUS_COMPLETED = "completed"
 
 
-def claim_batch(pending: DataFrame, k: int, salts: int = 16) -> DataFrame:
+def claim_batch(pending: DataFrame, k: int, salts: int | None = None) -> DataFrame:
     """Per-source batch claim: deterministic OLDEST-FIRST top-k by
     (published_ts, doc_id) within each source — the reference drains
     pending articles oldest first (database_manager.py:296-297,
@@ -50,7 +50,13 @@ def claim_batch(pending: DataFrame, k: int, salts: int = 16) -> DataFrame:
     Two-phase salted window — identical output to a single per-source
     window, salts× its parallelism. Module-level so the analytics gate
     (e1_embed_drain_schedule) replays the exact operator the scheduler
-    runs."""
+    runs. ``salts=None`` sizes the salt count to the batch size
+    (phase 2's per-source input is salts × k — see
+    frontier.salts_for_budget); pass an int to pin it."""
+    if salts is None:
+        from .operators.frontier import salts_for_budget
+
+        salts = salts_for_budget(k, max_salts=16)
     order = [F.asc_nulls_last("published_ts"), F.asc("doc_id")]
     salt = F.pmod(F.xxhash64("doc_id"), F.lit(salts))
     w1 = Window.partitionBy("source", salt).orderBy(*order)
@@ -81,7 +87,7 @@ class EmbedScheduler:
         workdir: str,
         dim: int = DEFAULT_DIM,
         batch_per_source: int = 100,
-        salts: int = 16,
+        salts: int | None = None,
     ):
         self.spark = spark
         self.catalog = SnapshotCatalog(spark, workdir)
