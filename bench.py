@@ -57,6 +57,7 @@ HEADLINE = [
     "d6_simhash128_pairs",
     "j10_frontier_machine",
     "j11_token_bucket_replay",
+    "j12_seen_filter_unseen",
     "m1_interleaved_spans",
     "m2_media_pipeline",
 ]
