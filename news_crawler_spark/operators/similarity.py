@@ -234,6 +234,29 @@ def ivf_assign(
     return assigned
 
 
+def _score_at_least(threshold: float) -> Column:
+    """``cosine(va, vb)`` rounded to 4 places, EVALUATED ONCE, with
+    sub-threshold rows dropped — as one Generate expression.
+
+    The obvious ``withColumn("score", …).filter(score >= t)`` is a trap:
+    PushDownPredicates substitutes the projected expression into the
+    predicate (and here, into the join condition), so every candidate
+    pair paid the cosine aggregate TWICE. Exploding a 0/1-element
+    conditional array computes the score once per row and drops the row
+    when the array is empty — a filter Catalyst cannot tear apart. Same
+    let_bound discipline as the winnow/simhash fixes (text.let_bound)."""
+    from .text import let_bound
+
+    return F.explode(
+        let_bound(
+            F.round(cosine(F.col("va"), F.col("vb")), 4),
+            lambda s: F.when(s >= F.lit(threshold), F.array(s)).otherwise(
+                F.array().cast("array<double>")
+            ),
+        )
+    )
+
+
 def cosine_pairs(
     embeddings: DataFrame,
     threshold: float = 0.45,
@@ -253,11 +276,8 @@ def cosine_pairs(
     b = embeddings.select(
         F.col(id_col).alias("b_id"), F.col(vec_col).alias("vb")
     )
-    return (
-        a.join(b, F.col("a_id") < F.col("b_id"))
-        .withColumn("score", F.round(cosine(F.col("va"), F.col("vb")), 4))
-        .filter(F.col("score") >= F.lit(threshold))
-        .select("a_id", "b_id", "score")
+    return a.join(b, F.col("a_id") < F.col("b_id")).select(
+        "a_id", "b_id", _score_at_least(threshold).alias("score")
     )
 
 
@@ -345,9 +365,7 @@ def lsh_cosine_pairs(
     out = (
         cand.join(vecs.withColumnRenamed("vid", "a_id").withColumnRenamed("vec", "va"), "a_id")
         .join(vecs.withColumnRenamed("vid", "b_id").withColumnRenamed("vec", "vb"), "b_id")
-        .withColumn("score", F.round(cosine(F.col("va"), F.col("vb")), 4))
-        .filter(F.col("score") >= F.lit(threshold))
-        .select("a_id", "b_id", "score")
+        .select("a_id", "b_id", _score_at_least(threshold).alias("score"))
     )
     # materialize, then release the persisted sketches (cache-lifetime
     # hygiene — same reasoning as dedup.minhash_lsh_pairs)
