@@ -755,6 +755,96 @@ FROM unseen u CROSS JOIN (VALUES ('bloom'), ('cuckoo')) AS k(kind)
 """
 
 
+def j13_mor_merge(spark, sf):
+    """The merge-on-read pending reconstruction (engine.merge_pending —
+    the Iceberg-MOR analog behind mor mode's O(|popped|) writes) under
+    the HARD gate. Three synthetic delta rounds derived md5-deterministically
+    from events exercise every transition: tombed-only keys die
+    (pmod5 = r−1, no re-add), add-after-tomb resurrects with the newest
+    row, add-THEN-tomb dies, same-round tomb+add survives (the
+    addition-wins tie rule ``__ar >= __tr``), two add families (pmod7
+    tried=r, pmod11 tried=r+10, disjoint within a round) pin max_by
+    picking the NEWEST add across rounds, untouched base rows pass
+    through the broadcast anti-join. Oracle = the same latest-event-wins
+    closed form as DuckDB arg_max/max CTEs. Engine equivalence (cow ≡
+    mor over real crawl rounds) is pinned by tests/test_crawl_engine.py;
+    this puts the reconstruction OPERATOR itself under the value-hash
+    gate."""
+    from .engine import merge_pending
+    from .operators.dedup import md5_hash64
+
+    e = load(spark, sf, "events")
+    h = md5_hash64(F.concat(F.lit("u"), F.col("event_id").cast("string")))
+    base = e.select(
+        h.alias("url_hash"),
+        F.concat(F.lit("https://e/"), F.col("event_id").cast("string")).alias(
+            "canonical_url"
+        ),
+        F.col("event_type").alias("host"),
+        F.col("ts").alias("published_ts"),
+        F.lit("pending").alias("status"),
+        F.lit(0).alias("tried_count"),
+    )
+    adds, tombs = [], []
+    for r in (1, 2, 3):
+        fam_a = base.filter(F.pmod(F.col("url_hash"), F.lit(7)) == r).withColumn(
+            "tried_count", F.lit(r)
+        )
+        fam_b = base.filter(
+            (F.pmod(F.col("url_hash"), F.lit(11)) == r)
+            & (F.pmod(F.col("url_hash"), F.lit(7)) != r)
+        ).withColumn("tried_count", F.lit(r + 10))
+        adds.append(fam_a.unionByName(fam_b).withColumn("__r", F.lit(r)))
+        tombs.append(
+            base.filter(F.pmod(F.col("url_hash"), F.lit(5)) == r - 1)
+            .select("url_hash", "canonical_url")
+            .withColumn("__r", F.lit(r))
+        )
+    merged = merge_pending(spark, base, adds, tombs)
+    return merged.select(
+        "url_hash",
+        "canonical_url",
+        F.col("tried_count").cast("int").alias("tried_count"),
+    )
+
+
+J13_SQL = f"""
+WITH keyed AS (
+  SELECT {_J10_H} AS url_hash,
+         'https://e/' || event_id::VARCHAR AS canonical_url
+  FROM events
+),
+rounds AS (SELECT * FROM (VALUES (1), (2), (3)) AS t(r)),
+adds AS (
+  SELECT url_hash, canonical_url, r, r AS tried FROM keyed, rounds
+   WHERE ((url_hash % 7) + 7) % 7 = r
+  UNION ALL
+  SELECT url_hash, canonical_url, r, r + 10 AS tried FROM keyed, rounds
+   WHERE ((url_hash % 11) + 11) % 11 = r AND ((url_hash % 7) + 7) % 7 <> r
+),
+tombs AS (
+  SELECT url_hash, r FROM keyed, rounds WHERE ((url_hash % 5) + 5) % 5 = r - 1
+),
+la AS (
+  SELECT url_hash, canonical_url, arg_max(tried, r) AS tried, max(r) AS ar
+  FROM adds GROUP BY 1, 2
+),
+lt AS (SELECT url_hash, max(r) AS tr FROM tombs GROUP BY 1),
+survivors AS (
+  SELECT la.url_hash, la.canonical_url, la.tried::INT AS tried_count
+  FROM la LEFT JOIN lt ON la.url_hash = lt.url_hash
+  WHERE lt.tr IS NULL OR la.ar >= lt.tr
+),
+touched AS (
+  SELECT url_hash FROM la UNION SELECT url_hash FROM lt
+)
+SELECT k.url_hash, k.canonical_url, 0::INT AS tried_count
+FROM keyed k WHERE k.url_hash NOT IN (SELECT url_hash FROM touched)
+UNION ALL
+SELECT * FROM survivors
+"""
+
+
 P9_SEGS = ["news", "archive", "admin", "tag", "static"]
 P9_RULES = [
     ("click", "/admin", "deny"),
@@ -2041,6 +2131,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j10_frontier_machine": j10_frontier_machine,
     "j11_token_bucket_replay": j11_token_bucket_replay,
     "j12_seen_filter_unseen": j12_seen_filter_unseen,
+    "j13_mor_merge": j13_mor_merge,
     "p9_robots_filter": p9_robots_filter,
     "t1_frontier_pop": t1_frontier_pop,
     "t3_cursor_cut": t3_cursor_cut,
@@ -2089,6 +2180,7 @@ ORACLES: dict[str, str] = {
     "j10_frontier_machine": J10_SQL,
     "j11_token_bucket_replay": J11_SQL,
     "j12_seen_filter_unseen": J12_SQL,
+    "j13_mor_merge": J13_SQL,
     "p9_robots_filter": P9_SQL,
     "t1_frontier_pop": T1_SQL,
     "t3_cursor_cut": T3_SQL,

@@ -57,6 +57,50 @@ class RoundStats:
     pending_left: int
 
 
+def merge_pending(
+    spark: SparkSession,
+    base: DataFrame,
+    adds: list[DataFrame],
+    tombs: list[DataFrame],
+) -> DataFrame:
+    """Latest-event-wins merge-on-read reconstruction (the Iceberg MOR
+    analog): base snapshot ⊖ any key with a delta event, ⊕ the rows
+    whose NEWEST event is an addition. ``adds``/``tombs`` carry an
+    ``__r`` round column; a round pops a row (tombstone) and may re-pend
+    it (addition) in the same round — the addition wins ties
+    (``__ar >= __tr``). Module-level so the oracle gate
+    (analytics.j13_mor_merge) replays the exact reconstruction the
+    engine's mor mode runs per round; key-grouped aggregates get
+    map-side partial combine and only delta keys ever shuffle — the
+    base joins the (small) touched-key set broadcast-anti."""
+    keys = ["url_hash", "canonical_url"]
+    cols = base.columns
+    empty_add = spark.createDataFrame([], base.schema).withColumn("__r", F.lit(0))
+    add_all = empty_add
+    for a in adds:
+        add_all = add_all.unionByName(a)
+    latest_add = add_all.groupBy(*keys).agg(
+        F.max_by(F.struct(*cols), F.col("__r")).alias("__row"),
+        F.max("__r").alias("__ar"),
+    )
+    if tombs:
+        tomb_all = tombs[0]
+        for t in tombs[1:]:
+            tomb_all = tomb_all.unionByName(t)
+        latest_tomb = tomb_all.groupBy(*keys).agg(F.max("__r").alias("__tr"))
+    else:
+        latest_tomb = spark.createDataFrame(
+            [], "url_hash long, canonical_url string, __tr int"
+        )
+    ev = latest_add.join(latest_tomb, keys, "full")
+    survivors = ev.filter(
+        F.col("__ar").isNotNull()
+        & (F.col("__tr").isNull() | (F.col("__ar") >= F.col("__tr")))
+    ).select("__row.*")
+    touched = ev.select(*keys)
+    return base.join(touched, keys, "left_anti").unionByName(survivors)
+
+
 class CrawlEngine:
     def __init__(
         self,
@@ -151,34 +195,7 @@ class CrawlEngine:
                 )
         if not adds and not tombs:
             return base
-        keys = ["url_hash", "canonical_url"]
-        cols = base.columns
-        empty_add = self.spark.createDataFrame(
-            [], base.schema
-        ).withColumn("__r", F.lit(0))
-        add_all = empty_add
-        for a in adds:
-            add_all = add_all.unionByName(a)
-        latest_add = add_all.groupBy(*keys).agg(
-            F.max_by(F.struct(*cols), F.col("__r")).alias("__row"),
-            F.max("__r").alias("__ar"),
-        )
-        if tombs:
-            tomb_all = tombs[0]
-            for t in tombs[1:]:
-                tomb_all = tomb_all.unionByName(t)
-            latest_tomb = tomb_all.groupBy(*keys).agg(F.max("__r").alias("__tr"))
-        else:
-            latest_tomb = self.spark.createDataFrame(
-                [], "url_hash long, canonical_url string, __tr int"
-            )
-        ev = latest_add.join(latest_tomb, keys, "full")
-        survivors = ev.filter(
-            F.col("__ar").isNotNull()
-            & (F.col("__tr").isNull() | (F.col("__ar") >= F.col("__tr")))
-        ).select("__row.*")
-        touched = ev.select(*keys)
-        return base.join(touched, keys, "left_anti").unionByName(survivors)
+        return merge_pending(self.spark, base, adds, tombs)
 
     def _write_pending(
         self,
