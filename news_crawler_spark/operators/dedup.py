@@ -194,7 +194,12 @@ def ngram_jaccard_pairs(
     None only when provably exact output on a skewless corpus matters
     more than not melting the shuffle.
     """
-    sh = with_hashed_shingles(docs, text_col, id_col, n)
+    # materialize the shingle sets ONCE: the plan reads them from five
+    # branches (sizes twice, the self-join twice, the df guard), and
+    # without the cut each branch re-tokenizes and re-hashes the corpus
+    # (52 copies of the hash expression in the optimized plan, d2 the
+    # slowest non-iterative gate query before this)
+    sh = with_hashed_shingles(docs, text_col, id_col, n).localCheckpoint(eager=True)
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
     inv = sh.select("doc_id", F.explode("sh").alias("shingle"))
     if df_cap is not None:
