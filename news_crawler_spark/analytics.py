@@ -712,6 +712,9 @@ def j12_seen_filter_unseen(spark, sf):
     from .operators.seen_filter import SeenFilterStore
 
     e = load(spark, sf, "events")
+    # materialize the keyed projection once: four branches (two waves,
+    # the confirm's seen side, the candidates) otherwise each re-derive
+    # the md5 hash from their own events scan
     keyed = e.select(
         md5_hash64(F.concat(F.lit("u"), F.col("event_id").cast("string"))).alias(
             "url_hash"
@@ -719,7 +722,7 @@ def j12_seen_filter_unseen(spark, sf):
         F.concat(F.lit("https://e/"), F.col("event_id").cast("string")).alias(
             "canonical_url"
         ),
-    )
+    ).localCheckpoint(eager=True)
     wave1 = keyed.filter(F.pmod(F.col("url_hash"), F.lit(4)) == 1)
     wave2 = keyed.filter(F.pmod(F.col("url_hash"), F.lit(4)) == 2)
     seen = wave1.unionByName(wave2)
@@ -775,6 +778,9 @@ def j13_mor_merge(spark, sf):
 
     e = load(spark, sf, "events")
     h = md5_hash64(F.concat(F.lit("u"), F.col("event_id").cast("string")))
+    # materialize once — ten delta branches (3×2 add families, 3 tombs,
+    # the base, the anti-join) otherwise each re-derive the md5 hash
+    # from their own events scan (86 md5 nodes in the lazy plan)
     base = e.select(
         h.alias("url_hash"),
         F.concat(F.lit("https://e/"), F.col("event_id").cast("string")).alias(
@@ -784,7 +790,7 @@ def j13_mor_merge(spark, sf):
         F.col("ts").alias("published_ts"),
         F.lit("pending").alias("status"),
         F.lit(0).alias("tried_count"),
-    )
+    ).localCheckpoint(eager=True)
     adds, tombs = [], []
     for r in (1, 2, 3):
         fam_a = base.filter(F.pmod(F.col("url_hash"), F.lit(7)) == r).withColumn(
