@@ -851,6 +851,143 @@ SELECT * FROM survivors
 """
 
 
+def f1_jalali_calendar(spark, sf):
+    """F3 (exact Jalali↔Gregorian, the reference's date backbone) under
+    the HARD gate. 460 years of md5-derived dates (1800-03-01 + pmod(h,
+    168000) days → Gregorian 1800–2260, Jalali 1179–1639) run through
+    the REAL vectorized UDFs — ``with_jalali_columns``
+    (gregorian_to_jalali) and ``jalali_to_date`` back — plus the S1
+    archive-URL builder over the Jalali fields. The span crosses the
+    33-year-cycle breaks 1181/1210/1635, every leap-year class, and the
+    before-Nowruz negative-k branch. The DuckDB oracle re-derives the
+    whole jalaali algorithm in pure unrolled SQL (JDN arithmetic +
+    breaks-table fold; validated cell-by-cell against the python
+    reference over this exact span before landing) and pins roundtrip =
+    identity. persian.py:72-153; reference uses jdatetime throughout
+    its collectors (e.g. utils/date_utils.py)."""
+    from .functions import persian
+    from .operators.dedup import md5_hash64
+
+    e = load(spark, sf, "events")
+    h = md5_hash64(F.concat(F.lit("u"), F.col("event_id").cast("string")))
+    days = (
+        e.select(F.pmod(h, F.lit(168000)).cast("int").alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+    )
+    dated = days.select(
+        F.date_add(F.to_date(F.lit("1800-03-01")), F.col("k")).alias("g"), "n"
+    )
+    j = persian.with_jalali_columns(dated, "g")
+    back = persian.jalali_to_date(F.col("jy"), F.col("jm"), F.col("jd"))
+    return j.select(
+        F.date_format("g", "yyyy-MM-dd").alias("g_date"),
+        "jy",
+        "jm",
+        "jd",
+        "n",
+        F.date_format(back, "yyyy-MM-dd").alias("roundtrip"),
+        persian.archive_url(
+            F.lit("https://www.isna.ir"), F.col("jy"), F.col("jm"), F.col("jd")
+        ).alias("url"),
+    )
+
+
+_F1_BREAKS = [
+    -61, 9, 38, 199, 426, 686, 756, 818, 1111, 1181, 1210,
+    1635, 2060, 2097, 2192, 2262, 2324, 2394, 2456, 3178,
+]
+
+F1_SQL = f"""
+WITH ks AS (
+  SELECT ((({_J10_H} % 168000) + 168000) % 168000)::INT AS k,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1
+),
+dates AS (
+  SELECT DATE '1800-03-01' + k AS g, n,
+         year(DATE '1800-03-01' + k) AS gy,
+         month(DATE '1800-03-01' + k) AS gm,
+         day(DATE '1800-03-01' + k) AS gd
+  FROM ks
+),
+gg AS (SELECT *, CASE WHEN gm <= 2 THEN -1 ELSE 0 END AS m8 FROM dates),
+jdns AS (
+  SELECT g, n, gy, gm, gd,
+    ((gy + m8 + 100100) * 1461) // 4
+      + (153 * ((gm + 9) % 12) + 2) // 5
+      + gd - 34840408
+      - (((gy + 100100 + m8) // 100) * 3) // 4 + 752 AS jdn
+  FROM gg
+),
+dj AS (SELECT *, 4*jdn + 139361631
+         + ((4*jdn + 183187720) // 146097) * 3 // 4 * 4 - 3908 AS j FROM jdns),
+dj2 AS (SELECT *, ((j % 1461) // 4) * 5 + 308 AS i FROM dj),
+jy0 AS (
+  SELECT g, n, jdn,
+    (j // 1461 - 100100
+       + CASE WHEN ((i // 153) % 12 + 1) <= 2 THEN 1 ELSE 0 END) - 621 AS jy
+  FROM dj2
+),
+breaks(idx, b) AS (VALUES {", ".join(f"({i}, {b})" for i, b in enumerate(_F1_BREAKS))}),
+iv AS (
+  SELECT b1.idx, b1.b AS jp, b2.b AS jm_b, b2.b - b1.b AS jump
+  FROM breaks b1 JOIN breaks b2 ON b2.idx = b1.idx + 1
+),
+cal AS (
+  SELECT y.g, y.n, y.jdn, y.jy,
+    -14 + coalesce(SUM(CASE WHEN y.jy >= iv.jm_b
+                            THEN (iv.jump // 33) * 8 + (iv.jump % 33) // 4 END), 0)
+      AS leapj_base,
+    max(CASE WHEN y.jy >= iv.jp AND y.jy < iv.jm_b THEN iv.jp END) AS jp,
+    max(CASE WHEN y.jy >= iv.jp AND y.jy < iv.jm_b THEN iv.jump END) AS jump
+  FROM jy0 y CROSS JOIN iv
+  GROUP BY 1, 2, 3, 4
+),
+cal2 AS (SELECT *, jy - jp AS nn FROM cal),
+cal3 AS (
+  SELECT *, leapj_base + (nn // 33) * 8 + ((nn % 33) + 3) // 4
+       + CASE WHEN (jump % 33) = 4 AND jump - nn = 4 THEN 1 ELSE 0 END AS leapj,
+    (jy + 621) // 4 - (((jy + 621) // 100 + 1) * 3) // 4 - 150 AS leapg
+  FROM cal2
+),
+cal4 AS (
+  SELECT *, 20 + leapj - leapg AS march,
+    CASE WHEN jump - nn < 6 THEN nn - jump + ((jump + 4) // 33) * 33 ELSE nn END AS n2
+  FROM cal3
+),
+cal5 AS (SELECT *, ((n2 + 1) % 33 - 1) % 4 AS leap FROM cal4),
+mar AS (
+  SELECT *,
+    (((jy + 621) + 100100) * 1461) // 4
+      + (153 * ((3 + 9) % 12) + 2) // 5
+      + march - 34840408
+      - ((((jy + 621) + 100100) // 100) * 3) // 4 + 752 AS jdn1f
+  FROM cal5
+),
+kk AS (SELECT g, n, jy, leap, jdn - jdn1f AS k FROM mar),
+jal AS (
+  SELECT g, n,
+    CASE WHEN k >= 0 THEN jy ELSE jy - 1 END AS jy2,
+    CASE WHEN k >= 0 AND k <= 185 THEN 1 + k // 31
+         WHEN k >= 0 THEN 7 + (k - 186) // 30
+         ELSE 7 + (k + 179 + CASE WHEN leap = 1 THEN 1 ELSE 0 END) // 30
+    END AS jm2,
+    CASE WHEN k >= 0 AND k <= 185 THEN (k % 31) + 1
+         WHEN k >= 0 THEN ((k - 186) % 30) + 1
+         ELSE ((k + 179 + CASE WHEN leap = 1 THEN 1 ELSE 0 END) % 30) + 1
+    END AS jd2
+  FROM kk
+)
+SELECT strftime(g, '%Y-%m-%d') AS g_date,
+       jy2::INT AS jy, jm2::INT AS jm, jd2::INT AS jd, n,
+       strftime(g, '%Y-%m-%d') AS roundtrip,
+       printf('https://www.isna.ir/page/archive.xhtml?mn=%d&wide=0&dy=%d&ms=0&pi=1&yr=%d',
+              jm2::INT, jd2::INT, jy2::INT) AS url
+FROM jal
+"""
+
+
 P9_SEGS = ["news", "archive", "admin", "tag", "static"]
 P9_RULES = [
     ("click", "/admin", "deny"),
@@ -2138,6 +2275,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j11_token_bucket_replay": j11_token_bucket_replay,
     "j12_seen_filter_unseen": j12_seen_filter_unseen,
     "j13_mor_merge": j13_mor_merge,
+    "f1_jalali_calendar": f1_jalali_calendar,
     "p9_robots_filter": p9_robots_filter,
     "t1_frontier_pop": t1_frontier_pop,
     "t3_cursor_cut": t3_cursor_cut,
@@ -2187,6 +2325,7 @@ ORACLES: dict[str, str] = {
     "j11_token_bucket_replay": J11_SQL,
     "j12_seen_filter_unseen": J12_SQL,
     "j13_mor_merge": J13_SQL,
+    "f1_jalali_calendar": F1_SQL,
     "p9_robots_filter": P9_SQL,
     "t1_frontier_pop": T1_SQL,
     "t3_cursor_cut": T3_SQL,
