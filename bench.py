@@ -60,6 +60,7 @@ HEADLINE = [
     "j12_seen_filter_unseen",
     "m1_interleaved_spans",
     "m2_media_pipeline",
+    "f1_jalali_calendar",
 ]
 
 
