@@ -1298,6 +1298,44 @@ WHERE rn <= {E1_ROUNDS * E1_BATCH_PER_SOURCE}
 """
 
 
+def s3_sitemap_keys(spark, sf):
+    """S6/F9 under the hard gate: the Shargh base64(json) sitemap key
+    (collectors/shargh/historical_links_collector.py:61-79 builds
+    base64({"model": …, "date": …}) request keys per archive day)
+    through the REAL builtin-only expression
+    (persian.sitemap_key_base64: to_json(struct) → base64). Day ×
+    model cells derive from events; the oracle rebuilds the key with
+    DuckDB's to_json(struct_pack(...)) + base64 — a value-hash match
+    pins the exact byte encoding (field order, no whitespace, UTF-8)."""
+    from .functions.persian import sitemap_key_base64
+
+    e = load(spark, sf, "events")
+    cells = (
+        e.select(
+            F.col("event_type").alias("model"),
+            F.date_format("ts", "yyyy-MM-dd").alias("d"),
+        )
+        .groupBy("model", "d")
+        .agg(F.count("*").alias("n"))
+    )
+    return cells.select(
+        "model",
+        "d",
+        sitemap_key_base64("model", "d").alias("sitemap_key"),
+        "n",
+    )
+
+
+S3_SQL = """
+SELECT event_type AS model, strftime(ts, '%Y-%m-%d') AS d,
+       base64(encode(to_json(struct_pack(
+           model := event_type,
+           date := strftime(ts, '%Y-%m-%d')))::VARCHAR)) AS sitemap_key,
+       count(*)::BIGINT AS n
+FROM events GROUP BY 1, 2
+"""
+
+
 def s2_feed_discovery(spark, sf):
     """S3-S5/P4-P6/F5 under the hard gate: feed-page link collection
     through the REAL ``sources.collect_links`` pass. Each event becomes
@@ -2283,6 +2321,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k1_price_cache": k1_price_cache,
     "e1_embed_drain_schedule": e1_embed_drain_schedule,
     "s2_feed_discovery": s2_feed_discovery,
+    "s3_sitemap_keys": s3_sitemap_keys,
     "v1_cosine_topk": v1_cosine_topk,
     "v2_ivf_probe": v2_ivf_probe,
     "v3_embedding_neardup": v3_embedding_neardup,
@@ -2333,6 +2372,7 @@ ORACLES: dict[str, str] = {
     "k1_price_cache": K1_SQL,
     "e1_embed_drain_schedule": E1_SQL,
     "s2_feed_discovery": S2_SQL,
+    "s3_sitemap_keys": S3_SQL,
     "v1_cosine_topk": V1_SQL,
     "v2_ivf_probe": V2_SQL,
     "v3_embedding_neardup": V3_SQL,
