@@ -14,7 +14,14 @@ where the oracle recomputes the expected span sequence / media sizes
 independently of the markup, so a value-hash match IS the north rule's
 span-sequence-equality invariant — and s1: the applyInPandasWithState
 streaming cursor driven through a real two-micro-batch availableNow
-run, its emitted rows matched against a window-rank SQL twin).
+run, its emitted rows matched against a window-rank SQL twin. Round 5
+adds v8 — the sign-LSH embedding near-dup scale path, made
+integer-exact (quantized components × md5-derived integer hyperplanes)
+so DuckDB recomputes buckets, candidates and verified pairs bit-for-bit
+— s4: the watermarked windowed rate monitor driven through three real
+availableNow runs and matched against a batch-sequential watermark
+twin, and f2: the composed Persian-datetime parse (digits → ZWNJ →
+regex → month map → Jalali calendar → Tehran→UTC) in one value-hash).
 """
 
 from __future__ import annotations

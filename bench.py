@@ -61,7 +61,26 @@ HEADLINE = [
     "m1_interleaved_spans",
     "m2_media_pipeline",
     "f1_jalali_calendar",
+    "f2_persian_datetime_parse",
+    "v8_signlsh_pairs",
+    "s4_windowed_rates",
 ]
+
+# Gate-replay scaffolds: queries whose wall-clock is dominated by
+# multi-round replay/stream-restart scaffolding built to make the
+# correctness gate deterministic, not by the operator under test
+# (j10/j11 = 4-5 unrolled frontier rounds, j12 = rebuild+fold+probe of
+# two filter-store kinds on scratch catalogs, s1/s4 = real streaming
+# runs with per-batch checkpoints). Reported as their own subtotal so a
+# regression in ENGINE operators is never masked by scaffold noise
+# (round-4 verdict nit #3).
+GATE_REPLAY = {
+    "j10_frontier_machine",
+    "j11_token_bucket_replay",
+    "j12_seen_filter_unseen",
+    "s1_stream_cursor_cut",
+    "s4_windowed_rates",
+}
 
 
 def log(msg: str) -> None:
@@ -621,6 +640,12 @@ def main() -> None:
                 "value": round(sum(queries.values()), 3),
                 "unit": "sec",
                 "queries": queries,
+                "queries_engine_seconds": round(
+                    sum(t for q, t in queries.items() if q not in GATE_REPLAY), 3
+                ),
+                "queries_gate_seconds": round(
+                    sum(t for q, t in queries.items() if q in GATE_REPLAY), 3
+                ),
                 "sf": sf,
                 "crawl": crawl,
                 "crawl_1m": crawl_1m,

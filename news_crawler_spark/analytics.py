@@ -23,6 +23,7 @@ TakeOrderedAndProject — verified in tests/test_plans.py).
 
 from __future__ import annotations
 
+import shutil
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -727,9 +728,11 @@ def j12_seen_filter_unseen(spark, sf):
     wave2 = keyed.filter(F.pmod(F.col("url_hash"), F.lit(4)) == 2)
     seen = wave1.unionByName(wave2)
     cand = keyed.filter(F.pmod(F.col("url_hash"), F.lit(3)) == 0)
-    out = None
+    out, scratch = None, []
     for kind in ("bloom", "cuckoo"):
-        cat = SnapshotCatalog(spark, tempfile.mkdtemp(prefix=f"j12_{kind}_"))
+        work = tempfile.mkdtemp(prefix=f"j12_{kind}_")
+        scratch.append(work)
+        cat = SnapshotCatalog(spark, work)
         store = SeenFilterStore(
             cat, kind=kind, n_buckets=8, capacity_per_bucket=4096, compact_every=4
         )
@@ -739,6 +742,12 @@ def j12_seen_filter_unseen(spark, sf):
             F.lit(kind).alias("kind"), "url_hash", "canonical_url"
         )
         out = got if out is None else out.unionByName(got)
+    # materialize before deleting the filter-store catalogs the plan
+    # reads: this query is in the bench HEADLINE and must not accrete
+    # state dirs across a long bench session (ADVICE round 4)
+    out = out.localCheckpoint(eager=True)
+    for work in scratch:
+        shutil.rmtree(work, ignore_errors=True)
     return out
 
 
@@ -985,6 +994,150 @@ SELECT strftime(g, '%Y-%m-%d') AS g_date,
        printf('https://www.isna.ir/page/archive.xhtml?mn=%d&wide=0&dy=%d&ms=0&pi=1&yr=%d',
               jm2::INT, jd2::INT, jy2::INT) AS url
 FROM jal
+"""
+
+
+def f2_persian_datetime_parse(spark, sf):
+    """The COMPOSED F2+F3+F4 pipeline — the path every ISNA page date
+    takes (digit translation → ZWNJ cleanup → regex → month-name map →
+    Jalali→Gregorian → Tehran→UTC; reference
+    collectors/isna/links_crawler.py:171-206) — under the hard gate in
+    one value-hash. md5-derived (jy, jm, jd, hh, mm) fields are rendered
+    as REAL Persian datetime strings (Persian digits, month names from
+    the Farvardin..Esfand table, an occasional weekday prefix carrying a
+    ZWNJ so the F8 cleanup is on the hot path), then parsed back by the
+    real ``parse_persian_datetime``. The DuckDB twin assembles the same
+    strings and derives the UTC instant via the unrolled jalaali SQL
+    (f1's breaks-table fold, inverted to Jalali→JDN→date) and ICU's
+    Asia/Tehran rules.
+
+    Coverage: jy 1360-1420 (Gregorian 1981-2042) spans the no-DST 80s,
+    the 1991-2022 DST era (so both +3:30 and +4:30 offsets are hit) and
+    the post-2022 fixed offset. jy < 1360 is EXCLUDED deliberately:
+    JDK and ICU tzdata disagree by 30 min on Iran's disputed 1977-1980
+    history (measured: Jalali 1357 ≈ Nov 1978 differs), so a gate there
+    would pin tzdata trivia, not this engine. hh ∈ 1..22 keeps every
+    local time existing and unambiguous (Iran's DST transitions happen
+    at midnight: 00:xx can be nonexistent, 23:xx ambiguous — engines
+    may legally resolve those differently); jd ≤ 29 is valid in every
+    Jalali month."""
+    from .functions import persian
+    from .operators.dedup import md5_hash64
+
+    e = load(spark, sf, "events")
+    h = md5_hash64(F.concat(F.lit("p"), F.col("event_id").cast("string")))
+    jy = 1360 + F.pmod(h, F.lit(61))
+    jm = 1 + F.pmod(h, F.lit(12))
+    jd = 1 + F.pmod(h, F.lit(29))
+    hh = 1 + F.pmod(h, F.lit(22))
+    mm = F.pmod(h, F.lit(53))
+
+    month_map = F.create_map(
+        *[
+            x
+            for i, n in enumerate(persian.PERSIAN_MONTHS)
+            for x in (F.lit(i + 1), F.lit(n))
+        ]
+    )
+
+    def p(c):  # latin digits → Persian digits (inverse of the parser's F1)
+        return F.translate(
+            c.cast("string"), persian.LATIN_DIGITS, persian.PERSIAN_DIGITS
+        )
+
+    weekday = (
+        F.when(F.pmod(h, F.lit(5)) == 0, F.lit("سه‌شنبه ")).otherwise(F.lit(""))
+    )
+    raw = F.concat(
+        weekday, p(jd), F.lit(" "), month_map[jm], F.lit(" "), p(jy),
+        F.lit(" - "), p(hh), F.lit(":"), p(F.format_string("%02d", mm)),
+    )
+    grouped = e.select(raw.alias("raw"), "event_id").groupBy("raw").agg(
+        F.count("*").alias("n_rows"), F.min("event_id").alias("first_event")
+    )
+    return grouped.select(
+        "raw",
+        "n_rows",
+        "first_event",
+        persian.parse_persian_datetime(F.col("raw")).alias("utc_ts"),
+    )
+
+
+_F2_H = _J10_H.replace("md5('u'", "md5('p'")
+_F2_MONTHS = ", ".join(
+    f"({i + 1}, '{n}')"
+    for i, n in enumerate(
+        ["فروردین", "اردیبهشت", "خرداد", "تیر", "مرداد", "شهریور",
+         "مهر", "آبان", "آذر", "دی", "بهمن", "اسفند"]
+    )
+)
+
+F2_SQL = f"""
+WITH f AS (
+  SELECT event_id,
+         1360 + (({_F2_H} % 61) + 61) % 61 AS jy,
+         1 + (({_F2_H} % 12) + 12) % 12 AS jm,
+         1 + (({_F2_H} % 29) + 29) % 29 AS jd,
+         1 + (({_F2_H} % 22) + 22) % 22 AS hh,
+         (({_F2_H} % 53) + 53) % 53 AS mi,
+         (({_F2_H} % 5) + 5) % 5 = 0 AS wd
+  FROM events
+),
+months(m, name) AS (VALUES {_F2_MONTHS}),
+breaks(idx, b) AS (VALUES {", ".join(f"({i}, {b})" for i, b in enumerate(_F1_BREAKS))}),
+iv AS (
+  SELECT b1.idx, b1.b AS jp, b2.b AS jm_b, b2.b - b1.b AS jump
+  FROM breaks b1 JOIN breaks b2 ON b2.idx = b1.idx + 1
+),
+jys AS (SELECT DISTINCT jy FROM f),
+cal AS (
+  SELECT y.jy,
+    -14 + coalesce(SUM(CASE WHEN y.jy >= iv.jm_b
+                            THEN (iv.jump // 33) * 8 + (iv.jump % 33) // 4 END), 0)
+      AS leapj_base,
+    max(CASE WHEN y.jy >= iv.jp AND y.jy < iv.jm_b THEN iv.jp END) AS jp,
+    max(CASE WHEN y.jy >= iv.jp AND y.jy < iv.jm_b THEN iv.jump END) AS jump
+  FROM jys y CROSS JOIN iv GROUP BY 1
+),
+cal2 AS (SELECT *, jy - jp AS nn FROM cal),
+cal3 AS (
+  SELECT *, leapj_base + (nn // 33) * 8 + ((nn % 33) + 3) // 4
+       + CASE WHEN (jump % 33) = 4 AND jump - nn = 4 THEN 1 ELSE 0 END AS leapj,
+    (jy + 621) // 4 - (((jy + 621) // 100 + 1) * 3) // 4 - 150 AS leapg
+  FROM cal2
+),
+cal4 AS (SELECT jy, 20 + leapj - leapg AS march FROM cal3),
+mar AS (
+  SELECT jy, march,
+    (((jy + 621) + 100100) * 1461) // 4
+      + (153 * ((3 + 9) % 12) + 2) // 5
+      + march - 34840408
+      - ((((jy + 621) + 100100) // 100) * 3) // 4 + 752 AS jdn1f
+  FROM cal4
+),
+g AS (
+  SELECT f.*, DATE '1970-01-01'
+         + (mar.jdn1f
+            + CASE WHEN f.jm <= 6 THEN (f.jm - 1) * 31
+                   ELSE 186 + (f.jm - 7) * 30 END
+            + f.jd - 1 - 2440588)::INT AS gdate
+  FROM f JOIN mar ON mar.jy = f.jy
+),
+strs AS (
+  SELECT g.*,
+    (CASE WHEN wd THEN 'سه‌شنبه ' ELSE '' END)
+      || translate(jd::VARCHAR, '0123456789', '۰۱۲۳۴۵۶۷۸۹')
+      || ' ' || months.name || ' '
+      || translate(jy::VARCHAR, '0123456789', '۰۱۲۳۴۵۶۷۸۹')
+      || ' - ' || translate(hh::VARCHAR, '0123456789', '۰۱۲۳۴۵۶۷۸۹')
+      || ':' || translate(printf('%02d', mi), '0123456789', '۰۱۲۳۴۵۶۷۸۹') AS raw,
+    ((gdate::TIMESTAMP + hh * INTERVAL 1 HOUR + mi * INTERVAL 1 MINUTE)
+       AT TIME ZONE 'Asia/Tehran') AT TIME ZONE 'UTC' AS utc_ts
+  FROM g JOIN months ON months.m = g.jm
+)
+SELECT raw, count(*)::BIGINT AS n_rows, min(event_id) AS first_event,
+       any_value(utc_ts) AS utc_ts
+FROM strs GROUP BY raw
 """
 
 
@@ -1662,6 +1815,63 @@ WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 """
 
 
+V8_COS_THRESHOLD = 0.35
+
+
+def v8_signlsh_pairs(spark, sf):
+    """Sign-LSH embedding near-dup pairs — the 10^9-vector SCALE path of
+    v3 (the reference's ANN surface, vector_db_manager.py:135-147) under
+    the hard gate. The sketch is integer-exact since round 5: components
+    quantized to floor(v·1e6+0.5) BIGINTs, hyperplanes md5-derived
+    integers, so the DuckDB twin RECOMPUTES the buckets bit-for-bit from
+    the same string spec, then candidate pairs (collide in ≥1 of 8
+    tables × 8 bits) are verified with the exact cosine — buckets,
+    candidate generation AND verification all value-hash-checked.
+    Probabilistic recall (pairs the banding misses) is pinned separately
+    in tests/test_pipeline_ops.py; THIS row pins that Spark and a
+    second engine agree on what the operator emits."""
+    return similarity.lsh_cosine_pairs(
+        load(spark, sf, "embeddings"), threshold=V8_COS_THRESHOLD
+    ).orderBy("a_id", "b_id")
+
+
+V8_SQL = f"""
+WITH w AS (
+  SELECT t, i,
+         [('0x' || substr(md5('hp:t' || t || ':' || i || ':' || j), 1, 6))::BIGINT
+          - {1 << 23} for j in generate_series(0, 63)] AS wv
+  FROM generate_series(0, 7) g1(t), generate_series(0, 7) g2(i)
+),
+q AS (
+  SELECT vec_id,
+         [floor(x::DOUBLE * {similarity.SIGNLSH_QUANT} + 0.5)::BIGINT
+          for x in embedding] AS qv
+  FROM embeddings
+),
+bits AS (
+  SELECT q.vec_id, w.t, w.i,
+         CASE WHEN list_sum(list_transform(generate_series(1, 64),
+                                           k -> qv[k] * wv[k])) > 0
+              THEN (1::BIGINT << i) ELSE 0 END AS bit
+  FROM q CROSS JOIN w
+),
+buckets AS (SELECT vec_id, t AS tbl, sum(bit)::BIGINT AS bucket FROM bits GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+  FROM buckets x JOIN buckets y
+    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+)
+SELECT c.a_id, c.b_id,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS score
+FROM cand c
+JOIN embeddings a ON a.vec_id = c.a_id
+JOIN embeddings b ON b.vec_id = c.b_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+      >= {V8_COS_THRESHOLD}
+ORDER BY a_id, b_id
+"""
+
+
 # ===========================================================================
 # D — document dedup family
 
@@ -2264,7 +2474,16 @@ def s1_stream_cursor_cut(spark, sf):
     if not q.awaitTermination(600):  # partial sink must never be read
         q.stop()
         raise TimeoutError("s1 availableNow stream did not drain in 600s")
-    return spark.read.parquet(out_dir).select("source", "url", "published_ts")
+    # materialize the sink, then drop the whole staging tree: this query
+    # runs repeatedly from the bench HEADLINE and must not accrete
+    # checkpoint/sink state across a session (ADVICE round 4)
+    out = (
+        spark.read.parquet(out_dir)
+        .select("source", "url", "published_ts")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
 
 
 S1_SQL = """
@@ -2284,10 +2503,132 @@ cur AS (
 )
 SELECT source, url, published_ts FROM seeds WHERE par = 0
 UNION ALL
+-- LEFT join + NULL-cursor pass-through: a source with no batch-1 rows has
+-- empty stream state, so ALL its batch-2 rows pass the operator (ADVICE
+-- round 4: an inner join would drop them and only matched by accident of
+-- every source having both parities at every SF)
 SELECT s.source, s.url, s.published_ts
-FROM seeds s JOIN cur USING (source)
+FROM seeds s LEFT JOIN cur USING (source)
 WHERE s.par = 1
-  AND (s.published_ts > c_ts OR (s.published_ts = c_ts AND s.url > c_url))
+  AND (c_ts IS NULL
+       OR s.published_ts > c_ts
+       OR (s.published_ts = c_ts AND s.url > c_url))
+"""
+
+
+def s4_windowed_rates(spark, sf):
+    """ST1/A4's streaming twin under the hard gate: the watermarked
+    windowed discovery-rate monitor (streaming.discovery_rates — the
+    Prometheus-rate analog of the reference's per-poll link counters,
+    news_fresh_links_scheduler.py:29-68) driven through THREE real
+    availableNow runs sharing one checkpoint (the fixture-proven
+    batch-boundary pattern: one parquet file deposited per run, the
+    watermark persists in the checkpoint between runs).
+
+    Event times are derived from event_id so the three batches overlap:
+    batch 0 spans minutes 0-30, batch 1 minutes 20-50 (its tail behind
+    batch 0's watermark is DROPPED), batch 2 minutes 40-70 plus
+    stragglers in minutes 0-10 (all dropped). The DuckDB twin replays
+    the same watermark evolution batch-by-batch: wm_k = max(event time
+    through batch k) - 2min; a batch-k row survives iff its WINDOW END
+    > wm_{k-1} (Spark's late-row filter gates on the window's end, not
+    the row's raw event time — established empirically against the
+    boundary window; the row-time model diverges at the partial-minute
+    boundary); append mode emits exactly the windows whose end ≤ final
+    watermark. Seconds are constructed ≡ batch+1 (mod 3) so no event
+    time ever ties a watermark and no window end (sec=0) ties either —
+    both comparators are boundary-free and the hash is stable."""
+    import os
+    import tempfile
+    import time
+
+    from . import streaming as streaming_mod
+
+    work = tempfile.mkdtemp(prefix="s4_rates_")
+    seeds_dir = os.path.join(work, "seeds")
+    os.makedirs(seeds_dir)
+    eid = F.col("event_id")
+    batch = eid % 3
+    minute = (
+        F.when(batch == 0, eid % 31)
+        .when(batch == 1, eid % 31 + 20)
+        .otherwise(F.when(eid % 13 == 0, eid % 11).otherwise(eid % 31 + 40))
+    )
+    sec = 1 + batch + 3 * (eid % 17)
+    ev = load(spark, sf, "events").select(
+        F.col("event_type").alias("source"),
+        F.concat(
+            F.lit("https://synthetic.local/e/"), eid.cast("string")
+        ).alias("url"),
+        F.col("ts").alias("published_ts"),
+        F.timestamp_add(
+            "SECOND",
+            minute * 60 + sec,
+            F.lit("2024-06-01 10:00:00").cast("timestamp"),
+        ).alias("discovery_time"),
+        batch.alias("batch"),
+    )
+    out_dir, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
+    now = time.time()
+    for i in (0, 1, 2):
+        path = os.path.join(seeds_dir, f"batch{i}.parquet")
+        ev.filter(F.col("batch") == i).drop("batch").toPandas().to_parquet(
+            path, coerce_timestamps="us"
+        )
+        os.utime(path, (now - 300 + 100 * i,) * 2)
+        q = streaming_mod.start_rate_monitor(
+            streaming_mod.read_seed_stream(spark, seeds_dir),
+            out_dir,
+            ckpt,
+            window_duration="1 minute",
+            watermark="2 minutes",
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("s4 availableNow run did not drain in 600s")
+    out = (
+        spark.read.parquet(out_dir)
+        .select("window_start", "window_end", "source", "n_links")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+S4_SQL = """
+WITH seeds AS (
+  SELECT event_type AS source, event_id % 3 AS batch,
+         TIMESTAMP '2024-06-01 10:00:00' + (
+           (CASE WHEN event_id % 3 = 0 THEN event_id % 31
+                 WHEN event_id % 3 = 1 THEN event_id % 31 + 20
+                 WHEN event_id % 13 = 0 THEN event_id % 11
+                 ELSE event_id % 31 + 40 END) * 60
+           + 1 + (event_id % 3) + 3 * (event_id % 17)
+         ) * INTERVAL 1 SECOND AS dt
+  FROM events
+),
+m AS (SELECT batch, max(dt) AS bmax FROM seeds GROUP BY 1),
+-- watermark after batch k = running max event time - the 2-min delay
+wm AS (SELECT batch, max(bmax) OVER (ORDER BY batch) - INTERVAL 2 MINUTE AS wm_after
+       FROM m),
+-- a batch-k row survives iff its WINDOW END outruns wm_{k-1} (Spark's
+-- late filter gates on the window end, not the row's event time)
+kept AS (
+  SELECT s.* FROM seeds s
+  LEFT JOIN wm w ON w.batch = s.batch - 1
+  WHERE w.wm_after IS NULL
+     OR date_trunc('minute', s.dt) + INTERVAL 1 MINUTE > w.wm_after
+),
+fwm AS (SELECT max(dt) - INTERVAL 2 MINUTE AS v FROM seeds),
+agg AS (
+  SELECT date_trunc('minute', dt) AS window_start, source, count(*) AS n_links
+  FROM kept GROUP BY 1, 2
+)
+-- append mode: only windows finalized by the FINAL watermark ever emit
+SELECT window_start, window_start + INTERVAL 1 MINUTE AS window_end,
+       source, n_links
+FROM agg, fwm
+WHERE window_start + INTERVAL 1 MINUTE <= fwm.v
 """
 
 
@@ -2314,6 +2655,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j12_seen_filter_unseen": j12_seen_filter_unseen,
     "j13_mor_merge": j13_mor_merge,
     "f1_jalali_calendar": f1_jalali_calendar,
+    "f2_persian_datetime_parse": f2_persian_datetime_parse,
     "p9_robots_filter": p9_robots_filter,
     "t1_frontier_pop": t1_frontier_pop,
     "t3_cursor_cut": t3_cursor_cut,
@@ -2329,6 +2671,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "v5_ivf_multiprobe": v5_ivf_multiprobe,
     "v6_keyword_topk": v6_keyword_topk,
     "v7_ts_range_topk": v7_ts_range_topk,
+    "v8_signlsh_pairs": v8_signlsh_pairs,
     "d1_exact_dedup": d1_exact_dedup,
     "d2_ngram_jaccard": d2_ngram_jaccard,
     "d3_minhash_lsh": d3_minhash_lsh,
@@ -2343,6 +2686,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m1_interleaved_spans": m1_interleaved_spans,
     "m2_media_pipeline": m2_media_pipeline,
     "s1_stream_cursor_cut": s1_stream_cursor_cut,
+    "s4_windowed_rates": s4_windowed_rates,
 }
 
 ORACLES: dict[str, str] = {
@@ -2365,6 +2709,7 @@ ORACLES: dict[str, str] = {
     "j12_seen_filter_unseen": J12_SQL,
     "j13_mor_merge": J13_SQL,
     "f1_jalali_calendar": F1_SQL,
+    "f2_persian_datetime_parse": F2_SQL,
     "p9_robots_filter": P9_SQL,
     "t1_frontier_pop": T1_SQL,
     "t3_cursor_cut": T3_SQL,
@@ -2380,6 +2725,7 @@ ORACLES: dict[str, str] = {
     "v5_ivf_multiprobe": V5_SQL,
     "v6_keyword_topk": V6_SQL,
     "v7_ts_range_topk": V7_SQL,
+    "v8_signlsh_pairs": V8_SQL,
     "d1_exact_dedup": D1_SQL,
     "d2_ngram_jaccard": D2_SQL,
     "d3_minhash_lsh": D3_SQL,
@@ -2394,4 +2740,5 @@ ORACLES: dict[str, str] = {
     "m1_interleaved_spans": M1_SQL,
     "m2_media_pipeline": M2_SQL,
     "s1_stream_cursor_cut": S1_SQL,
+    "s4_windowed_rates": S4_SQL,
 }

@@ -22,25 +22,31 @@ engine only uses this module's narrow API, so nothing else changes.
 
 from __future__ import annotations
 
-import os
 import re
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+
+from .functions import fsio
 
 _COMMIT_RE = re.compile(r"^_COMMIT_(\d+)$")
 
 
 class SnapshotCatalog:
+    """All direct (non-Spark) IO goes through :mod:`functions.fsio`, so
+    ``root`` may be a plain local path or any ``pyarrow.fs``-resolvable
+    URI (``file://``, ``hdfs://``, ``s3://``/``s3a://``, ``gs://``) —
+    the Spark read/write paths already accepted URIs, and round 5 made
+    the marker/listing/prune side match (ADVICE round 4)."""
+
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
-        os.makedirs(root, exist_ok=True)
+        fsio.makedirs(root)
 
     # -- commit protocol ----------------------------------------------------
     def committed_rounds(self) -> list[int]:
         out = []
-        for name in os.listdir(self.root):
+        for name in fsio.listdir(self.root):
             m = _COMMIT_RE.match(name)
             if m:
                 out.append(int(m.group(1)))
@@ -51,11 +57,11 @@ class SnapshotCatalog:
         return rounds[-1] if rounds else None
 
     def commit(self, round_no: int) -> None:
-        open(os.path.join(self.root, f"_COMMIT_{round_no}"), "w").close()
+        fsio.touch(fsio.join(self.root, f"_COMMIT_{round_no}"))
 
     # -- table io -----------------------------------------------------------
     def _path(self, table: str, round_no: int) -> str:
-        return os.path.join(self.root, table, f"round={round_no}")
+        return fsio.join(self.root, table, f"round={round_no}")
 
     def write(self, table: str, round_no: int, df: DataFrame) -> None:
         """Idempotent snapshot write (overwrite → crash-retry safe)."""
@@ -69,14 +75,12 @@ class SnapshotCatalog:
         job for a byte-identical table (Iceberg analog: a new snapshot
         pointing at the same data files, metadata-only)."""
         src, dst = self._path(table, from_round), self._path(table, to_round)
-        if os.path.isdir(dst):
-            shutil.rmtree(dst)
-        shutil.copytree(src, dst)
+        fsio.copytree(src, dst)
 
     def exists(self, table: str, round_no: int) -> bool:
-        p = self._path(table, round_no)
-        return os.path.isdir(p) and any(
-            f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(p)
+        return any(
+            f.endswith(".parquet") or f == "_SUCCESS"
+            for f in fsio.listdir(self._path(table, round_no))
         )
 
     def latest_existing(self, table: str, upto_round: int) -> int | None:
@@ -91,12 +95,10 @@ class SnapshotCatalog:
         """Remove snapshots of ``table`` with round ≤ upto_round — called
         only AFTER a commit whose compacted snapshot supersedes them, so
         a crash mid-prune just leaves unread garbage for the next call."""
-        tdir = os.path.join(self.root, table)
-        if not os.path.isdir(tdir):
-            return
-        for name in os.listdir(tdir):
+        tdir = fsio.join(self.root, table)
+        for name in fsio.listdir(tdir):
             if name.startswith("round=") and int(name.split("=", 1)[1]) <= upto_round:
-                shutil.rmtree(os.path.join(tdir, name), ignore_errors=True)
+                fsio.rmtree(fsio.join(tdir, name))
 
     def read_all(self, table: str, upto_round: int | None = None) -> DataFrame:
         """Union of all committed snapshots of an append-only table."""
@@ -112,13 +114,15 @@ class SnapshotCatalog:
         """Remove dangling round dirs newer than the last commit (crash
         cleanup before resume)."""
         latest = self.latest_round()
-        for table in os.listdir(self.root):
-            tdir = os.path.join(self.root, table)
-            if not os.path.isdir(tdir):
+        for table in fsio.listdir(self.root):
+            if _COMMIT_RE.match(table):
                 continue
-            for name in os.listdir(tdir):
+            tdir = fsio.join(self.root, table)
+            if not fsio.is_dir(tdir):
+                continue
+            for name in fsio.listdir(tdir):
                 if not name.startswith("round="):
                     continue
                 rno = int(name.split("=", 1)[1])
                 if latest is None or rno > latest:
-                    shutil.rmtree(os.path.join(tdir, name), ignore_errors=True)
+                    fsio.rmtree(fsio.join(tdir, name))

@@ -221,6 +221,11 @@ class CrawlEngine:
         deltas after it. Bounds the read to O(compact_every) dirs however
         many rounds have run (done since round 2 for ``done``; round 4
         extends it to the ``pops``/``lineage`` logs)."""
+        if upto_round is None:
+            # callers pass catalog.latest_round(): None = nothing committed
+            # yet — the same clean signal the old read_all path raised
+            # (ADVICE round 4: range(lo+1, None+1) was a TypeError)
+            raise FileNotFoundError(f"no committed snapshots for {table}")
         base_r = self.catalog.latest_existing(f"{table}_base", upto_round)
         df, lo = None, -1
         if base_r is not None:

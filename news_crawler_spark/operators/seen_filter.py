@@ -54,6 +54,16 @@ engine's compaction cadence. Because ``fold`` no longer touches blobs, a
 cuckoo bucket's overflow stash can only grow at compaction time — the
 between-polls stash-degradation mode of the round-3 design is gone.
 
+Storage portability (round 5): every direct blob/meta access here — the
+probe's bucket reads inside executor tasks, ``_META.json``, the delta
+byte accounting — goes through :mod:`..functions.fsio` (pyarrow.fs), so
+the catalog root may be a plain path or any resolvable URI (``file://``,
+``hdfs://``, ``s3://``/``s3a://``, ``gs://``). A worker that cannot see
+the base snapshot at all RAISES instead of silently treating every
+bucket as empty (which would re-admit seen URLs as false negatives —
+ADVICE round 4); "no blob for this bucket" is only trusted after the
+base directory itself proved visible.
+
 Measured caveat (BENCH.md round 3, re-measured round 4): on this Spark
 build the PLAIN exact anti-join is already semi-join-reduced by the
 runtime bloom-filter injection (session.py enables it), so at sandbox
@@ -67,13 +77,13 @@ equivalence-pinned to the exact path either way.
 from __future__ import annotations
 
 import json
-import os
 from collections import OrderedDict
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import fsio
 from ..functions.bloom import BloomFilter
 from ..functions.cuckoo import CuckooFilter
 
@@ -122,23 +132,51 @@ _FILTER_CACHE: OrderedDict[tuple[str, int], object | None] = OrderedDict()
 _CACHE_STATS = {"loads": 0, "hits": 0}
 
 
+# base snapshot paths this process has confirmed visible — checked once
+# per (worker, base snapshot), so the loud-failure guard below costs one
+# storage round-trip per worker, not one per task
+_BASE_VISIBLE: set[str] = set()
+
+
+def _check_base_visible(base_path: str) -> None:
+    """Fail LOUDLY when the base snapshot directory itself is not
+    visible from this process. Without this, a catalog root on
+    non-shared storage (executor-local disk, an unmounted path) makes
+    every bucket dir resolve to "no blob written" — false negatives
+    that silently re-admit already-seen URLs, indistinguishable from a
+    bucket that never received keys (ADVICE round 4, medium)."""
+    if base_path in _BASE_VISIBLE:
+        return
+    if not fsio.is_dir(base_path):
+        raise RuntimeError(
+            f"seen-filter base snapshot {base_path!r} is not visible from "
+            "this worker — the catalog root must be storage every executor "
+            "can read (a shared filesystem or an object-store/HDFS URI); "
+            "a driver-local path only works in local mode"
+        )
+    _BASE_VISIBLE.add(base_path)
+
+
 def _load_bucket_filter(base_path: str, bucket: int):
     """The blob for one bucket: worker cache, else a pruned direct read
-    of ``<base>/bucket=N/`` (the partitioned-write directory). Returns
-    None for a bucket with no blob (no keys ever hashed there)."""
+    of ``<base>/bucket=N/`` (the partitioned-write directory) through
+    :mod:`functions.fsio`, so the read works on any catalog root pyarrow
+    can resolve (local path, file://, hdfs://, s3://…). Returns None for
+    a bucket with no blob (no keys ever hashed there) — only AFTER the
+    base itself proved visible, so "no blob" can never mean "storage
+    unreachable"."""
     key = (base_path, bucket)
     if key in _FILTER_CACHE:
         _FILTER_CACHE.move_to_end(key)
         _CACHE_STATS["hits"] += 1
         return _FILTER_CACHE[key]
-    bdir = os.path.join(base_path, f"bucket={bucket}")
+    _check_base_visible(base_path)
+    bdir = fsio.join(base_path, f"bucket={bucket}")
     filt = None
-    if os.path.isdir(bdir):
-        import pyarrow.parquet as pq
-
-        tbl = pq.read_table(bdir, columns=["state"])
-        if tbl.num_rows:
-            filt = _from_state(bytes(tbl.column("state")[0].as_py()))
+    if fsio.is_dir(bdir):
+        col = fsio.read_parquet_column(bdir, "state")
+        if len(col):
+            filt = _from_state(bytes(col[0].as_py()))
     _CACHE_STATS["loads"] += 1
     _FILTER_CACHE[key] = filt
     while len(_FILTER_CACHE) > _CACHE_MAX_FILTERS:
@@ -177,10 +215,10 @@ class SeenFilterStore:
         if kind not in _TAGS:
             raise ValueError(f"kind must be bloom|cuckoo, got {kind!r}")
         self.catalog = catalog
-        meta_path = os.path.join(catalog.root, self.TABLE, "_META.json")
-        if os.path.exists(meta_path):
-            with open(meta_path) as fh:
-                meta = json.load(fh)
+        self._table_dir = fsio.join(catalog.root, self.TABLE)
+        meta_path = fsio.join(self._table_dir, "_META.json")
+        if fsio.exists(meta_path):
+            meta = json.loads(fsio.read_bytes(meta_path))
             if meta["kind"] != kind:
                 raise ValueError(
                     f"store holds {meta['kind']!r} state, asked for {kind!r}"
@@ -194,16 +232,17 @@ class SeenFilterStore:
         self._meta_path = meta_path
 
     def _write_meta(self) -> None:
-        os.makedirs(os.path.dirname(self._meta_path), exist_ok=True)
-        with open(self._meta_path, "w") as fh:
-            json.dump(
+        fsio.makedirs(self._table_dir)
+        fsio.write_bytes(
+            self._meta_path,
+            json.dumps(
                 {
                     "kind": self.kind,
                     "n_buckets": self.n_buckets,
                     "capacity_per_bucket": self.capacity,
-                },
-                fh,
-            )
+                }
+            ).encode(),
+        )
 
     # ------------------------------------------------------------ state io
     def _base_round(self, upto: int) -> int | None:
@@ -279,14 +318,12 @@ class SeenFilterStore:
             self._compact(round_no)
 
     def _delta_bytes(self, upto: int) -> int:
-        """On-disk bytes of the live deltas — a directory walk over
+        """On-disk bytes of the live deltas — a listing over
         ≤compact_every dirs, no Spark job."""
-        total = 0
-        for r in self._delta_rounds(upto):
-            path = self.catalog._path(self.DELTA, r)
-            for root, _dirs, files in os.walk(path):
-                total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
-        return total
+        return sum(
+            fsio.du(self.catalog._path(self.DELTA, r))
+            for r in self._delta_rounds(upto)
+        )
 
     def _compact(self, round_no: int, deletes: DataFrame | None = None) -> None:
         """Cogroup the accumulated delta keys (and optional deletes) with
@@ -478,10 +515,22 @@ class SeenFilterStore:
         if deltas is not None:
             # delta keys are EXACT recent admissions — a tiny broadcast
             # (≤ compact_every · |batch| rows), zero false positives.
-            # Distinct by construction (deduped at fold-write; a key is
-            # admitted at most once across rounds), so no probe-side
-            # shuffle is needed and the left join cannot multiply rows.
-            dd = deltas.select("url_hash").withColumn("__in_delta", F.lit(True))
+            # The fold contract says a key appears in at most one delta
+            # round, but an external caller folding the same key twice
+            # would multiply candidate rows through this left join — the
+            # cross-round distinct makes the probe row-preserving
+            # unconditionally (ADVICE round 4). coalesce(1) first: a
+            # plain distinct would hash-exchange on url_hash, breaking
+            # the probe's plan contract (the batch's bucket repartition
+            # is the ONLY exchange — test_probe_plan_never_moves_state);
+            # a single-partition aggregate needs no exchange and the
+            # delta side is about to be broadcast anyway.
+            dd = (
+                deltas.select("url_hash")
+                .coalesce(1)
+                .distinct()
+                .withColumn("__in_delta", F.lit(True))
+            )
             tagged = tagged.join(F.broadcast(dd), "url_hash", "left")
         else:
             tagged = tagged.withColumn("__in_delta", F.lit(None).cast("boolean"))

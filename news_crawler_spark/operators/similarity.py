@@ -281,34 +281,63 @@ def cosine_pairs(
     )
 
 
-def _sign_lsh_bits(vec: Column, n_bits: int = 16, seed_tag: str = "hp") -> Column:
-    """Sign-LSH sketch: bit i = sign of <vec, h_i> where hyperplane h_i is
-    hash-derived (xxhash64 of (seed_tag, i, component index) mapped to
-    ±[0,1)) — deterministic, no RNG state, reproducible in pure python.
-    Pure higher-order expressions; one pass over the vector per bit."""
-    v = _as_double(vec)
-    dim_idx = F.sequence(F.lit(0), F.size(v) - 1)
+# sign-LSH quantization scale: components become floor(v·1e6 + 0.5)
+# BIGINTs, so every bucket computation below is exact integer arithmetic
+SIGNLSH_QUANT = 1_000_000
 
-    def component(i: int, j: Column) -> Column:
-        h = F.xxhash64(F.lit(f"{seed_tag}:{i}"), j.cast("long"))
-        return (h.cast("double") / F.lit(float(1 << 63)))
 
-    bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(
-                    v,
-                    F.transform(dim_idx, lambda j: component(i, j)),
-                    lambda x, w: x * w,
-                ),
-                F.lit(0.0),
-                lambda s, x: s + x,
-            )
-            > 0,
-            F.lit(1 << i).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
+def hyperplane_weights(n_bits: int, dim: int, seed_tag: str) -> list[list[int]]:
+    """Integer hyperplane components from a pure string spec:
+    ``w(i, j) = int(md5(f"hp:{seed_tag}:{i}:{j}")[:6], 16) - 2**23``.
+
+    24-bit signed-centered weights keep the quantized dot product exactly
+    representable in one BIGINT (|dot| ≤ dim · |q|max · 2²³ ≈ 2⁵³ at
+    dim 64 with unit-scale embeddings), so Spark and the DuckDB oracle
+    compute the SAME bucket bit-for-bit — V8_SQL *recomputes* this spec
+    with SQL md5 over generate_series; nothing is shared but the spec
+    string. Uniform symmetric weights are a valid random-hyperplane
+    family (collision probability monotone in angle), and deriving them
+    here (driver-side, n_bits·dim hashes, no Spark job) is cheaper than
+    the round-4 design's per-row xxhash64 of every (bit, dim)."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"hp:{seed_tag}:{i}:{j}".encode()).hexdigest()[:6], 16)
+            - (1 << 23)
+            for j in range(dim)
+        ]
         for i in range(n_bits)
     ]
+
+
+def quantize_vec(vec: Column) -> Column:
+    """``floor(v·1e6 + 0.5)`` per component — floor(+0.5) rounds
+    identically in every engine (no round-half tie rules), making the
+    sketch deterministic across Spark and the SQL twin."""
+    return F.transform(
+        _as_double(vec),
+        lambda x: F.floor(x * F.lit(float(SIGNLSH_QUANT)) + F.lit(0.5)).cast("long"),
+    )
+
+
+def _sign_lsh_bits(qvec: Column, weights: list[list[int]]) -> Column:
+    """Sign-LSH sketch over a pre-quantized vector: bit i =
+    (<qvec, W_i> > 0), dots folded in exact BIGINT; bucket = OR of
+    bits. ``qvec`` must be a plain column reference (cheap to capture in
+    the lambdas — capturing the quantize expression itself would
+    re-evaluate it per bit, the round-4 let_bound lesson)."""
+    bits = []
+    for i, ws in enumerate(weights):
+        warr = F.array(*[F.lit(w).cast("long") for w in ws])
+        d = F.aggregate(
+            F.zip_with(qvec, warr, lambda x, w: x * w),
+            F.lit(0).cast("long"),
+            lambda s, x: s + x,
+        )
+        bits.append(
+            F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
     out = bits[0]
     for b in bits[1:]:
         out = out.bitwiseOR(b)
@@ -322,6 +351,8 @@ def lsh_cosine_pairs(
     id_col: str = "vec_id",
     n_tables: int = 8,
     bits_per_table: int = 8,
+    dim: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Scale path for ``cosine_pairs``: sign-LSH bucketing, then exact
     cosine verification of candidates only.
@@ -330,19 +361,44 @@ def lsh_cosine_pairs(
     bits; pairs colliding in ≥1 table are verified with the exact cosine
     expression. Candidate volume is O(n·tables + collisions) instead of
     O(n²). Recall for a pair at cosine c is 1-(1-p^b)^t with
-    p = 1-acos(c)/π — probabilistic, so this op is *rows-only* for the
-    driver gate; tests/test_pipeline_ops.py pins recall vs the exact op.
+    p = 1-acos(c)/π — tests/test_pipeline_ops.py pins recall vs the
+    exact op. Since round 5 the sketch is integer-exact (quantized
+    components × md5-derived integer hyperplanes), so the WHOLE pipeline
+    — buckets, candidates, verified pairs — is value-hash-gated against
+    a DuckDB twin that recomputes it (v8_signlsh_pairs), closing the
+    round-4 verdict's "recall-pinned only" gap.
+
+    The 1-row ``first()`` reads the vector dimension (hyperplanes are
+    dim-shaped); pass ``dim`` to skip it.
     """
     from pyspark import StorageLevel
 
-    sketched = embeddings.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("vec"),
-        *[
-            _sign_lsh_bits(F.col(vec_col), bits_per_table, f"t{t}").alias(f"b{t}")
-            for t in range(n_tables)
-        ],
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if dim is None:
+        first = embeddings.select(vec_col).first()
+        if first is None:
+            return embeddings.sparkSession.createDataFrame(
+                [], "a_id long, b_id long, score double"
+            )
+        dim = len(first[0])
+    tables = [
+        hyperplane_weights(bits_per_table, dim, f"t{t}") for t in range(n_tables)
+    ]
+    sketched = (
+        embeddings.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("vec"),
+            quantize_vec(F.col(vec_col)).alias("__q"),
+        )
+        .select(
+            "vid",
+            "vec",
+            *[
+                _sign_lsh_bits(F.col("__q"), tables[t]).alias(f"b{t}")
+                for t in range(n_tables)
+            ],
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     buckets = sketched.select(
         "vid",
         F.explode(
@@ -368,7 +424,11 @@ def lsh_cosine_pairs(
         .select("a_id", "b_id", _score_at_least(threshold).alias("score"))
     )
     # materialize, then release the persisted sketches (cache-lifetime
-    # hygiene — same reasoning as dedup.minhash_lsh_pairs)
+    # hygiene — same reasoning as dedup.minhash_lsh_pairs).
+    # materialize=False keeps the plan lazy so tests can assert its
+    # shape (bucketed equi-join, never an all-pairs nested loop).
+    if not materialize:
+        return out
     out = out.localCheckpoint(eager=True)
     sketched.unpersist()
     return out

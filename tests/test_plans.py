@@ -179,3 +179,19 @@ def test_k1_cache_fold_is_aggregate_not_window(spark):
     assert "partial_max_by" in p, p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_v8_signlsh_is_bucketed_not_allpairs(spark):
+    """The sign-LSH near-dup scale path must candidate-generate through
+    the (table, bucket) EQUI-join — an all-pairs nested-loop/cartesian
+    anywhere in the plan means the bucketing silently degenerated (the
+    O(n²) shape this operator exists to avoid at 10^9 vectors)."""
+    from news_crawler_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    pairs = similarity.lsh_cosine_pairs(emb, threshold=0.35, materialize=False)
+    p = plan(pairs)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    # candidate join keyed on the bucket columns, verify joins on ids
+    assert "table" in p and "bucket" in p, p

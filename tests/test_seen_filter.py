@@ -492,3 +492,64 @@ def test_engine_crash_mid_compaction_never_readmits(spark, tmp_path_factory):
     assert eng2.ingest_incremental(synth.build_seed_list(spark, 260)) == 0
     # and genuinely-new URLs still get through
     assert eng2.ingest_incremental(synth.build_seed_list(spark, 320)) > 0
+
+
+# ----------------------------------------------------- storage portability (r5)
+@pytest.mark.parametrize("kind", ["bloom", "cuckoo"])
+def test_store_on_file_uri_root(spark, tmp_path, kind):
+    """The whole store flow on a ``file://`` URI catalog root: Spark
+    writes the snapshots, the DRIVER resolves markers/meta/deltas and
+    the WORKERS resolve the probe's blob reads through fsio's URI path —
+    an os.path call anywhere in the chain breaks this (round-4 ADVICE:
+    the probe previously required a POSIX-visible root)."""
+    root = "file://" + str(tmp_path / f"uri_{kind}")
+    cat = SnapshotCatalog(spark, root)
+    store = SeenFilterStore(cat, kind=kind, n_buckets=8, capacity_per_bucket=4096)
+    store.rebuild(0, _keys(spark, 0, 1500), capacity_per_bucket=4096)
+    store.fold(1, _keys(spark, 1500, 2000))  # stays a delta (compact_every=8)
+    assert store._base_round(1) == 0 and store._delta_rounds(1) == [1]
+    cand = _keys(spark, 1000, 3000)
+    got = store.unseen(cand, _keys(spark, 0, 2000), 1)
+    exact = cand.join(_keys(spark, 0, 2000), ["url_hash", "canonical_url"], "left_anti")
+    key = lambda df: sorted(  # noqa: E731
+        (r.url_hash, r.canonical_url) for r in df.collect()
+    )
+    assert key(got) == key(exact)
+    # second instance re-reads meta over the URI root
+    again = SeenFilterStore(cat, kind=kind)
+    assert again.n_buckets == 8 and again.capacity == 4096
+
+
+def test_engine_end_to_end_on_file_uri_root(spark, tmp_path):
+    """Full engine run (ingest → crawl → resume views) with the catalog
+    root given as a file:// URI — pins that the commit markers, base+
+    delta folding, GC pruning and accreted reads all go through fsio."""
+    wd_plain = str(tmp_path / "plain")
+    wd_uri = "file://" + str(tmp_path / "uri")
+    results = {}
+    for wd in (wd_plain, wd_uri):
+        eng = CrawlEngine(spark, wd, seen_prefilter="bloom")
+        eng.ingest(synth.build_seed_list(spark, 150))
+        eng.run()
+        results[wd] = sorted(
+            (r.round, r.url_hash)
+            for r in eng.pops_in_order().select("round", "url_hash").collect()
+        )
+    assert results[wd_uri] == results[wd_plain]
+    assert len(results[wd_uri]) > 0
+
+
+def test_probe_fails_loudly_when_base_invisible(spark, tmp_path):
+    """A worker that cannot see the base snapshot must RAISE, not report
+    everything unseen (the round-4 ADVICE false-negative mode): build
+    state, plan a probe, then yank the base dir out from under it."""
+    import shutil as _shutil
+
+    root = tmp_path / "vanish"
+    cat = SnapshotCatalog(spark, str(root))
+    store = SeenFilterStore(cat, kind="bloom", n_buckets=4, capacity_per_bucket=1024)
+    store.rebuild(0, _keys(spark, 0, 500))
+    tagged = store.probe(_keys(spark, 0, 100), 0)  # lazy: plan holds the path
+    _shutil.move(str(root / "seen_filter"), str(root / "gone"))
+    with pytest.raises(Exception, match="not visible"):
+        tagged.filter(~F.col("maybe_seen")).count()

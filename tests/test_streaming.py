@@ -144,10 +144,13 @@ def test_discovery_rates_watermark(spark, tmp_path):
                        datetime(2024, 6, 1, 10, 0, 40),
                        datetime(2024, 6, 1, 10, 5, 0)], t0)
     drain()
-    # batch 2: 10:00:50 is OLDER than the watermark (10:03) → dropped
-    # from the aggregate; 10:03:30 is late-arriving but >= watermark →
-    # counted (this is Spark's contract: the watermark gates on the ROW's
-    # event time, not on whether the window is still open)
+    # batch 2: 10:00:50's window END (10:01) is behind the watermark
+    # (10:03) → dropped from the aggregate; 10:03:30's window end
+    # (10:04) outruns it → counted. (Spark's late filter gates on the
+    # WINDOW's end, not the row's raw event time — a row in a
+    # still-open window is counted even when the row itself is older
+    # than the watermark; established against the boundary window in
+    # the s4 gate query, analytics.s4_windowed_rates.)
     write_batch("b2", [datetime(2024, 6, 1, 10, 0, 50),
                        datetime(2024, 6, 1, 10, 3, 30)], t0 + 10)
     drain()
