@@ -20,7 +20,9 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -87,6 +89,19 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+# every section's scratch (crawl workdirs, probe inputs, filter-store
+# catalogs) lives under ONE per-run root that main() deletes at exit, so
+# a long bench session never accretes state on disk (ADVICE round 4)
+_SCRATCH_ROOT: str | None = None
+
+
+def scratch(prefix: str) -> str:
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="bench_scratch_")
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
+
+
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
     out: dict[str, float] = {}
     # warm the JVM/codegen/parquet-footer caches on a throwaway aggregate
@@ -99,6 +114,147 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         dt = time.perf_counter() - t0
         out[name] = round(dt, 3)
         log(f"  {name}: {dt:.2f}s ({n} rows)")
+    return out
+
+
+# headline queries re-run at a synthesized 10× documents/embeddings
+# slice — the per-query scale ratio is the evidence for which plans
+# grow linearly and which superlinearly (round-4 verdict item 7)
+SF1_QUERIES = [
+    "d1_exact_dedup",
+    "d3_minhash_lsh",
+    "d4_simhash_pairs",
+    "d6_simhash128_pairs",
+    "x1_lang_confusion",
+    "x3_token_stats",
+    "x5_winnow_fingerprints",
+    "v1_cosine_topk",
+    "v8_signlsh_pairs",
+    "m1_interleaved_spans",
+]
+
+
+def synth_sf1_dir(spark, src_dir: str, copies: int = 10) -> str:
+    """A deterministic sf1-shaped slice: ``copies`` shards of the sf0.1
+    documents/embeddings. Shard s>0 re-keys ids (+s·10⁶), suffixes every
+    TOKEN with the shard digit (so no shingle survives across shards —
+    within-shard duplicate structure is preserved exactly, cross-shard
+    near-dups are zero, and dup/near-dup pair counts scale ~linearly
+    like a real corpus rather than quadratically like naive
+    replication), and rotates embedding components by s (preserves
+    within-shard cosine geometry, decorrelates shards)."""
+    dst = scratch("sf1_")
+    docs = spark.read.parquet(f"{src_dir}/documents.parquet")
+    shards = []
+    for s in range(copies):
+        text = (
+            F.col("text")
+            if s == 0
+            else F.regexp_replace("text", r"(\S+)", f"$1{s}")
+        )
+        shards.append(
+            docs.select(
+                (F.col("doc_id") + s * 1_000_000).alias("doc_id"),
+                text.alias("text"),
+                "lang",
+                "source",
+            )
+        )
+    out = shards[0]
+    for sh in shards[1:]:
+        out = out.unionByName(sh)
+    out.withColumn("n_chars", F.length("text").cast("long")).repartition(
+        max(8, spark.sparkContext.defaultParallelism)
+    ).write.parquet(f"{dst}/documents.parquet")
+
+    emb = spark.read.parquet(f"{src_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    eshards = []
+    for s in range(copies):
+        rolled = (
+            F.col("embedding")
+            if s == 0
+            else F.concat(
+                F.slice("embedding", s + 1, dim - s), F.slice("embedding", 1, s)
+            )
+        )
+        eshards.append(
+            emb.select(
+                (F.col("vec_id") + s * 1_000_000).alias("vec_id"),
+                rolled.alias("embedding"),
+                "label",
+            )
+        )
+    eout = eshards[0]
+    for sh in eshards[1:]:
+        eout = eout.unionByName(sh)
+    eout.write.parquet(f"{dst}/embeddings.parquet")
+    return dst
+
+
+def _v8_tuned(spark, sf_dir: str):
+    """v8 with its documented scale rule applied: bits_per_table ≈
+    log2(n / target_bucket_occupancy). At FIXED bits the banded join is
+    quadratic in bucket occupancy (10× vectors → ~100× candidate pairs
+    — measured 34 s at a 5k-vector slice vs 2-3 s at 500), so the
+    operator's 100 TB contract is that bucket width tracks corpus size;
+    the sf1 probe runs it as contracted and records the bits used."""
+    from news_crawler_spark.operators import similarity
+
+    emb = analytics.load(spark, sf_dir, "embeddings")
+    bits = similarity.signlsh_bits_for(emb.count())
+    return (
+        similarity.lsh_cosine_pairs(
+            emb, threshold=analytics.V8_COS_THRESHOLD, bits_per_table=bits
+        ),
+        bits,
+    )
+
+
+def sf1_probe(spark, sf_dir: str, baseline: dict[str, float]) -> dict:
+    """Run SF1_QUERIES once at the 10× slice; report wall and the ratio
+    vs the same query's same-session sf0.1 time (same VM window, so the
+    ratio survives day-to-day contention). v8 runs with log-scaled
+    bucket bits at BOTH scales (see _v8_tuned) — its fixed-bits HEADLINE
+    setting is a correctness-gate shape, not the at-scale contract."""
+    import shutil
+
+    dst = synth_sf1_dir(spark, sf_dir)
+    out: dict = {}
+    try:
+        for name in SF1_QUERIES:
+            if name == "v8_signlsh_pairs":
+                t0 = time.perf_counter()
+                df0, bits0 = _v8_tuned(spark, sf_dir)
+                df0.count()
+                base = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                df1, bits1 = _v8_tuned(spark, dst)
+                n = df1.count()
+                dt = time.perf_counter() - t0
+                out[name] = {
+                    "sf1_sec": round(dt, 3),
+                    "sf01_sec": round(base, 3),
+                    "ratio": round(dt / base, 1),
+                    "rows": n,
+                    "bits": [bits0, bits1],
+                }
+            else:
+                fn = analytics.QUERIES[name]
+                t0 = time.perf_counter()
+                n = fn(spark, dst).count()
+                dt = time.perf_counter() - t0
+                base = baseline.get(name)
+                out[name] = {
+                    "sf1_sec": round(dt, 3),
+                    "sf01_sec": base,
+                    "ratio": round(dt / base, 1) if base else None,
+                    "rows": n,
+                }
+            log(f"  sf1 {name}: {out[name]['sf1_sec']}s ({n} rows, "
+                f"ratio {out[name]['ratio']})")
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)
     return out
 
 
@@ -118,7 +274,7 @@ def _crawl_once(spark, n_seed: int, rounds: int) -> dict[str, float]:
         ],
         schema="host string, max_per_round int, bucket_capacity int",
     )
-    wd = tempfile.mkdtemp(prefix="bench_crawl_")
+    wd = scratch("crawl_")
     eng = CrawlEngine(spark, wd, politeness=politeness, default_refill=refill)
     t0 = time.perf_counter()
     eng.ingest(synth.build_seed_list(spark, n_seed))
@@ -134,7 +290,7 @@ def _crawl_once(spark, n_seed: int, rounds: int) -> dict[str, float]:
         f"  crawl: admitted={admitted} popped={popped} fetched={fetched} "
         f"rounds={len(stats)} ingest={t_ingest:.1f}s rounds_t={t_rounds:.1f}s"
     )
-    return {
+    out = {
         "seed_urls": n_seed,
         "admitted": admitted,
         "fetched": fetched,
@@ -144,6 +300,10 @@ def _crawl_once(spark, n_seed: int, rounds: int) -> dict[str, float]:
         "fetched_urls_per_sec": round(fetched / t_rounds, 1),
         "frontier_ops_per_sec": round(frontier_ops / (t_ingest + t_rounds), 1),
     }
+    # free the workdir now — a 1M-seed rep leaves GBs of frontier state,
+    # and crawl_bench runs several reps back to back
+    shutil.rmtree(wd, ignore_errors=True)
+    return out
 
 
 def crawl_bench(spark, n_seed: int, rounds: int, reps: int = 3) -> dict:
@@ -184,7 +344,7 @@ def unseen_op_ab(
     from news_crawler_spark.operators import seen_set
     from news_crawler_spark.operators.seen_filter import SeenFilterStore
 
-    tmp = tempfile.mkdtemp(prefix="bench_opab_")
+    tmp = scratch("opab_")
     key = lambda df: df.select(  # noqa: E731
         F.xxhash64(F.concat(F.lit("k"), "id")).alias("url_hash"),
         F.concat(F.lit("https://h/p/"), "id").alias("canonical_url"),
@@ -266,7 +426,7 @@ def ingest_probe(spark, n_seen: int, n_batch: int) -> dict:
     from news_crawler_spark.operators import seen_set
 
     half = n_batch // 2
-    base = tempfile.mkdtemp(prefix="bench_ingbase_")
+    base = scratch("ingbase_")
     t0 = time.perf_counter()
     eng0 = CrawlEngine(spark, base)
     eng0.ingest(synth.build_seed_list(spark, n_seen))
@@ -304,7 +464,7 @@ def ingest_probe(spark, n_seen: int, n_batch: int) -> dict:
 
     for mode in (None, "cuckoo"):
         tag = mode or "exact"
-        wd = tempfile.mkdtemp(prefix=f"bench_ing_{tag}_")
+        wd = scratch(f"ing_{tag}_")
         shutil.rmtree(wd)
         shutil.copytree(base, wd)  # carries the folded filter state
         eng = CrawlEngine(
@@ -345,7 +505,7 @@ def skew_probe(spark, n_urls: int, reps: int = 3) -> dict:
     import statistics
     import tempfile
 
-    base = tempfile.mkdtemp(prefix="bench_skew_")
+    base = scratch("skew_")
     uniform_path = base + "/uniform.parquet"
     skew_path = base + "/skew.parquet"
     prepare_probe_input(spark, n_urls, uniform_path)
@@ -588,6 +748,14 @@ def scaling_probe(
 
 
 def main() -> None:
+    try:
+        _main()
+    finally:
+        if _SCRATCH_ROOT is not None:
+            shutil.rmtree(_SCRATCH_ROOT, ignore_errors=True)
+
+
+def _main() -> None:
     quick = "--quick" in sys.argv
     sf_dir = os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01" if quick else "/root/testdata/sf0.1"
@@ -602,6 +770,11 @@ def main() -> None:
     spark = get_spark(app_name="bench", cores=cpus, shuffle_partitions=cpus)
     log(f"== headline queries @ {sf_dir} (local[{cpus}]) ==")
     queries = run_queries(spark, sf_dir)
+    if quick:
+        queries_sf1 = None
+    else:
+        log("== sf1 scale probe (10x documents/embeddings) ==")
+        queries_sf1 = sf1_probe(spark, sf_dir, queries)
     log("== crawl engine throughput (medians of 3) ==")
     crawl = crawl_bench(spark, n_seed, rounds=4, reps=2 if quick else 3)
     log("== crawl scale-soak (1M seeds) ==")
@@ -624,8 +797,8 @@ def main() -> None:
     ]
     import tempfile
 
-    probe_path = tempfile.mkdtemp(prefix="bench_probe_") + "/cand.parquet"
-    probe_big_path = tempfile.mkdtemp(prefix="bench_probeb_") + "/cand.parquet"
+    probe_path = scratch("probe_") + "/cand.parquet"
+    probe_big_path = scratch("probeb_") + "/cand.parquet"
     prepare_probe_input(spark, n_probe, probe_path)
     prepare_probe_input(spark, n_probe_big, probe_big_path)
     spark.stop()
@@ -646,6 +819,7 @@ def main() -> None:
                 "queries_gate_seconds": round(
                     sum(t for q, t in queries.items() if q in GATE_REPLAY), 3
                 ),
+                "queries_sf1": queries_sf1,
                 "sf": sf,
                 "crawl": crawl,
                 "crawl_1m": crawl_1m,

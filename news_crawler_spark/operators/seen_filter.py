@@ -352,7 +352,9 @@ class SeenFilterStore:
                 .withColumn("op", F.lit("d"))
             )
 
-        def fold_fn(key, kpdf: pd.DataFrame, spdf: pd.DataFrame) -> pd.DataFrame:
+        def fold_fn(
+            key: tuple, kpdf: pd.DataFrame, spdf: pd.DataFrame
+        ) -> pd.DataFrame:
             if len(spdf):
                 filt = _from_state(bytes(spdf["state"].iloc[0]))
                 cap = int(spdf["capacity"].iloc[0])  # sized at build time
@@ -442,7 +444,7 @@ class SeenFilterStore:
             F.col("__bucket").alias("bucket"), "url_hash"
         )
 
-        def build_fn(key, kpdf: pd.DataFrame) -> pd.DataFrame:
+        def build_fn(key: tuple, kpdf: pd.DataFrame) -> pd.DataFrame:
             cap = max(capacity, len(kpdf))
             filt = _new_filter(kind, cap)
             filt.insert(kpdf["url_hash"].to_numpy())

@@ -286,6 +286,21 @@ def cosine_pairs(
 SIGNLSH_QUANT = 1_000_000
 
 
+def signlsh_bits_for(n_vectors: int, target_occupancy: int = 5, floor: int = 8) -> int:
+    """The sizing rule ``lsh_cosine_pairs`` callers must apply at scale:
+    bits_per_table ≈ log2(n / target_occupancy). The banded candidate
+    join is QUADRATIC in bucket occupancy (expected pairs ≈ tables ·
+    2^bits · C(n/2^bits, 2)), so fixed bits turn a 10× corpus into
+    ~100× candidates — measured in bench.py's sf1 probe (34 s at a
+    5k-vector slice vs ~3 s at 500 with bits pinned at 8). Raising bits
+    lowers per-table recall for a fixed table count; compensate with
+    n_tables when the threshold regime demands it (recall =
+    1-(1-p^bits)^tables, p = 1-acos(c)/π)."""
+    import math
+
+    return max(floor, math.ceil(math.log2(max(n_vectors, 2) / target_occupancy)))
+
+
 def hyperplane_weights(n_bits: int, dim: int, seed_tag: str) -> list[list[int]]:
     """Integer hyperplane components from a pure string spec:
     ``w(i, j) = int(md5(f"hp:{seed_tag}:{i}:{j}")[:6], 16) - 2**23``.

@@ -374,6 +374,19 @@ def test_fused_fetch_extract_matches_two_stage(spark):
     assert a == b and len(a) > 0
 
 
+def test_signlsh_bits_for():
+    """The sign-LSH sizing rule: bits track log2(n) so expected bucket
+    occupancy — and with it the quadratic candidate volume — stays flat
+    as the corpus grows."""
+    assert similarity.signlsh_bits_for(500) == 8          # floor
+    assert similarity.signlsh_bits_for(2_000) == 9
+    assert similarity.signlsh_bits_for(20_000) == 12
+    assert similarity.signlsh_bits_for(10**9) == 28
+    # doubling the corpus adds at most one bit = occupancy stays bounded
+    for n in (10**4, 10**6, 10**8):
+        assert similarity.signlsh_bits_for(2 * n) - similarity.signlsh_bits_for(n) <= 1
+
+
 def test_lsh_cosine_pairs_recall(spark):
     """Sign-LSH near-dup scale path: exact verification means precision is
     1.0 by construction; recall for genuinely-near pairs (the dedup
