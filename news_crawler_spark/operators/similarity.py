@@ -20,6 +20,7 @@ output so the DuckDB oracle (list_cosine_similarity) hashes identically.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -291,11 +292,11 @@ def signlsh_bits_for(n_vectors: int, target_occupancy: int = 5, floor: int = 8) 
     bits_per_table ≈ log2(n / target_occupancy). The banded candidate
     join is QUADRATIC in bucket occupancy (expected pairs ≈ tables ·
     2^bits · C(n/2^bits, 2)), so fixed bits turn a 10× corpus into
-    ~100× candidates — measured in bench.py's sf1 probe (34 s at a
-    5k-vector slice vs ~3 s at 500 with bits pinned at 8). Raising bits
-    lowers per-table recall for a fixed table count; compensate with
-    n_tables when the threshold regime demands it (recall =
-    1-(1-p^bits)^tables, p = 1-acos(c)/π)."""
+    ~100× candidate pairs; one extra bit per corpus doubling keeps the
+    candidate volume linear in n (bench.py's sf1 probe measures both
+    regimes). Raising bits lowers per-table recall for a fixed table
+    count; compensate with n_tables when the threshold regime demands
+    it (recall = 1-(1-p^bits)^tables, p = 1-acos(c)/π)."""
     import math
 
     return max(floor, math.ceil(math.log2(max(n_vectors, 2) / target_occupancy)))
@@ -329,34 +330,52 @@ def hyperplane_weights(n_bits: int, dim: int, seed_tag: str) -> list[list[int]]:
 def quantize_vec(vec: Column) -> Column:
     """``floor(v·1e6 + 0.5)`` per component — floor(+0.5) rounds
     identically in every engine (no round-half tie rules), making the
-    sketch deterministic across Spark and the SQL twin."""
+    sketch deterministic across Spark and the SQL twin. Expression form
+    of the quantization (the production sketch does the same arithmetic
+    in numpy float64, which is the same IEEE double)."""
     return F.transform(
         _as_double(vec),
         lambda x: F.floor(x * F.lit(float(SIGNLSH_QUANT)) + F.lit(0.5)).cast("long"),
     )
 
 
-def _sign_lsh_bits(qvec: Column, weights: list[list[int]]) -> Column:
-    """Sign-LSH sketch over a pre-quantized vector: bit i =
-    (<qvec, W_i> > 0), dots folded in exact BIGINT; bucket = OR of
-    bits. ``qvec`` must be a plain column reference (cheap to capture in
-    the lambdas — capturing the quantize expression itself would
-    re-evaluate it per bit, the round-4 let_bound lesson)."""
-    bits = []
-    for i, ws in enumerate(weights):
-        warr = F.array(*[F.lit(w).cast("long") for w in ws])
-        d = F.aggregate(
-            F.zip_with(qvec, warr, lambda x, w: x * w),
-            F.lit(0).cast("long"),
-            lambda s, x: s + x,
-        )
-        bits.append(
-            F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-        )
-    out = bits[0]
-    for b in bits[1:]:
-        out = out.bitwiseOR(b)
-    return out
+def _sign_lsh_buckets_udf(tables: list[list[list[int]]], dim: int):
+    """Arrow-batched sketch: all tables' buckets for a batch of vectors
+    as ONE int64 matmul. quantize (floor(v·1e6+0.5) in float64 = Spark's
+    double), dots = Q @ Wᵀ, sign-weight by 2^(j mod bits), per-table
+    sums. Exact integer arithmetic throughout (|dot| ≤ dim·|q|·2²³ ≈
+    2⁵³ ≪ int64), so the DuckDB twin (V8_SQL) still recomputes the
+    buckets bit-for-bit.
+
+    Why a pandas UDF and not expressions: the higher-order-function
+    formulation (transform/aggregate/zip_with over a tables·bits literal
+    weight matrix) evaluated interpreted per element and re-derived the
+    shared dot array per output column — its sketch stage alone took
+    35 s for 500 vectors where the whole matmul-sketched query runs in
+    ~3.5 s warm (measured; BENCH.md round 5). This is the "built-ins
+    genuinely can't express it efficiently" case: a dense integer
+    GEMM."""
+    import numpy as np
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    n_tables, bits = len(tables), len(tables[0])
+    W = np.array([row for t in tables for row in t], dtype=np.int64)  # (T·B, dim)
+    pow_vec = np.array(
+        [1 << (j % bits) for j in range(n_tables * bits)], dtype=np.int64
+    )
+
+    @pandas_udf(ArrayType(LongType()))
+    def buckets_fn(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        Q = np.floor(V * SIGNLSH_QUANT + 0.5).astype(np.int64)  # (n, dim)
+        D = Q @ W.T                                             # (n, T·B)
+        B = np.where(D > 0, pow_vec, 0).reshape(len(Q), n_tables, bits).sum(axis=2)
+        return pd.Series(list(B))
+
+    return buckets_fn
 
 
 def lsh_cosine_pairs(
@@ -398,33 +417,15 @@ def lsh_cosine_pairs(
     tables = [
         hyperplane_weights(bits_per_table, dim, f"t{t}") for t in range(n_tables)
     ]
-    sketched = (
-        embeddings.select(
-            F.col(id_col).alias("vid"),
-            F.col(vec_col).alias("vec"),
-            quantize_vec(F.col(vec_col)).alias("__q"),
-        )
-        .select(
-            "vid",
-            "vec",
-            *[
-                _sign_lsh_bits(F.col("__q"), tables[t]).alias(f"b{t}")
-                for t in range(n_tables)
-            ],
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    buckets_fn = _sign_lsh_buckets_udf(tables, dim)
+    sketched = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        buckets_fn(F.col(vec_col)).alias("__bk"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     buckets = sketched.select(
-        "vid",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(t).alias("table"), F.col(f"b{t}").alias("bucket"))
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select("vid", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+        "vid", F.posexplode("__bk").alias("table", "bucket")
+    )
     cand = (
         buckets.alias("x")
         .join(buckets.alias("y"), ["table", "bucket"])
