@@ -20,8 +20,11 @@ integer-exact (quantized components × md5-derived integer hyperplanes)
 so DuckDB recomputes buckets, candidates and verified pairs bit-for-bit
 — s4: the watermarked windowed rate monitor driven through three real
 availableNow runs and matched against a batch-sequential watermark
-twin, and f2: the composed Persian-datetime parse (digits → ZWNJ →
-regex → month map → Jalali calendar → Tehran→UTC) in one value-hash).
+twin, f2: the composed Persian-datetime parse (digits → ZWNJ →
+regex → month map → Jalali calendar → Tehran→UTC) in one value-hash,
+and v9: the IVF table written partitioned by cell and probed through
+dynamic partition pruning — the 1/n_cells scan-cost layout
+plan-asserted and value-matched against v2's oracle).
 """
 
 from __future__ import annotations

@@ -1619,6 +1619,40 @@ LIMIT 5
 """
 
 
+def v9_ivf_partitioned(spark, sf):
+    """v2's 100 TB claim DEMONSTRATED: the vector table written
+    partitioned by its IVF cell, probed through the same
+    ``ivf_probe_topk`` — the query's cell arrives via a broadcast join,
+    so Spark's dynamic partition pruning turns the scan into a read of
+    ONLY that cell's files (PartitionFilters: dynamicpruning#…,
+    plan-asserted in tests/test_plans.py). This is the layout the module
+    doc promises for 10^9-vector search (scan cost = 1/n_cells); the
+    partitioned write here is gate scaffolding at SF scale. Results are
+    byte-identical to v2 (same oracle)."""
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="v9_ivf_")
+    try:
+        load(spark, sf, "embeddings").write.partitionBy("label").parquet(
+            f"{work}/emb"
+        )
+        part = spark.read.parquet(f"{work}/emb")
+        out = similarity.ivf_probe_topk(part, QUERY_VEC_ID, k=5).select(
+            "vec_id",
+            # partition-dir inference must not drift the dtype vs the
+            # base table (and the oracle): pin label back to int
+            F.col("label").cast("int").alias("label"),
+            "score",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+V9_SQL = V2_SQL
+
+
 N_PROBE = 3
 
 
@@ -2672,6 +2706,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "v6_keyword_topk": v6_keyword_topk,
     "v7_ts_range_topk": v7_ts_range_topk,
     "v8_signlsh_pairs": v8_signlsh_pairs,
+    "v9_ivf_partitioned": v9_ivf_partitioned,
     "d1_exact_dedup": d1_exact_dedup,
     "d2_ngram_jaccard": d2_ngram_jaccard,
     "d3_minhash_lsh": d3_minhash_lsh,
@@ -2726,6 +2761,7 @@ ORACLES: dict[str, str] = {
     "v6_keyword_topk": V6_SQL,
     "v7_ts_range_topk": V7_SQL,
     "v8_signlsh_pairs": V8_SQL,
+    "v9_ivf_partitioned": V9_SQL,
     "d1_exact_dedup": D1_SQL,
     "d2_ngram_jaccard": D2_SQL,
     "d3_minhash_lsh": D3_SQL,

@@ -195,3 +195,21 @@ def test_v8_signlsh_is_bucketed_not_allpairs(spark):
     assert "BroadcastNestedLoopJoin" not in p, p
     # candidate join keyed on the bucket columns, verify joins on ids
     assert "table" in p and "bucket" in p, p
+
+
+def test_v9_partition_pruning_is_dynamic(spark, tmp_path):
+    """The IVF layout's 100 TB claim: with the vector table written
+    partitioned by cell, probing the query's cell must reach the scan as
+    DYNAMIC partition pruning (the cell id arrives via the broadcast
+    query row) — only that cell's files are read, scan cost = 1/n_cells.
+    A plan without dynamicpruning in PartitionFilters reads every
+    partition and only filters post-scan."""
+    from news_crawler_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    emb.write.partitionBy("label").parquet(str(tmp_path / "emb"))
+    part = spark.read.parquet(str(tmp_path / "emb"))
+    df = similarity.ivf_probe_topk(part, 7, k=5)
+    p = explain_formatted(df)
+    assert "dynamicpruning" in p.lower(), p
+    assert df.count() == 5
