@@ -493,6 +493,73 @@ def ingest_probe(spark, n_seen: int, n_batch: int) -> dict:
     return out
 
 
+def ann_probe(
+    spark, n_vectors: int = 200_000, dim: int = 64, n_cells: int = 64, reps: int = 3
+) -> dict:
+    """Scan-cost evidence for the v9 layout at ANN scale: ``n_vectors``
+    synthetic vectors written PARTITIONED by their IVF cell, then
+    brute-force cosine top-k (full scan) vs ``ivf_probe_topk`` (dynamic
+    partition pruning reads ~1/n_cells of the files) on the SAME table,
+    interleaved reps. Cells here are hash-assigned — this probe measures
+    the scan-cost mechanics (pruned bytes → pruned wall), not recall;
+    recall belongs to the centroid assignment (v5's multiprobe dial)."""
+    import statistics
+
+    from news_crawler_spark.operators import similarity
+
+    base = scratch("ann_")
+
+    def gen(it):
+        import numpy as np
+
+        for pdf in it:
+            ids = pdf["id"].to_numpy()
+            # deterministic pseudo-vectors: fract(sin(k)·43758.5453) per
+            # (id, j) — bench-only synthesis, nothing oracles it
+            k = ids[:, None] * dim + np.arange(dim)[None, :]
+            v = np.sin(k.astype(np.float64)) * 43758.5453125
+            v = (v - np.floor(v) - 0.5).astype(np.float32)
+            yield __import__("pandas").DataFrame(
+                {
+                    "vec_id": ids,
+                    "embedding": list(v),
+                    "label": (ids % n_cells).astype("int32"),
+                }
+            )
+
+    (
+        spark.range(n_vectors)
+        .repartition(max(8, spark.sparkContext.defaultParallelism))
+        .mapInPandas(gen, "vec_id long, embedding array<float>, label int")
+        .write.partitionBy("label")
+        .parquet(f"{base}/emb")
+    )
+    part = spark.read.parquet(f"{base}/emb")
+    ts_brute, ts_probe = [], []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        similarity.topk_cosine(part, 7, k=10).collect()
+        ts_brute.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        similarity.ivf_probe_topk(part, 7, k=10).collect()
+        ts_probe.append(time.perf_counter() - t0)
+    out = {
+        "n_vectors": n_vectors,
+        "dim": dim,
+        "n_cells": n_cells,
+        "brute_sec": round(statistics.median(ts_brute), 2),
+        "probe_sec": round(statistics.median(ts_probe), 2),
+        "brute_reps": [round(t, 2) for t in ts_brute],
+        "probe_reps": [round(t, 2) for t in ts_probe],
+    }
+    out["speedup"] = round(out["brute_sec"] / out["probe_sec"], 2)
+    log(
+        f"  ann: brute {out['brute_sec']}s vs pruned probe "
+        f"{out['probe_sec']}s ({out['speedup']}x, {n_cells} cells)"
+    )
+    return out
+
+
 def skew_probe(spark, n_urls: int, reps: int = 3) -> dict:
     """X4 hot-host salting under REAL skew (round-3 verdict item 4): a
     frontier where ONE host holds ~50% of the URLs, through the fused
@@ -783,6 +850,8 @@ def _main() -> None:
     )
     log("== skew probe (hot host 50%) ==")
     skew = skew_probe(spark, 40_000 if quick else 160_000, reps=2 if quick else 3)
+    log("== ann scan-cost probe (brute vs pruned) ==")
+    ann = ann_probe(spark, 50_000 if quick else 200_000, reps=2 if quick else 3)
     log("== d3 stage profile ==")
     d3_split = d3_profile(spark, sf_dir)
     log("== incremental-ingest prefilter probe ==")
@@ -824,6 +893,7 @@ def _main() -> None:
                 "crawl": crawl,
                 "crawl_1m": crawl_1m,
                 "skew": skew,
+                "ann": ann,
                 "d3_profile": d3_split,
                 "ingest": ingest,
                 "scaling": scaling,
