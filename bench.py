@@ -122,6 +122,7 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
 # grow linearly and which superlinearly (round-4 verdict item 7)
 SF1_QUERIES = [
     "d1_exact_dedup",
+    "d2_ngram_jaccard",
     "d3_minhash_lsh",
     "d4_simhash_pairs",
     "d6_simhash128_pairs",
@@ -241,10 +242,15 @@ def sf1_probe(spark, sf_dir: str, baseline: dict[str, float]) -> dict:
                 }
             else:
                 fn = analytics.QUERIES[name]
+                base = baseline.get(name)
+                if base is None:
+                    # not in the HEADLINE — time the sf0.1 side here
+                    t0 = time.perf_counter()
+                    fn(spark, sf_dir).count()
+                    base = round(time.perf_counter() - t0, 3)
                 t0 = time.perf_counter()
                 n = fn(spark, dst).count()
                 dt = time.perf_counter() - t0
-                base = baseline.get(name)
                 out[name] = {
                     "sf1_sec": round(dt, 3),
                     "sf01_sec": base,
