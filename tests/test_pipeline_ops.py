@@ -374,6 +374,27 @@ def test_fused_fetch_extract_matches_two_stage(spark):
     assert a == b and len(a) > 0
 
 
+def test_signlsh_quantization_parity(spark):
+    """The invariant v8's cross-engine gate rests on: the matmul
+    sketch's numpy-float64 quantization (floor(v·1e6+0.5) in
+    _sign_lsh_buckets_udf) computes EXACTLY what the catalyst
+    expression twin ``quantize_vec`` computes (both are IEEE-double
+    arithmetic), for every component of every real embedding."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    expr = {
+        r.vec_id: r.q
+        for r in emb.select(
+            "vec_id", similarity.quantize_vec(F.col("embedding")).alias("q")
+        ).collect()
+    }
+    for r in emb.collect():
+        v = np.asarray(r.embedding, dtype=np.float64)
+        q = np.floor(v * similarity.SIGNLSH_QUANT + 0.5).astype(np.int64)
+        assert q.tolist() == expr[r.vec_id]
+
+
 def test_signlsh_bits_for():
     """The sign-LSH sizing rule: bits track log2(n) so expected bucket
     occupancy — and with it the quadratic candidate volume — stays flat
