@@ -66,6 +66,8 @@ HEADLINE = [
     "f2_persian_datetime_parse",
     "v8_signlsh_pairs",
     "s4_windowed_rates",
+    "x6_stratified_sample",
+    "x7_holdout_split",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by

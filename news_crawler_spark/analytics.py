@@ -2249,6 +2249,113 @@ SELECT doc_id, unnest(list_distinct(w)) AS fp FROM wins
 """
 
 
+def _md5h_sql(arg: str) -> str:
+    """DuckDB SQL for dedup.md5_hash64(arg) — the first 64 bits of md5
+    packed as a signed BIGINT (hi word sign-adjusted like Java
+    shiftleft), parameterized over the hashed expression."""
+    hi = f"('0x' || substring(md5({arg}), 1, 8))::BIGINT"
+    lo = f"('0x' || substring(md5({arg}), 9, 8))::BIGINT"
+    return (
+        f"(({hi} + CASE WHEN {hi} >= 2147483648 THEN -4294967296 ELSE 0 END)"
+        f" * 4294967296 + {lo})"
+    )
+
+
+def x6_stratified_sample(spark, sf):
+    """Deterministic per-source sampling — the training-mix operator
+    (operators/sampling.stratified_sample): every source gets a rate
+    derived from its index ((idx mod 5 + 1)/10), membership = hash
+    bucket under the rate threshold. Output is the KEPT rows
+    themselves, so the value hash pins exact membership: the property
+    that makes the sample reproducible (a re-run, or the same corpus
+    grown, keeps exactly the same rows) rather than merely
+    rate-accurate."""
+    from .operators import sampling
+
+    docs = load(spark, sf, "documents")
+    rates = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            (
+                (F.pmod(F.substring("source", 4, 10).cast("int"), F.lit(5)) + 1)
+                / 10.0
+            ).alias("rate"),
+        )
+    )
+    return (
+        sampling.stratified_sample(docs, rates, "source", "doc_id")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+X6_SQL = f"""
+WITH r AS (
+  SELECT source,
+         (CAST(substr(source, 4) AS INT) % 5 + 1) / 10.0 AS rate
+  FROM (SELECT DISTINCT source FROM documents)
+),
+b AS (
+  SELECT doc_id, source,
+         (({_md5h_sql("'sample:' || doc_id")} % 1000000) + 1000000) % 1000000
+           AS bucket
+  FROM documents
+)
+SELECT b.doc_id, b.source
+FROM b JOIN r USING (source)
+WHERE bucket < CAST(round(rate * 1000000) AS INT)
+ORDER BY doc_id
+"""
+
+
+def x7_holdout_split(spark, sf):
+    """Reproducible train/val/test holdout (operators/sampling.
+    hash_split, 80/10/10): split = pure function of (seed, doc_id), so
+    re-ingested documents can never migrate between splits across runs
+    (the eval-leakage invariant). Per (source, split) counts plus
+    first/last doc ids — the ids pin boundary assignments, not just
+    the rates."""
+    from .operators import sampling
+
+    out = sampling.hash_split(
+        load(spark, sf, "documents"),
+        "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    return (
+        out.groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+X7_SQL = f"""
+WITH b AS (
+  SELECT doc_id, source,
+         (({_md5h_sql("'split:' || doc_id")} % 1000000) + 1000000) % 1000000
+           AS bucket
+  FROM documents
+),
+s AS (
+  SELECT doc_id, source,
+         CASE WHEN bucket < 800000 THEN 'train'
+              WHEN bucket < 900000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM b
+)
+SELECT source, split, count(*)::BIGINT AS n,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM s GROUP BY source, split
+ORDER BY source, split
+"""
+
+
 # ===========================================================================
 # M — interleaved text+media spans (the input_hint table shape, under the
 # hard oracle gate)
@@ -2718,6 +2825,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x3_token_stats": x3_token_stats,
     "x4_fingerprints": x4_fingerprints,
     "x5_winnow_fingerprints": x5_winnow_fingerprints,
+    "x6_stratified_sample": x6_stratified_sample,
+    "x7_holdout_split": x7_holdout_split,
     "m1_interleaved_spans": m1_interleaved_spans,
     "m2_media_pipeline": m2_media_pipeline,
     "s1_stream_cursor_cut": s1_stream_cursor_cut,
@@ -2773,6 +2882,8 @@ ORACLES: dict[str, str] = {
     "x3_token_stats": X3_SQL,
     "x4_fingerprints": X4_SQL,
     "x5_winnow_fingerprints": X5_SQL,
+    "x6_stratified_sample": X6_SQL,
+    "x7_holdout_split": X7_SQL,
     "m1_interleaved_spans": M1_SQL,
     "m2_media_pipeline": M2_SQL,
     "s1_stream_cursor_cut": S1_SQL,
