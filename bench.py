@@ -68,6 +68,8 @@ HEADLINE = [
     "s4_windowed_rates",
     "x6_stratified_sample",
     "x7_holdout_split",
+    "x8_token_packing",
+    "x9_decontamination",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by

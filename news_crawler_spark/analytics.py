@@ -2356,6 +2356,87 @@ ORDER BY source, split
 """
 
 
+def x8_token_packing(spark, sf):
+    """Token-budget shard packing (operators/sampling.pack_token_shards)
+    — the sequence-packing layout a trainer consumes: docs hashed to 8
+    shards, per-shard key-ordered running token offsets, 2048-token
+    bins. One row per document; the value hash pins every offset and
+    bin boundary (an off-by-one in the cumsum or the floor shows up as
+    a hash break, not a rate drift)."""
+    from .operators import sampling
+
+    return sampling.pack_token_shards(
+        load(spark, sf, "documents"), budget=2048, n_shards=8
+    ).orderBy("doc_id")
+
+
+X8_SQL = f"""
+WITH b AS (
+  SELECT doc_id,
+         ((((({_md5h_sql("'shard:' || doc_id")} % 1000000) + 1000000) % 1000000)
+           % 8))::INT AS shard,
+         len(string_split(text, ' '))::BIGINT AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT
+           AS tok_start
+  FROM b
+)
+SELECT doc_id, shard, n_tokens, tok_start, (tok_start // 2048)::BIGINT AS bin_id
+FROM c ORDER BY doc_id
+"""
+
+
+def x9_decontamination(spark, sf):
+    """Eval-set decontamination (operators/dedup.cross_contamination):
+    a 5% md5-assigned eval split, then every TRAIN document sharing ≥1
+    distinct 4-gram with any eval document, with the shared-gram count
+    — the train/test leakage check run before a benchmark-bearing
+    corpus ships. Spark joins chained-xxhash64 gram hashes (the scale
+    path: 8 B/gram, eval side broadcast); the oracle joins the gram
+    STRINGS — agreement also witnesses the hashed grams' fidelity."""
+    from .operators import dedup as dedup_ops
+    from .operators.dedup import md5_hash64
+
+    docs = load(spark, sf, "documents")
+    is_eval = (
+        F.pmod(
+            md5_hash64(F.concat(F.lit("eval:"), F.col("doc_id").cast("string"))),
+            F.lit(20),
+        )
+        == 0
+    )
+    labeled = docs.withColumn("__is_eval", is_eval)
+    train = labeled.filter(~F.col("__is_eval")).drop("__is_eval")
+    ev = labeled.filter(F.col("__is_eval")).drop("__is_eval")
+    return dedup_ops.cross_contamination(train, ev, n=4).orderBy("doc_id")
+
+
+X9_SQL = f"""
+WITH lab AS (
+  SELECT doc_id, text,
+         (({_md5h_sql("'eval:' || doc_id")} % 20) + 20) % 20 = 0 AS is_eval
+  FROM documents
+),
+toks AS (SELECT doc_id, is_eval, string_split(text, ' ') AS t FROM lab),
+grams AS (
+  SELECT doc_id, is_eval,
+         unnest(list_distinct([list_aggregate(t[i:i+3], 'string_agg', ' ')
+                               for i in generate_series(1, len(t) - 3)])) AS g
+  FROM toks WHERE len(t) >= 4
+),
+ev AS (SELECT DISTINCT g FROM grams WHERE is_eval)
+SELECT doc_id, count(*)::BIGINT AS n_shared
+FROM grams JOIN ev USING (g)
+WHERE NOT is_eval
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 # ===========================================================================
 # M — interleaved text+media spans (the input_hint table shape, under the
 # hard oracle gate)
@@ -2827,6 +2908,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x5_winnow_fingerprints": x5_winnow_fingerprints,
     "x6_stratified_sample": x6_stratified_sample,
     "x7_holdout_split": x7_holdout_split,
+    "x8_token_packing": x8_token_packing,
+    "x9_decontamination": x9_decontamination,
     "m1_interleaved_spans": m1_interleaved_spans,
     "m2_media_pipeline": m2_media_pipeline,
     "s1_stream_cursor_cut": s1_stream_cursor_cut,
@@ -2884,6 +2967,8 @@ ORACLES: dict[str, str] = {
     "x5_winnow_fingerprints": X5_SQL,
     "x6_stratified_sample": X6_SQL,
     "x7_holdout_split": X7_SQL,
+    "x8_token_packing": X8_SQL,
+    "x9_decontamination": X9_SQL,
     "m1_interleaved_spans": M1_SQL,
     "m2_media_pipeline": M2_SQL,
     "s1_stream_cursor_cut": S1_SQL,

@@ -170,6 +170,44 @@ def with_hashed_shingles(
 
 
 # --------------------------------------------------------------------------
+# cross-table contamination (decontamination pre-pass)
+
+def cross_contamination(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus documents sharing ≥1 distinct n-gram with ANY eval
+    document → ``(doc_id, n_shared)`` — the decontamination pre-pass a
+    training-data pipeline runs before a benchmark-bearing corpus ships
+    (train/test n-gram overlap is the standard leakage check).
+
+    Shape: both sides reduce to hashed n-gram SETS (the same chained
+    xxhash64 shingles every dedup tier uses — 8 B/gram, no gram strings
+    in flight); the eval side collapses to one distinct gram set and
+    BROADCASTS (an eval set is a benchmark — 10³-10⁵ docs — so its gram
+    set fits an executor; for a pathological eval side drop the hint
+    and this degrades to a plain shuffled semi-join). The corpus side
+    is a pure scan → explode → broadcast-join → partial-agg pipeline:
+    no corpus-side shuffle of gram rows, only the final per-doc count.
+    ``n_shared`` counts the corpus doc's DISTINCT grams seen in eval
+    (shingle arrays are distinct by construction)."""
+    tr = with_hashed_shingles(corpus, text_col, id_col, n).select(
+        "doc_id", F.explode("sh").alias("g")
+    )
+    ev = (
+        with_hashed_shingles(eval_docs, text_col, id_col, n)
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+    )
+    return tr.join(F.broadcast(ev), "g").groupBy("doc_id").agg(
+        F.count("*").alias("n_shared")
+    )
+
+
+# --------------------------------------------------------------------------
 # exact n-gram Jaccard (inverted-index self-join)
 
 def ngram_jaccard_pairs(

@@ -81,6 +81,45 @@ def hash_split(
     return df.withColumn("split", expr)
 
 
+def pack_token_shards(
+    df: DataFrame,
+    budget: int,
+    n_shards: int,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "shard",
+) -> DataFrame:
+    """Deterministic token-budget packing: assign every document a
+    shard (hash of its key), order documents within the shard by key,
+    and cut the running token stream into ``budget``-token bins —
+    ``(key, shard, n_tokens, tok_start, bin_id)``, the layout a
+    sequence-packing trainer consumes (concatenate a bin, split at the
+    budget boundary).
+
+    Scale shape: ONE shuffle on the shard id, then a per-shard window
+    cumsum. Parallelism = ``n_shards`` — size it to the cluster (a
+    global ORDER BY cumsum would serialize the corpus through one
+    partition; hashing keys to shards first makes packing
+    embarrassingly parallel and REPRODUCIBLE: a document's (shard,
+    position) depends only on the keys in its shard, and shards are
+    independent)."""
+    from pyspark.sql import Window
+
+    from .text import token_count
+
+    base = df.select(
+        F.col(key_col),
+        (sample_bucket(F.col(key_col), seed) % F.lit(n_shards))
+        .cast("int")
+        .alias("shard"),
+        token_count(text_col).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy(key_col)
+    return base.withColumn(
+        "tok_start", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    ).withColumn("bin_id", F.floor(F.col("tok_start") / F.lit(budget)))
+
+
 def stratified_sample(
     df: DataFrame,
     rates: DataFrame,

@@ -729,3 +729,56 @@ def test_stratified_sample_reproducible_under_growth(spark):
     joined = got.join(tot, "source").join(rates, "source").collect()
     for r in joined:
         assert abs(r.k / r.n - r.rate) < 0.25, (r.source, r.k, r.n, r.rate)
+
+
+def test_pack_token_shards_offsets_exact(spark):
+    """Packing invariants, recomputed in python from the output: within
+    every shard (key-ordered) tok_start is the exact running token sum,
+    bin_id = tok_start // budget, and every document appears exactly
+    once — the trainer-facing contract (concatenate a bin, cut at the
+    budget boundary)."""
+    from news_crawler_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = sampling.pack_token_shards(docs, budget=2048, n_shards=8).collect()
+    assert len(out) == docs.count()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rows:
+            assert r.tok_start == cum, (shard, r.doc_id)
+            assert r.bin_id == cum // 2048
+            cum += r.n_tokens
+
+
+def test_cross_contamination_matches_string_grams(spark, docs, doc_rows):
+    """The hashed-gram join reports exactly the string-gram overlap (the
+    property the x9 oracle also witnesses): python twin over 4-gram
+    STRING sets."""
+    from news_crawler_spark.operators import dedup as dedup_ops
+
+    ids = sorted(doc_rows)
+    ev_ids = set(ids[::7])
+    ev = docs.filter(F.col("doc_id").isin([int(i) for i in ev_ids]))
+    tr = docs.filter(~F.col("doc_id").isin([int(i) for i in ev_ids]))
+    got = {
+        r.doc_id: r.n_shared
+        for r in dedup_ops.cross_contamination(tr, ev, n=4).collect()
+    }
+
+    def grams(txt, n=4):
+        t = txt.split(" ")
+        return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+    ev_grams = set().union(*(grams(doc_rows[i]) for i in ev_ids))
+    want = {}
+    for d in ids:
+        if d in ev_ids:
+            continue
+        k = len(grams(doc_rows[d]) & ev_grams)
+        if k:
+            want[d] = k
+    assert got == want
