@@ -70,6 +70,7 @@ HEADLINE = [
     "x7_holdout_split",
     "x8_token_packing",
     "x9_decontamination",
+    "x10_repetition",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by

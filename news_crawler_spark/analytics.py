@@ -2356,6 +2356,37 @@ ORDER BY source, split
 """
 
 
+def x10_repetition(spark, sf):
+    """C4/Gopher-family repetition scoring (text.dup_ngram_fraction):
+    per-document fraction of duplicate token occurrences (n=1) and
+    duplicate 3-gram occurrences — the intra-document boilerplate
+    signal corpus-level dedup cannot see. One row per document; both
+    ratios value-hashed."""
+    docs = load(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(text.dup_ngram_fraction("text", 1), 4).alias("dup1"),
+        F.round(text.dup_ngram_fraction("text", 3), 4).alias("dup3"),
+    ).orderBy("doc_id")
+
+
+X10_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id, t,
+         [list_aggregate(t[i:i+2], 'string_agg', ' ')
+          for i in generate_series(1, len(t) - 2)] AS g3
+  FROM toks
+)
+SELECT doc_id,
+       CASE WHEN len(t) < 1 THEN 0.0
+            ELSE round(1.0 - len(list_distinct(t))::DOUBLE / len(t), 4) END AS dup1,
+       CASE WHEN len(t) < 3 THEN 0.0
+            ELSE round(1.0 - len(list_distinct(g3))::DOUBLE / len(g3), 4) END AS dup3
+FROM g ORDER BY doc_id
+"""
+
+
 def x8_token_packing(spark, sf):
     """Token-budget shard packing (operators/sampling.pack_token_shards)
     — the sequence-packing layout a trainer consumes: docs hashed to 8
@@ -2910,6 +2941,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x7_holdout_split": x7_holdout_split,
     "x8_token_packing": x8_token_packing,
     "x9_decontamination": x9_decontamination,
+    "x10_repetition": x10_repetition,
     "m1_interleaved_spans": m1_interleaved_spans,
     "m2_media_pipeline": m2_media_pipeline,
     "s1_stream_cursor_cut": s1_stream_cursor_cut,
@@ -2969,6 +3001,7 @@ ORACLES: dict[str, str] = {
     "x7_holdout_split": X7_SQL,
     "x8_token_packing": X8_SQL,
     "x9_decontamination": X9_SQL,
+    "x10_repetition": X10_SQL,
     "m1_interleaved_spans": M1_SQL,
     "m2_media_pipeline": M2_SQL,
     "s1_stream_cursor_cut": S1_SQL,

@@ -79,6 +79,32 @@ def mean_token_len(text: Column | str) -> Column:
     ) / F.size(toks)
 
 
+def dup_ngram_fraction(text: Column | str, n: int = 3) -> Column:
+    """Fraction of n-gram OCCURRENCES that are repeats of an earlier
+    n-gram in the same document: 1 − distinct/total — the
+    C4/Gopher-family repetition rule (boilerplate, listicles and
+    degenerate generations repeat locally even when globally unique, so
+    corpus-level dedup never catches them). Pure codegen'd expressions:
+    grams as chained positions over the token array, distinct via
+    array_distinct. 0.0 for docs shorter than n tokens (nothing to
+    repeat)."""
+    toks = tokens_col(text)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    # CASE branches evaluate lazily, so the sequence() above never sees
+    # a short doc (where size-n < 0 would make it descend)
+    return F.when(F.size(toks) < F.lit(n), F.lit(0.0)).otherwise(
+        let_bound(
+            grams,
+            lambda g: 1.0 - F.size(F.array_distinct(g)) / F.size(g),
+        )
+    )
+
+
 def quality_score(text: Column | str) -> Column:
     """Composite quality in [0,1]-ish: favors long, lexically diverse,
     naturally-stopworded text (the P7 content-quality filter generalized
