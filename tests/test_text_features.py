@@ -1,3 +1,5 @@
+"""Text-quality feature twins that need their own edge fixtures
+(separate from the corpus-driven checks in test_pipeline_ops)."""
 
 
 def test_dup_ngram_fraction_twin(spark):
