@@ -114,3 +114,13 @@ def test_pop_round_salt_invariant(spark):
     ]
     assert outs[0] == outs[1] == outs[2]
     assert len(outs[0]) == 3 * 37
+
+
+def test_query_and_oracle_registries_stay_aligned():
+    """Every queries() entry must have its oracle_sql() twin (the driver
+    records a weaker rows-only check for missing oracles — an
+    accidental registration drift silently downgrades the gate)."""
+    from news_crawler_spark import analytics
+
+    assert set(analytics.QUERIES) == set(analytics.ORACLES)
+    assert len(analytics.QUERIES) >= 57
