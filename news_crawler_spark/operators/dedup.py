@@ -116,9 +116,14 @@ def with_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
 
 
 def with_hashed_shingles(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(doc_id, sh: array<long>) — shingles as 64-bit xxhash64 values.
+    """(doc_id, sh: array<long>[, *passthrough]) — shingles as 64-bit
+    xxhash64 values.
 
     Everything downstream (inverted index, MinHash signatures, verify
     intersections) operates on the hashes, never the strings: an 8-byte
@@ -149,13 +154,18 @@ def with_hashed_shingles(
     # per row inside the pushed filter — measured 10-20× on the d3
     # signature stage (14 s vs 0.6 s at sf0.1). ≥n tokens ⇔ sh non-empty,
     # so this placement is semantically identical.
+    extra = [F.col(c) for c in passthrough]
     toked = (
         spread_for_cpu(docs)
-        .select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks"))
+        .select(
+            F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks"), *extra
+        )
         .filter(F.size("__toks") >= n)
     )
     th = toked.select(
-        "doc_id", F.transform("__toks", lambda t: F.xxhash64(t)).alias("__th")
+        "doc_id",
+        F.transform("__toks", lambda t: F.xxhash64(t)).alias("__th"),
+        *extra,
     )
     idx = F.sequence(F.lit(0), F.size(F.col("__th")) - n)
     # __th is a PROJECTED column (cheap lambda capture — a reference,
@@ -166,7 +176,7 @@ def with_hashed_shingles(
             *[F.element_at(F.col("__th"), (i + j + 1).cast("int")) for j in range(n)]
         ),
     )
-    return th.select("doc_id", F.array_distinct(grams).alias("sh"))
+    return th.select("doc_id", F.array_distinct(grams).alias("sh"), *extra)
 
 
 # --------------------------------------------------------------------------
@@ -193,12 +203,38 @@ def cross_contamination(
     is a pure scan → explode → broadcast-join → partial-agg pipeline:
     no corpus-side shuffle of gram rows, only the final per-doc count.
     ``n_shared`` counts the corpus doc's DISTINCT grams seen in eval
-    (shingle arrays are distinct by construction)."""
-    tr = with_hashed_shingles(corpus, text_col, id_col, n).select(
-        "doc_id", F.explode("sh").alias("g")
+    (shingle arrays are distinct by construction).
+
+    The gram arrays are computed ONCE over corpus ∪ eval and cut with an
+    eager localCheckpoint before either explode. Two reasons, both
+    measured (x9 at sf0.1, 8.0 s → 2.3 s): (a) corpus and eval usually
+    filter the same parent frame, so two lazy ``with_hashed_shingles``
+    calls tokenize+hash the whole table twice; (b) the optimizer's
+    InferFiltersFromGenerate adds ``size(sh) > 0`` above each explode and
+    PushDownPredicates substitutes the ENTIRE chained-xxhash gram
+    expression into that inferred filter at the scan — a third and fourth
+    full evaluation that no source-level filter placement can prevent
+    (the filter is optimizer-born). The checkpoint gives the explodes a
+    plain column to scan. Same cut as ``ngram_jaccard_pairs``; at scale
+    the materialization is ~8 B/gram on executor-local disk, the same
+    bytes the exploded shuffle pays anyway."""
+    both = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("__text"),
+        F.lit(False).alias("__is_eval"),
+    ).unionByName(
+        eval_docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("__text"),
+            F.lit(True).alias("__is_eval"),
+        )
     )
+    sh = with_hashed_shingles(
+        both, "__text", "doc_id", n, passthrough=("__is_eval",)
+    ).localCheckpoint(eager=True)
+    tr = sh.filter(~F.col("__is_eval")).select("doc_id", F.explode("sh").alias("g"))
     ev = (
-        with_hashed_shingles(eval_docs, text_col, id_col, n)
+        sh.filter(F.col("__is_eval"))
         .select(F.explode("sh").alias("g"))
         .distinct()
     )
