@@ -24,7 +24,11 @@ twin, f2: the composed Persian-datetime parse (digits → ZWNJ →
 regex → month map → Jalali calendar → Tehran→UTC) in one value-hash,
 and v9: the IVF table written partitioned by cell and probed through
 dynamic partition pruning — the 1/n_cells scan-cost layout
-plan-asserted and value-matched against v2's oracle).
+plan-asserted and value-matched against v2's oracle — plus x11: PII
+detection/scrubbing with deterministically woven PII so both engines
+see the same matches, and x12: CCNet-style paragraph-level boilerplate
+dedup with a chunk-aligned woven header, even docs required to rebuild
+byte-identical to their unwoven selves).
 """
 
 from __future__ import annotations

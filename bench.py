@@ -71,6 +71,8 @@ HEADLINE = [
     "x8_token_packing",
     "x9_decontamination",
     "x10_repetition",
+    "x11_pii_scrub",
+    "x12_boilerplate",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by

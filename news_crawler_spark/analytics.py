@@ -2387,6 +2387,161 @@ FROM g ORDER BY doc_id
 """
 
 
+def x11_pii_scrub(spark, sf):
+    """PII detection + scrubbing (operators/pii): the synthetic corpus
+    carries no PII, so the query first WEAVES deterministic PII into the
+    text — an email for doc_id%3==0, an IPv4 for doc_id%5==0, a phone
+    for doc_id%7==0, pure arithmetic both engines construct identically
+    — then runs the real single-scan operator. The value hash pins the
+    per-kind match counts AND the md5 of the scrubbed text, so a regex
+    dialect drift (Java vs RE2) or a placeholder-order bug breaks the
+    gate, not just a count."""
+    from .operators import pii
+
+    d = F.col("doc_id")
+    woven = load(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"), d.cast("string"), F.lit("@example.org")
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 5 == 0,
+                F.concat(
+                    F.lit(" node 10."),
+                    (d % 256).cast("string"),
+                    F.lit("."),
+                    (d % 97).cast("string"),
+                    F.lit("."),
+                    (d % 200).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 7 == 0,
+                F.concat(F.lit(" call +98"), F.format_string("%07d", d % 10000000)),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return (
+        pii.with_pii(woven)
+        .select(
+            "doc_id",
+            F.col("n_email").cast("int").alias("n_email"),
+            F.col("n_ipv4").cast("int").alias("n_ipv4"),
+            F.col("n_phone").cast("int").alias("n_phone"),
+            F.md5("text_scrubbed").alias("scrub_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+\d{8,15}"
+
+X11_SQL = f"""
+WITH woven AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' contact user' || doc_id || '@example.org' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' node 10.' || (doc_id % 256) || '.' || (doc_id % 97)
+                 || '.' || (doc_id % 200) ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' call +98' || printf('%07d', doc_id % 10000000) ELSE '' END
+    AS text
+  FROM documents
+)
+SELECT doc_id,
+  len(regexp_extract_all(text, '{_PII_EMAIL}'))::INT AS n_email,
+  len(regexp_extract_all(text, '{_PII_IPV4}'))::INT AS n_ipv4,
+  len(regexp_extract_all(text, '{_PII_PHONE}'))::INT AS n_phone,
+  md5(regexp_replace(regexp_replace(regexp_replace(text,
+      '{_PII_EMAIL}', '<EMAIL>', 'g'),
+      '{_PII_IPV4}', '<IP>', 'g'),
+      '{_PII_PHONE}', '<PHONE>', 'g')) AS scrub_md5
+FROM woven ORDER BY doc_id
+"""
+
+
+def x12_boilerplate(spark, sf):
+    """CCNet/RefinedWeb-style paragraph-level boilerplate dedup
+    (operators/dedup.strip_boilerplate): an exactly-8-token subscribe
+    header is woven onto every even doc_id (deterministic, both engines
+    construct it; 8 tokens so the chunk grid of the original text is
+    unchanged), then the real operator chunks, counts per-(source,
+    paragraph) document frequency, anti-joins the ≥5-doc paragraphs out
+    and rebuilds each document in order. The hash pins per-doc paragraph
+    totals, survivors, and the md5 of the rebuilt text — the even docs
+    must come back byte-identical to their unwoven selves."""
+    woven = load(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("subscribe to "),
+                F.col("source"),
+                F.lit(" newsletter for daily updates now "),
+                F.col("text"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return (
+        dedup.strip_boilerplate(woven, para_tokens=8, min_docs=5)
+        .select(
+            "doc_id",
+            "n_paras",
+            "n_kept",
+            F.md5("text_clean").alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+X12_SQL = """
+WITH woven AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 2 = 0
+              THEN 'subscribe to ' || source
+                   || ' newsletter for daily updates now ' || text
+              ELSE text END AS text
+  FROM documents
+),
+toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM woven),
+paras AS (
+  SELECT doc_id, source, c AS pos,
+         array_to_string(t[c*8+1 : c*8+8], ' ') AS para
+  FROM toks,
+       unnest(generate_series(0, CAST(ceil(len(t)/8.0) AS INT) - 1)) AS u(c)
+),
+ph AS (SELECT doc_id, source, pos, para, md5(para) AS h FROM paras),
+boiler AS (
+  SELECT source, h FROM ph GROUP BY source, h
+  HAVING count(DISTINCT doc_id) >= 5
+),
+kept AS (SELECT ph.* FROM ph ANTI JOIN boiler USING (source, h)),
+reb AS (
+  SELECT doc_id, count(*)::BIGINT AS n_kept,
+         string_agg(para, ' ' ORDER BY pos) AS text_clean
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*)::BIGINT AS n_paras FROM ph GROUP BY doc_id)
+SELECT t.doc_id, t.n_paras,
+       COALESCE(r.n_kept, 0)::BIGINT AS n_kept,
+       md5(COALESCE(r.text_clean, '')) AS clean_md5
+FROM tot t LEFT JOIN reb r USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def x8_token_packing(spark, sf):
     """Token-budget shard packing (operators/sampling.pack_token_shards)
     — the sequence-packing layout a trainer consumes: docs hashed to 8
@@ -2942,6 +3097,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x8_token_packing": x8_token_packing,
     "x9_decontamination": x9_decontamination,
     "x10_repetition": x10_repetition,
+    "x11_pii_scrub": x11_pii_scrub,
+    "x12_boilerplate": x12_boilerplate,
     "m1_interleaved_spans": m1_interleaved_spans,
     "m2_media_pipeline": m2_media_pipeline,
     "s1_stream_cursor_cut": s1_stream_cursor_cut,
@@ -3002,6 +3159,8 @@ ORACLES: dict[str, str] = {
     "x8_token_packing": X8_SQL,
     "x9_decontamination": X9_SQL,
     "x10_repetition": X10_SQL,
+    "x11_pii_scrub": X11_SQL,
+    "x12_boilerplate": X12_SQL,
     "m1_interleaved_spans": M1_SQL,
     "m2_media_pipeline": M2_SQL,
     "s1_stream_cursor_cut": S1_SQL,

@@ -244,6 +244,86 @@ def cross_contamination(
 
 
 # --------------------------------------------------------------------------
+# paragraph-level boilerplate dedup (CCNet/RefinedWeb-style line dedup)
+
+def strip_boilerplate(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    para_tokens: int = 8,
+    min_docs: int = 5,
+) -> DataFrame:
+    """Line-level (here: fixed paragraph) dedup within a group — the
+    CCNet/RefinedWeb boilerplate pass: a paragraph that appears verbatim
+    in ≥ ``min_docs`` distinct documents of the same ``group_col``
+    (site headers, cookie banners, subscribe footers) is boilerplate and
+    is stripped from every document; corpus-level document dedup cannot
+    see it because the documents differ outside the shared lines.
+
+    Returns one row per input document:
+    ``(doc_id, n_paras, n_kept, text_clean)`` — text_clean is the
+    surviving paragraphs rejoined in document order (empty string when
+    everything was boilerplate).
+
+    Shape at 100 TB: documents chunk into ``para_tokens``-token
+    paragraphs in one projection; the paragraph frame is cut with an
+    eager localCheckpoint (it feeds three branches — the frequency
+    aggregate, the anti-join, and the rebuild — and the cut also stops
+    the optimizer's InferFiltersFromGenerate from re-evaluating the
+    chunk expression inside a pushed ``size > 0`` filter, the same trap
+    documented on with_hashed_shingles). One shuffle on
+    (group, md5(para)) for the document-frequency count; the boilerplate
+    set is tiny by construction (only paragraphs repeated across
+    ``min_docs`` docs) so the strip is a broadcast anti-join; the
+    rebuild shuffles once on doc_id with per-doc bounded state. md5 so
+    the DuckDB oracle reproduces the paragraph keys exactly.
+    """
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("grp"),
+        tokens(text_col).alias("__toks"),
+    )
+    nch = F.ceil(F.size("__toks") / F.lit(float(para_tokens))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), nch - 1),
+        lambda c: F.array_join(
+            F.slice(F.col("__toks"), (c * para_tokens + 1).cast("int"), para_tokens),
+            " ",
+        ),
+    )
+    paras = (
+        toked.select("doc_id", "grp", F.posexplode(chunks).alias("pos", "para"))
+        .withColumn("ph", F.md5("para"))
+        .localCheckpoint(eager=True)
+    )
+    boiler = (
+        paras.groupBy("grp", "ph")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("grp", "ph")
+    )
+    kept = paras.join(F.broadcast(boiler), ["grp", "ph"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+    totals = paras.groupBy("doc_id").agg(F.count("*").alias("n_paras"))
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_paras",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+    )
+
+
+# --------------------------------------------------------------------------
 # exact n-gram Jaccard (inverted-index self-join)
 
 def ngram_jaccard_pairs(
