@@ -28,7 +28,8 @@ plan-asserted and value-matched against v2's oracle — plus x11: PII
 detection/scrubbing with deterministically woven PII so both engines
 see the same matches, and x12: CCNet-style paragraph-level boilerplate
 dedup with a chunk-aligned woven header, even docs required to rebuild
-byte-identical to their unwoven selves).
+byte-identical to their unwoven selves, and v10: exact-integer Lloyd's
+k-means whose three iterations the DuckDB twin replays bit-for-bit).
 """
 
 from __future__ import annotations

@@ -73,6 +73,7 @@ HEADLINE = [
     "x10_repetition",
     "x11_pii_scrub",
     "x12_boilerplate",
+    "v10_kmeans",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by

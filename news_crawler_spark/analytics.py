@@ -1653,6 +1653,82 @@ def v9_ivf_partitioned(spark, sf):
 V9_SQL = V2_SQL
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def v10_kmeans(spark, sf):
+    """Exact-integer Lloyd's k-means (similarity.kmeans_cells) — corpus
+    clustering for training-mixture balancing, run for 3 full
+    iterations. Every iteration is bit-deterministic (quantized BIGINT
+    components, integer squared-L2, cell-id tie-break, floor(sum/n)
+    centroid update), so the DuckDB twin replays the SAME 3 iterations
+    from the same 8 seeds and the value hash pins every final
+    assignment and distance — one doc drifting across any iteration's
+    cell boundary breaks the gate."""
+    return (
+        similarity.kmeans_cells(
+            load(spark, sf, "embeddings"),
+            seed_ids=tuple(range(KMEANS_K)),
+            iters=KMEANS_ITERS,
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _kmeans_iter_sql(i: int) -> str:
+    """One unrolled Lloyd iteration: assignment a{i} from centroids
+    c{i-1}, then (for non-final iterations) centroid update c{i}."""
+    return f"""
+d{i} AS (
+  SELECT v.vec_id, c.cell,
+         list_sum([ (v.iv[j] - c.cv[j]) * (v.iv[j] - c.cv[j])
+                    for j in generate_series(1, len(v.iv)) ])::BIGINT AS dist
+  FROM qv v CROSS JOIN c{i - 1} c
+),
+a{i} AS (
+  SELECT vec_id, cell, dist FROM (
+    SELECT vec_id, cell, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+    FROM d{i}) WHERE rn = 1
+),
+s{i} AS (
+  SELECT a.cell, j, floor(sum(v.iv[j])::DOUBLE / count(*))::BIGINT AS cx
+  FROM a{i} a JOIN qv v USING (vec_id),
+       unnest(generate_series(1, 64)) AS t(j)
+  GROUP BY a.cell, j
+),
+c{i} AS (SELECT cell, list(cx ORDER BY j) AS cv FROM s{i} GROUP BY cell)"""
+
+
+V10_SQL = (
+    f"""
+WITH qv AS (
+  SELECT vec_id,
+         [floor(x::DOUBLE * {similarity.SIGNLSH_QUANT} + 0.5)::BIGINT
+          for x in embedding] AS iv
+  FROM embeddings
+),
+c0 AS (
+  SELECT vec_id AS cell, iv AS cv FROM qv WHERE vec_id < {KMEANS_K}
+),"""
+    + ",".join(_kmeans_iter_sql(i) for i in range(1, KMEANS_ITERS))
+    + f""",
+dF AS (
+  SELECT v.vec_id, c.cell,
+         list_sum([ (v.iv[j] - c.cv[j]) * (v.iv[j] - c.cv[j])
+                    for j in generate_series(1, len(v.iv)) ])::BIGINT AS dist
+  FROM qv v CROSS JOIN c{KMEANS_ITERS - 1} c
+)
+SELECT vec_id, cell, dist FROM (
+  SELECT vec_id, cell, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+  FROM dF) WHERE rn = 1
+ORDER BY vec_id
+"""
+)
+
+
 N_PROBE = 3
 
 
@@ -3081,6 +3157,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "v7_ts_range_topk": v7_ts_range_topk,
     "v8_signlsh_pairs": v8_signlsh_pairs,
     "v9_ivf_partitioned": v9_ivf_partitioned,
+    "v10_kmeans": v10_kmeans,
     "d1_exact_dedup": d1_exact_dedup,
     "d2_ngram_jaccard": d2_ngram_jaccard,
     "d3_minhash_lsh": d3_minhash_lsh,
@@ -3143,6 +3220,7 @@ ORACLES: dict[str, str] = {
     "v7_ts_range_topk": V7_SQL,
     "v8_signlsh_pairs": V8_SQL,
     "v9_ivf_partitioned": V9_SQL,
+    "v10_kmeans": V10_SQL,
     "d1_exact_dedup": D1_SQL,
     "d2_ngram_jaccard": D2_SQL,
     "d3_minhash_lsh": D3_SQL,

@@ -235,6 +235,87 @@ def ivf_assign(
     return assigned
 
 
+def kmeans_cells(
+    embeddings: DataFrame,
+    seed_ids: tuple[int, ...] = tuple(range(8)),
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact-integer Lloyd's k-means over the embedding column —
+    corpus clustering for training-mixture balancing (group docs by
+    embedding region, then sample/weight per cluster). ``ivf_assign``
+    is one float assignment pass; this is the full loop, made
+    BIT-DETERMINISTIC so a SQL twin reproduces every iteration:
+
+    - components quantized to BIGINTs via the proven sign-LSH recipe
+      (``quantize_vec``: floor(v·1e6+0.5) — no round-half tie rules);
+    - distances are integer squared-L2 (|diff|² ≤ (2·2⁶⁰ᵏ)²·dim ≪ 2⁶³
+      at unit-scale dim-64 embeddings), ties broken by cell id;
+    - centroid update is floor(sum/n) per component: sums ≤ 2⁶³ stay
+      exact, the double division is correctly rounded and cannot cross
+      an integer boundary for rationals this size, so floor(double) ==
+      the true rational floor in BOTH engines.
+
+    Init: cell c = the quantized vector of seed_ids[c] (deterministic,
+    no RNG). An emptied cell simply drops out of later iterations —
+    identical behavior in the SQL twin.
+
+    Shape per iteration: one broadcast join against k centroid rows
+    (k ≈ 8-65k, always broadcastable) + one posexplode groupBy on
+    (cell, component) for the update — both linear in rows·dim, no
+    all-pairs anywhere; per-iteration centroids are eagerly
+    checkpointed (8 rows) so the lineage stays O(1) deep however many
+    iterations run (the d5 label-propagation pattern). At 100 TB run
+    the update on a deterministic hash-sample of the corpus (the
+    codebook needs ~10⁶ points, not 10¹⁰) and keep the final full-scan
+    assignment — same operators, one extra filter.
+
+    Returns ``(vec_id, cell, dist)`` — the final assignment.
+    """
+    vecs = embeddings.select(
+        F.col(id_col).alias("vec_id"), quantize_vec(F.col(vec_col)).alias("iv")
+    ).localCheckpoint(eager=True)
+    cents = (
+        vecs.filter(F.col("vec_id").isin(*seed_ids))
+        .select(F.col("vec_id").alias("cell"), F.col("iv").alias("cv"))
+        .localCheckpoint(eager=True)
+    )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        d = F.aggregate(
+            F.zip_with("iv", "cv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        return (
+            vecs.join(F.broadcast(cent))
+            .withColumn("dist", d)
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cell")).alias("m"))
+            .select("vec_id", F.col("m.cell").alias("cell"), F.col("m.dist").alias("dist"))
+        )
+
+    for _ in range(iters - 1):
+        a = assign(cents)
+        cents = (
+            a.join(vecs, "vec_id")
+            .select("cell", F.posexplode("iv").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.floor(F.sum("x") / F.count("*")).alias("cx"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "cx"))).alias("ps")
+            )
+            .select(
+                "cell",
+                F.transform("ps", lambda s: s["cx"]).alias("cv"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return assign(cents)
+
+
 def _score_at_least(threshold: float) -> Column:
     """``cosine(va, vb)`` rounded to 4 places, EVALUATED ONCE, with
     sub-threshold rows dropped — as one Generate expression.

@@ -782,3 +782,37 @@ def test_cross_contamination_matches_string_grams(spark, docs, doc_rows):
         if k:
             want[d] = k
     assert got == want
+
+
+def test_kmeans_separates_planted_clusters(spark):
+    """Two tight planted clusters + deterministic seeds: Lloyd's must
+    pull every point to its cluster's seed cell by the final iteration,
+    and re-running must reproduce the assignment exactly (the
+    bit-determinism the v10 oracle depends on)."""
+    from news_crawler_spark.operators import similarity
+
+    # cluster A hugs (1, 0, 0, 0); cluster B hugs (0, 1, 0, 0); the two
+    # seeds (ids 0 and 1) start one in each cluster
+    rows = []
+    for i in range(6):
+        rows.append((i, [1.0 - 0.01 * i, 0.01 * i, 0.0, 0.0]))
+    for i in range(6, 12):
+        rows.append((i, [0.01 * (i - 6), 1.0 - 0.01 * (i - 6), 0.0, 0.0]))
+    # seed 1 starts INSIDE cluster A (id 1 is an A point), so iteration
+    # 1 must re-pull the centroid toward B's mass for the test to pass
+    rows[1] = (1, [0.05, 0.95, 0.0, 0.0])
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = {
+        r.vec_id: r.cell
+        for r in similarity.kmeans_cells(emb, seed_ids=(0, 1), iters=3).collect()
+    }
+    assert len(out) == 12
+    assert all(out[i] == 0 for i in range(12) if i != 1 and i < 6), out
+    assert all(out[i] == 1 for i in list(range(6, 12)) + [1]), out
+
+    again = {
+        r.vec_id: r.cell
+        for r in similarity.kmeans_cells(emb, seed_ids=(0, 1), iters=3).collect()
+    }
+    assert again == out
