@@ -28,8 +28,10 @@ plan-asserted and value-matched against v2's oracle — plus x11: PII
 detection/scrubbing with deterministically woven PII so both engines
 see the same matches, and x12: CCNet-style paragraph-level boilerplate
 dedup with a chunk-aligned woven header, even docs required to rebuild
-byte-identical to their unwoven selves, and v10: exact-integer Lloyd's
-k-means whose three iterations the DuckDB twin replays bit-for-bit).
+byte-identical to their unwoven selves, v10: exact-integer Lloyd's
+k-means whose three iterations the DuckDB twin replays bit-for-bit,
+and x13: BM25 ranked retrieval with idf quantized so both engines'
+contributions are bit-identical).
 """
 
 from __future__ import annotations

@@ -74,6 +74,7 @@ HEADLINE = [
     "x11_pii_scrub",
     "x12_boilerplate",
     "v10_kmeans",
+    "x13_bm25",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by

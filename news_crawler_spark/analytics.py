@@ -2618,6 +2618,48 @@ ORDER BY doc_id
 """
 
 
+BM25_TERMS = ("dup", "table", "window")
+
+
+def x13_bm25(spark, sf):
+    """BM25 ranked retrieval (text.bm25_topk) — the lexical ranking the
+    reference's dedicated full-text index serves, over one rare term
+    ('dup' — the planted-duplicate marker, df ≈ 5% of docs) and two
+    common ones. idf is rounded to 6 decimals in BOTH engines before
+    use, making every per-term contribution bit-identical IEEE
+    arithmetic; the value hash pins the whole top-10 (doc AND score),
+    so a drift in tf, df, length normalization or the tie-break order
+    breaks the gate."""
+    return text.bm25_topk(load(spark, sf, "documents"), BM25_TERMS, k=10)
+
+
+X13_SQL = f"""
+WITH toked AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (SELECT count(*)::DOUBLE AS n, avg(len(t))::DOUBLE AS avgdl FROM toked),
+ex AS (
+  SELECT doc_id, len(t)::DOUBLE AS dl, unnest(t) AS term FROM toked
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf, max(dl) AS dl
+  FROM ex WHERE term IN {BM25_TERMS!r}
+  GROUP BY 1, 2
+),
+df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tf GROUP BY 1),
+w AS (
+  SELECT term, round(ln(1.0 + (g.n - df.df + 0.5) / (df.df + 0.5)), 6) AS idf,
+         g.avgdl
+  FROM df CROSS JOIN g
+)
+SELECT tf.doc_id,
+       round(sum(w.idf * ((tf.tf * 2.2)
+             / (tf.tf + 1.2 * (0.25 + (0.75 * tf.dl) / w.avgdl)))), 4) AS score
+FROM tf JOIN w USING (term)
+GROUP BY 1
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
+
+
 def x8_token_packing(spark, sf):
     """Token-budget shard packing (operators/sampling.pack_token_shards)
     — the sequence-packing layout a trainer consumes: docs hashed to 8
@@ -3176,6 +3218,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x10_repetition": x10_repetition,
     "x11_pii_scrub": x11_pii_scrub,
     "x12_boilerplate": x12_boilerplate,
+    "x13_bm25": x13_bm25,
     "m1_interleaved_spans": m1_interleaved_spans,
     "m2_media_pipeline": m2_media_pipeline,
     "s1_stream_cursor_cut": s1_stream_cursor_cut,
@@ -3239,6 +3282,7 @@ ORACLES: dict[str, str] = {
     "x10_repetition": X10_SQL,
     "x11_pii_scrub": X11_SQL,
     "x12_boilerplate": X12_SQL,
+    "x13_bm25": X13_SQL,
     "m1_interleaved_spans": M1_SQL,
     "m2_media_pipeline": M2_SQL,
     "s1_stream_cursor_cut": S1_SQL,

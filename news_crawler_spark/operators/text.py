@@ -192,6 +192,76 @@ def winnow_fingerprints(
     return let_bound(F.split(c, " "), with_toks)
 
 
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: tuple[str, ...],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 ranked retrieval over the corpus — the lexical counterpart
+    to the vector searches in operators/similarity (the reference pairs
+    its Qdrant vector index with a dedicated full-text index,
+    qdrant_full_text_search_index.py / create_vector_db_index.py:77-98;
+    BM25 is what that index ranks with). Robertson/Sparck-Jones idf
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` with the standard tf
+    saturation and length normalization.
+
+    Returns the top-``k`` ``(doc_id, score)`` by score desc, id asc.
+
+    Scale shape: tokens explode ONCE and are filtered to the query
+    terms BEFORE any shuffle (the per-(doc,term) tf aggregate only ever
+    sees |terms| rows per doc); df and the corpus stats (N, avgdl) are
+    1-to-|terms|-row aggregates crossJoined back as broadcasts — no
+    driver-side collect; the final ranking is a
+    TakeOrderedAndProject(k), never a global sort. At 100 TB this is
+    one filtered scan + a tf shuffle bounded by docs·|terms|.
+
+    Determinism across engines: idf is rounded to 6 decimals before
+    use — N, df, tf, dl, avgdl are all exactly representable doubles
+    and IEEE ×/÷ are correctly rounded, so after the idf round every
+    per-term contribution is bit-identical in Spark and the SQL twin;
+    the only engine-varying step left is the ≤|terms|-element sum
+    (ulp-level), absorbed by the final round to 4.
+    """
+    terms = [t for t in query_terms]
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("__t")
+    )
+    stats = toked.select(F.size("__t").cast("double").alias("dl")).agg(
+        F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    # dl rides along through the explode so the tf aggregate is the ONLY
+    # touch on the big side (no second join back for lengths)
+    tf = (
+        toked.select(
+            "doc_id",
+            F.size("__t").cast("double").alias("dl"),
+            F.explode("__t").alias("term"),
+        )
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"), F.max("dl").alias("dl"))
+    )
+    df = tf.groupBy("term").agg(F.count_distinct("doc_id").cast("double").alias("df"))
+    idf = F.round(
+        F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)), 6
+    )
+    contrib = F.col("idf") * (
+        F.col("tf")
+        * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(df.crossJoin(stats).withColumn("idf", idf)), "term")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 4).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.col("doc_id")).limit(k)
+
+
 def with_text_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """All features in one projection — single scan, fully codegen'd."""
     return docs.select(

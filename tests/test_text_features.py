@@ -90,3 +90,49 @@ def test_strip_boilerplate_edges(spark):
     assert (out[10].n_paras, out[10].n_kept) == (2, 2)
     assert out[10].text_clean == rows[6][2]
     assert (out[11].n_paras, out[11].n_kept, out[11].text_clean) == (1, 1, header)
+
+
+def test_bm25_matches_python_twin(spark):
+    """BM25 scores and ranking vs a straightforward python twin,
+    including a doc with no query terms (absent from output) and the
+    rare-term boost dominating a common-term pile-up."""
+    import math
+
+    from news_crawler_spark.operators import text as text_ops
+
+    rows = [
+        (1, "rare common common common"),
+        (2, "common common common common common common"),
+        (3, "other words only here"),
+        (4, "rare rare common other pad pad pad pad"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r.doc_id, r.score)
+        for r in text_ops.bm25_topk(df, ("rare", "common"), k=10).collect()
+    ]
+
+    n = len(rows)
+    dls = {d: len(t.split(" ")) for d, t in rows}
+    avgdl = sum(dls.values()) / n
+    tfs = {d: {} for d, _ in rows}
+    for d, t in rows:
+        for w in t.split(" "):
+            if w in ("rare", "common"):
+                tfs[d][w] = tfs[d].get(w, 0) + 1
+    dfs = {w: sum(1 for d in tfs if w in tfs[d]) for w in ("rare", "common")}
+    exp = []
+    for d in tfs:
+        if not tfs[d]:
+            continue
+        s = 0.0
+        for w, tf in tfs[d].items():
+            idf = round(math.log(1 + (n - dfs[w] + 0.5) / (dfs[w] + 0.5)), 6)
+            s += idf * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dls[d] / avgdl)))
+        exp.append((d, round(s, 4)))
+    exp.sort(key=lambda x: (-x[1], x[0]))
+    assert got == exp
+    # doc 1 wins: one rare hit on the SHORTEST doc — length
+    # normalization beats doc 4's double rare hit at twice the length
+    assert got[0][0] == 1
+    assert all(d != 3 for d, _ in got)  # no query terms -> not retrieved
