@@ -213,3 +213,54 @@ def test_v9_partition_pruning_is_dynamic(spark, tmp_path):
     p = explain_formatted(df)
     assert "dynamicpruning" in p.lower(), p
     assert df.count() == 5
+
+
+def test_x11_pii_scrub_is_single_scan(spark):
+    """The PII pass must be one codegen'd projection: no exchange, no
+    python evaluation anywhere in the plan."""
+    p = plan(analytics.x11_pii_scrub(spark, SF).drop("doc_id"))
+    # the gate query's orderBy is driver-side presentation; strip it by
+    # checking the pre-sort fragment instead
+    from news_crawler_spark.operators import pii
+
+    df = pii.with_pii(spark.read.parquet(f"{SF}/documents.parquet"))
+    p = plan(df)
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "WholeStageCodegen" in p or "*(1)" in p
+
+
+def test_x12_boilerplate_strip_is_broadcast_anti(spark):
+    """The boilerplate strip must anti-join against a BROADCAST
+    boilerplate set (it is tiny by construction), never sort-merge."""
+    import re
+
+    p = plan(analytics.x12_boilerplate(spark, SF))
+    assert re.search(r"BroadcastHashJoin [^\n]*LeftAnti", p), p
+    assert "SortMergeJoin" not in p
+
+
+def test_x13_bm25_plan_shape(spark):
+    """BM25: term filter BELOW the tf aggregate (the only big-side
+    shuffle), stats/df sides broadcast, ranking as
+    TakeOrderedAndProject."""
+    p = plan(analytics.x13_bm25(spark, SF))
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    # the isin(term) filter must sit under the first aggregate, i.e.
+    # appear in the plan BELOW (after, in toString order) the final agg
+    assert "dup" in p and "table" in p  # the IN-list made it into the plan
+
+
+def test_v10_kmeans_assign_is_broadcast(spark):
+    """Every k-means iteration joins the corpus against k centroid rows:
+    that join must be a broadcast, and the argmin must be an aggregate
+    (min over (dist, cell) structs), not a per-vector window sort."""
+    from news_crawler_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = plan(similarity.kmeans_cells(emb, seed_ids=(0, 1, 2, 3), iters=2))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "Window" not in p
