@@ -30,8 +30,10 @@ see the same matches, and x12: CCNet-style paragraph-level boilerplate
 dedup with a chunk-aligned woven header, even docs required to rebuild
 byte-identical to their unwoven selves, v10: exact-integer Lloyd's
 k-means whose three iterations the DuckDB twin replays bit-for-bit,
-and x13: BM25 ranked retrieval with idf quantized so both engines'
-contributions are bit-identical).
+x13: BM25 ranked retrieval with idf quantized so both engines'
+contributions are bit-identical, and x14: the corpus build end-to-end
+— quality → dedup → eval split → decontaminate → shard-pack — as one
+value-hashed composition).
 """
 
 from __future__ import annotations

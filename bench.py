@@ -75,6 +75,7 @@ HEADLINE = [
     "x12_boilerplate",
     "v10_kmeans",
     "x13_bm25",
+    "x14_corpus_build",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by

@@ -2660,6 +2660,100 @@ LIMIT 10
 """
 
 
+def x14_corpus_build(spark, sf):
+    """The training-corpus build END-TO-END, composed from the
+    first-class operators and value-hashed as ONE query: quality gate
+    (text.quality_score ≥ 0.5) → exact dedup keeping the canonical
+    min-id copy → 5% md5 eval split → decontamination
+    (dedup.cross_contamination, 4-grams: train docs sharing ≥1 gram
+    with eval are dropped) → token-budget shard packing
+    (sampling.pack_token_shards). The output is what a trainer mounts:
+    (doc_id, shard, n_tokens, tok_start, bin_id) for every surviving
+    document. A drift in ANY stage — a score boundary, a dedup
+    canonical, one contaminated doc sneaking through, one packing
+    offset — shifts downstream offsets and breaks the hash, so the gate
+    pins the stages AND their composition."""
+    from .operators import sampling
+    from .operators.dedup import md5_hash64
+
+    q = (
+        load(spark, sf, "documents")
+        .filter(text.quality_score("text") >= 0.5)
+        .select("doc_id", "text")
+    )
+    canon = (
+        q.groupBy(F.md5("text").alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    dd = q.join(canon, "doc_id", "left_semi")
+    lab = dd.withColumn(
+        "__e",
+        F.pmod(
+            md5_hash64(F.concat(F.lit("eval:"), F.col("doc_id").cast("string"))),
+            F.lit(20),
+        )
+        == 0,
+    )
+    train = lab.filter(~F.col("__e")).drop("__e")
+    ev = lab.filter(F.col("__e")).drop("__e")
+    contaminated = dedup.cross_contamination(train, ev, n=4).select("doc_id")
+    clean = train.join(contaminated, "doc_id", "left_anti")
+    return sampling.pack_token_shards(clean, budget=2048, n_shards=8).orderBy(
+        "doc_id"
+    )
+
+
+X14_SQL = f"""
+WITH q AS (
+  SELECT doc_id, text FROM documents
+  WHERE round(0.4 * least(len(string_split(text, ' ')) / 100.0, 1.0)
+      + 0.4 * (len(list_distinct(string_split(text, ' ')))
+               / len(string_split(text, ' ')))
+      + 0.2 * greatest(1.0 - abs(len(list_filter(string_split(text, ' '),
+                                                 x -> x IN ({_STOPS_SQL})))
+                                 / len(string_split(text, ' ')) - 0.06) / 0.06,
+                       0.0), 4) >= 0.5
+),
+canon AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+dd AS (SELECT q.* FROM q SEMI JOIN canon USING (doc_id)),
+lab AS (
+  SELECT doc_id, text,
+         (({_md5h_sql("'eval:' || doc_id")} % 20) + 20) % 20 = 0 AS is_eval
+  FROM dd
+),
+toks AS (SELECT doc_id, is_eval, string_split(text, ' ') AS t FROM lab),
+grams AS (
+  SELECT doc_id, is_eval,
+         unnest(list_distinct([list_aggregate(t[i:i+3], 'string_agg', ' ')
+                               for i in generate_series(1, len(t) - 3)])) AS g
+  FROM toks WHERE len(t) >= 4
+),
+evg AS (SELECT DISTINCT g FROM grams WHERE is_eval),
+cont AS (SELECT DISTINCT doc_id FROM grams JOIN evg USING (g) WHERE NOT is_eval),
+clean AS (
+  SELECT doc_id, text FROM lab
+  WHERE NOT is_eval AND doc_id NOT IN (SELECT doc_id FROM cont)
+),
+b AS (
+  SELECT doc_id,
+         ((((({_md5h_sql("'shard:' || doc_id")} % 1000000) + 1000000) % 1000000)
+           % 8))::INT AS shard,
+         len(string_split(text, ' '))::BIGINT AS n_tokens
+  FROM clean
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT
+           AS tok_start
+  FROM b
+)
+SELECT doc_id, shard, n_tokens, tok_start, (tok_start // 2048)::BIGINT AS bin_id
+FROM c ORDER BY doc_id
+"""
+
+
 def x8_token_packing(spark, sf):
     """Token-budget shard packing (operators/sampling.pack_token_shards)
     — the sequence-packing layout a trainer consumes: docs hashed to 8
@@ -3219,6 +3313,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x11_pii_scrub": x11_pii_scrub,
     "x12_boilerplate": x12_boilerplate,
     "x13_bm25": x13_bm25,
+    "x14_corpus_build": x14_corpus_build,
     "m1_interleaved_spans": m1_interleaved_spans,
     "m2_media_pipeline": m2_media_pipeline,
     "s1_stream_cursor_cut": s1_stream_cursor_cut,
@@ -3283,6 +3378,7 @@ ORACLES: dict[str, str] = {
     "x11_pii_scrub": X11_SQL,
     "x12_boilerplate": X12_SQL,
     "x13_bm25": X13_SQL,
+    "x14_corpus_build": X14_SQL,
     "m1_interleaved_spans": M1_SQL,
     "m2_media_pipeline": M2_SQL,
     "s1_stream_cursor_cut": S1_SQL,

@@ -268,11 +268,13 @@ def strip_boilerplate(
 
     Shape at 100 TB: documents chunk into ``para_tokens``-token
     paragraphs in one projection; the paragraph frame is cut with an
-    eager localCheckpoint (it feeds three branches — the frequency
-    aggregate, the anti-join, and the rebuild — and the cut also stops
-    the optimizer's InferFiltersFromGenerate from re-evaluating the
-    chunk expression inside a pushed ``size > 0`` filter, the same trap
-    documented on with_hashed_shingles). One shuffle on
+    eager localCheckpoint because it feeds three branches — the
+    frequency aggregate, the anti-join, and the rebuild — each of which
+    would otherwise replay the explode AND its optimizer-inferred
+    ``size(chunks) > 0`` pushed filter with the full chunk expression
+    substituted in (the InferFiltersFromGenerate trap, PLANS.md; the
+    single materialization still pays that inference once, which is the
+    bounded cost). One shuffle on
     (group, md5(para)) for the document-frequency count; the boilerplate
     set is tiny by construction (only paragraphs repeated across
     ``min_docs`` docs) so the strip is a broadcast anti-join; the

@@ -218,11 +218,10 @@ def test_v9_partition_pruning_is_dynamic(spark, tmp_path):
 def test_x11_pii_scrub_is_single_scan(spark):
     """The PII pass must be one codegen'd projection: no exchange, no
     python evaluation anywhere in the plan."""
-    p = plan(analytics.x11_pii_scrub(spark, SF).drop("doc_id"))
-    # the gate query's orderBy is driver-side presentation; strip it by
-    # checking the pre-sort fragment instead
     from news_crawler_spark.operators import pii
 
+    # the library surface, not the gate query (whose orderBy is
+    # presentation, not part of the operator's contract)
     df = pii.with_pii(spark.read.parquet(f"{SF}/documents.parquet"))
     p = plan(df)
     assert "Exchange" not in p
