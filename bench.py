@@ -76,6 +76,9 @@ HEADLINE = [
     "v10_kmeans",
     "x13_bm25",
     "x14_corpus_build",
+    "t6_asof_join",
+    "t7_range_join",
+    "x15_kmv_vocab",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by

@@ -1384,6 +1384,136 @@ def _md5_h_sql(expr: str) -> str:
     )
 
 
+# ===========================================================================
+# T6/T7 — temporal joins (operators/joins.py): as-of and range containment
+
+T6_TOL_SECONDS = 21600
+T6_BUCKET_SECONDS = 86400
+
+
+def t6_asof_join(spark, sf):
+    """The AS-OF join under the hard gate (operators/joins.
+    asof_join_bucketed — the time-bucketed 100 TB path, row-identical to
+    the plain union-tag-window form by tests/test_joins.py): every
+    non-quote event gains the newest quote event (event_id % 10 == 0) on
+    its event_type with quote_ts <= probe_ts and at most 6 h stale; the
+    oracle is DuckDB's NATIVE ``ASOF LEFT JOIN``. Quotes are pre-deduped
+    per (key, ts) by max event_id so ordering ties never differ between
+    engines; staleness arithmetic truncates to whole seconds on BOTH
+    sides (events.ts carries microseconds)."""
+    from .operators import joins
+
+    e = load(spark, sf, "events")
+    quotes = (
+        e.filter(F.col("event_id") % 10 == 0)
+        .groupBy("event_type", "ts")
+        .agg(
+            F.max("event_id").alias("quote_id"),
+            F.max_by("value", "event_id").alias("px"),
+        )
+    )
+    probes = e.filter(F.col("event_id") % 10 != 0).select(
+        "event_id", "event_type", "ts"
+    )
+    return joins.asof_join_bucketed(
+        probes,
+        quotes,
+        on="event_type",
+        bucket_seconds=T6_BUCKET_SECONDS,
+        tolerance_seconds=T6_TOL_SECONDS,
+        quote_tiebreak="quote_id",
+    )
+
+
+_T6_FRESH = (
+    f"floor(epoch(p.ts))::BIGINT - floor(epoch(q.ts))::BIGINT"
+    f" <= {T6_TOL_SECONDS}"
+)
+
+T6_SQL = f"""
+WITH q AS (
+  SELECT event_type, ts, max(event_id) AS quote_id,
+         arg_max(value, event_id) AS px
+  FROM events WHERE event_id % 10 = 0 GROUP BY 1, 2
+), p AS (
+  SELECT event_id, event_type, ts FROM events WHERE event_id % 10 <> 0
+)
+SELECT p.event_id, p.event_type, p.ts,
+       CASE WHEN {_T6_FRESH} THEN q.ts END AS q_ts,
+       CASE WHEN {_T6_FRESH} THEN q.quote_id END AS q_quote_id,
+       CASE WHEN {_T6_FRESH} THEN q.px END AS q_px
+FROM p ASOF LEFT JOIN q
+  ON p.event_type = q.event_type AND p.ts >= q.ts
+"""
+
+
+T7_BUCKET_SECONDS = 3600
+
+
+def t7_range_join(spark, sf):
+    """The RANGE (containment) join under the hard gate
+    (operators/joins.range_join_bucketed): every 37th event opens an
+    md5-derived 1 min – 2 h interval on its event_type; every other
+    event inside one is a match. Output pins the exact pair multiset per
+    interval (count + sum of matched event_ids) so a single extra or
+    missing pair breaks the hash. The Spark plan is the bucketed
+    equi-join (never BroadcastNestedLoop — asserted in test_plans); the
+    oracle is the direct inequality join. Interval ends truncate to
+    whole seconds in both engines."""
+    from .operators import joins
+    from .operators.dedup import md5_hash64
+
+    e = load(spark, sf, "events")
+    dur = 60 + F.pmod(
+        md5_hash64(F.concat(F.lit("iv:"), F.col("event_id").cast("string"))),
+        F.lit(7200),
+    )
+    intervals = e.filter(F.col("event_id") % 37 == 0).select(
+        F.col("event_id").alias("interval_id"),
+        "event_type",
+        F.col("ts").alias("start_ts"),
+        # whole-second end (ts is NTZ; session tz is UTC, so the round
+        # trip through TIMESTAMP is value-preserving truncation)
+        (F.col("ts").cast("timestamp").cast("long") + dur)
+        .cast("timestamp")
+        .cast(e.schema["ts"].dataType.simpleString())
+        .alias("end_ts"),
+    )
+    points = e.filter(F.col("event_id") % 37 != 0).select(
+        "event_id", "event_type", "ts"
+    )
+    pairs = joins.range_join_bucketed(
+        points, intervals, bucket_seconds=T7_BUCKET_SECONDS, on="event_type"
+    )
+    return (
+        pairs.groupBy("i_interval_id", "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_points"),
+            F.sum("event_id").cast("long").alias("sum_point_ids"),
+        )
+        .withColumnRenamed("i_interval_id", "interval_id")
+    )
+
+
+_T7_H = _md5_h_sql("'iv:' || event_id::VARCHAR")
+
+T7_SQL = f"""
+WITH iv AS (
+  SELECT event_id AS interval_id, event_type, ts AS start_ts,
+         date_trunc('second', ts)
+           + to_seconds(60 + ((({_T7_H}) % 7200) + 7200) % 7200) AS end_ts
+  FROM events WHERE event_id % 37 = 0
+), p AS (
+  SELECT event_id, event_type, ts FROM events WHERE event_id % 37 <> 0
+)
+SELECT iv.interval_id, iv.event_type, count(*)::BIGINT AS n_points,
+       sum(p.event_id)::BIGINT AS sum_point_ids
+FROM p JOIN iv ON p.event_type = iv.event_type
+              AND p.ts >= iv.start_ts AND p.ts <= iv.end_ts
+GROUP BY 1, 2
+"""
+
+
 E1_BATCH_PER_SOURCE = 6
 E1_SALTS = 4
 E1_ROUNDS = 5
@@ -2754,6 +2884,95 @@ FROM c ORDER BY doc_id
 """
 
 
+X15_K = 128
+
+
+def x15_kmv_vocab(spark, sf):
+    """KMV bottom-k distinct sketch under the hard gate
+    (operators/sketch.py): distinct word-3-gram shingles per source —
+    the cardinality that sizes MinHash/LSH dedup planning — estimated
+    with a k=128 bottom-k sketch over md5-derived 60-bit hashes, PLUS
+    the zero-error merge property: the corpus splits into 4 shards by
+    doc_id, each shard sketches independently, and the merged sketch
+    must equal the direct one (``merged_equal`` — the oracle states
+    TRUE, so any merge bug breaks the value hash). The estimate is
+    exact-integer (k−1)·2^60 div h_k in both engines (DECIMAL(38,0) div
+    / HUGEINT floor division — no IEEE); ``exact_distinct`` rides along
+    for honesty (the sketch is genuinely approximate here: ~1 100–1 550
+    true shingles per source vs k=128)."""
+    from .operators import sketch
+
+    d = load(spark, sf, "documents")
+    hashed = (
+        d.withColumn("__toks", text.tokens_col("text"))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(dedup.shingles_from_tokens(F.col("__toks"))).alias("g"),
+        )
+        .select("doc_id", "source", sketch.md5_hash60(F.col("g")).alias("h"))
+    )
+    direct = sketch.kmv_bottom_k(hashed, ["source"], "h", X15_K)
+    shards = [
+        sketch.kmv_bottom_k(
+            hashed.filter(F.pmod(F.col("doc_id"), F.lit(4)) == i),
+            ["source"],
+            "h",
+            X15_K,
+        )
+        for i in range(4)
+    ]
+    merged = sketch.kmv_merge(shards, ["source"], X15_K).withColumnRenamed(
+        "mins", "mins_merged"
+    )
+    exact = (
+        hashed.select("source", "h")
+        .distinct()
+        .groupBy("source")
+        .agg(F.count("*").alias("exact_distinct"))
+    )
+    return (
+        sketch.with_kmv_estimate(direct, X15_K)
+        .join(merged, "source")
+        .join(exact, "source")
+        .select(
+            "source",
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            F.size("mins").cast("int").alias("n_mins"),
+            F.when(F.size("mins") >= X15_K, F.element_at("mins", X15_K)).alias(
+                "h_k"
+            ),
+            F.col("estimate").cast("long").alias("estimate"),
+            (F.col("mins") == F.col("mins_merged")).alias("merged_equal"),
+        )
+    )
+
+
+X15_SQL = f"""
+WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT doc_id, source,
+              list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                             for i in generate_series(1, len(t) - 2)]) AS s
+       FROM toks WHERE len(t) >= 3),
+h AS (SELECT DISTINCT source, ('0x' || substring(md5(g), 1, 15))::BIGINT AS h
+      FROM (SELECT source, unnest(s) AS g FROM sh)),
+r AS (SELECT source, h,
+             row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM h)
+SELECT source,
+       max(n)::BIGINT AS exact_distinct,
+       least(max(n), {X15_K})::INT AS n_mins,
+       max(CASE WHEN rn = {X15_K} THEN h END) AS h_k,
+       CASE WHEN max(n) >= {X15_K}
+            THEN (({X15_K - 1}::HUGEINT * {1 << 60}::HUGEINT)
+                  // max(CASE WHEN rn = {X15_K} THEN h END)::HUGEINT)::BIGINT
+            ELSE max(n)::BIGINT END AS estimate,
+       TRUE AS merged_equal
+FROM r GROUP BY 1
+"""
+
+
 def x8_token_packing(spark, sf):
     """Token-budget shard packing (operators/sampling.pack_token_shards)
     — the sequence-packing layout a trainer consumes: docs hashed to 8
@@ -3280,6 +3499,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t1_frontier_pop": t1_frontier_pop,
     "t3_cursor_cut": t3_cursor_cut,
     "t4_latest_cursor": t4_latest_cursor,
+    "t6_asof_join": t6_asof_join,
+    "t7_range_join": t7_range_join,
     "k1_price_cache": k1_price_cache,
     "e1_embed_drain_schedule": e1_embed_drain_schedule,
     "s2_feed_discovery": s2_feed_discovery,
@@ -3314,6 +3535,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x12_boilerplate": x12_boilerplate,
     "x13_bm25": x13_bm25,
     "x14_corpus_build": x14_corpus_build,
+    "x15_kmv_vocab": x15_kmv_vocab,
     "m1_interleaved_spans": m1_interleaved_spans,
     "m2_media_pipeline": m2_media_pipeline,
     "s1_stream_cursor_cut": s1_stream_cursor_cut,
@@ -3345,6 +3567,8 @@ ORACLES: dict[str, str] = {
     "t1_frontier_pop": T1_SQL,
     "t3_cursor_cut": T3_SQL,
     "t4_latest_cursor": T4_SQL,
+    "t6_asof_join": T6_SQL,
+    "t7_range_join": T7_SQL,
     "k1_price_cache": K1_SQL,
     "e1_embed_drain_schedule": E1_SQL,
     "s2_feed_discovery": S2_SQL,
@@ -3379,6 +3603,7 @@ ORACLES: dict[str, str] = {
     "x12_boilerplate": X12_SQL,
     "x13_bm25": X13_SQL,
     "x14_corpus_build": X14_SQL,
+    "x15_kmv_vocab": X15_SQL,
     "m1_interleaved_spans": M1_SQL,
     "m2_media_pipeline": M2_SQL,
     "s1_stream_cursor_cut": S1_SQL,

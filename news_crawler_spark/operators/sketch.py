@@ -1,0 +1,100 @@
+"""KMV (bottom-k) distinct-count sketch — deterministic and mergeable.
+
+A 100 TB corpus pipeline constantly needs cardinalities that are too
+expensive to compute exactly per slice (vocabulary size per source, unique
+hosts per crawl day, distinct shingles per shard). The reference keeps
+such counters as Redis scalars it increments (redis_cache_manager.py) —
+exact but single-writer. The scalable restatement is a mergeable sketch:
+each shard summarizes, summaries union, the estimate falls out.
+
+This is the classic KMV / bottom-k estimator (Bar-Yossef et al. 2002;
+the same sketch Apache DataSketches ships as *theta*): hash every value
+to a uniform 60-bit integer, keep the k smallest DISTINCT hashes, and
+estimate ``n ≈ (k-1) · 2^60 / h_k`` where ``h_k`` is the k-th smallest
+(relative error ~ 1/sqrt(k-2)). Three properties make it the right fit
+here, over HyperLogLog / approx_count_distinct:
+
+- **deterministic**: md5-derived hashes and exact integer floor division
+  mean any engine reproduces the estimate bit-for-bit — DuckDB replays
+  the whole sketch in the x15 correctness gate (approx_count_distinct's
+  HLL++ is engine-internal and ungateable).
+- **mergeable**: bottom-k is distributive — ``bottomk(A ∪ B) =
+  bottomk(bottomk(A) ∪ bottomk(B))`` — so per-shard sketches union into
+  the global sketch with zero error (x15 checks merged ≡ direct).
+- **bounded state**: the two-phase aggregation below never materializes
+  more than (partitions × k) candidate hashes per group, map-side
+  combined, so the shuffle carries sketches, not values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["md5_hash60", "kmv_bottom_k", "kmv_merge", "with_kmv_estimate", "KMV_SPACE"]
+
+# hash space: first 15 md5 hex chars = 60 bits, always positive — chosen
+# (like dedup.md5_hash64) so a DuckDB oracle reproduces it exactly via
+# ('0x' || substring(md5(v), 1, 15))::BIGINT
+KMV_SPACE = 1 << 60
+
+
+def md5_hash60(value: Column) -> Column:
+    """Uniform positive 60-bit hash of a string column."""
+    return F.conv(F.substring(F.md5(value), 1, 15), 16, 10).cast("long")
+
+
+def kmv_bottom_k(
+    df: DataFrame, group_cols: list[str], hash_col: str, k: int
+) -> DataFrame:
+    """Per group: the k smallest distinct values of ``hash_col``, as a
+    sorted array ``mins`` (shorter than k when the group has fewer
+    distinct hashes — then the sketch IS the exact distinct set).
+
+    Two-phase: per-input-partition bottom-k first (collect_set state is
+    bounded by the partition, its output by k), then bottom-k of the
+    ≤ partitions × k survivors. Bottom-k is distributive, so the result
+    is exact and independent of partitioning.
+    """
+    dist = df.select(*group_cols, hash_col).distinct()
+    per_part = (
+        dist.withColumn("__pid", F.spark_partition_id())
+        .groupBy(*group_cols, "__pid")
+        .agg(F.slice(F.array_sort(F.collect_set(hash_col)), 1, k).alias("__mins"))
+    )
+    return (
+        per_part.select(*group_cols, F.explode("__mins").alias("__h"))
+        .groupBy(*group_cols)
+        .agg(F.slice(F.array_sort(F.collect_set("__h")), 1, k).alias("mins"))
+    )
+
+
+def kmv_merge(sketches: list[DataFrame], group_cols: list[str], k: int) -> DataFrame:
+    """Union per-shard sketches into one: bottom-k of the unioned mins.
+    Zero-error merge — ``kmv_merge(shards) ≡ kmv_bottom_k(all rows)``."""
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return (
+        u.select(*group_cols, F.explode("mins").alias("__h"))
+        .groupBy(*group_cols)
+        .agg(F.slice(F.array_sort(F.collect_set("__h")), 1, k).alias("mins"))
+    )
+
+
+def with_kmv_estimate(
+    sketch: DataFrame, k: int, mins: str = "mins", out: str = "estimate"
+) -> DataFrame:
+    """Add the cardinality estimate: ``(k-1)·2^60 div h_k`` when the
+    sketch is full, else the exact count (an unfilled sketch holds every
+    distinct hash). Exact DECIMAL(38,0) floor division (`div`), never
+    floating point — (k-1)·2^60 overflows BIGINT for k > 8, and IEEE
+    rounding would break cross-engine determinism."""
+    full = F.size(F.col(mins)) >= k
+    est = F.expr(
+        f"CAST({k - 1} AS DECIMAL(38,0)) * CAST({KMV_SPACE} AS DECIMAL(38,0))"
+        f" div CAST(element_at({mins}, {k}) AS DECIMAL(38,0))"
+    )
+    return sketch.withColumn(
+        out, F.when(full, est).otherwise(F.size(F.col(mins)).cast("long"))
+    )

@@ -263,3 +263,37 @@ def test_v10_kmeans_assign_is_broadcast(spark):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert "Window" not in p
+
+
+def test_t6_asof_is_window_not_range_join(spark):
+    """The as-of join must never plan as a range comparison join
+    (BroadcastNestedLoop/Cartesian = O(|probes|·|quotes|)): the
+    union-tag-window form is Window + hash/sort aggregation only, and
+    the bucketed carry computation stays a Window over bucket
+    summaries."""
+    p = plan(analytics.t6_asof_join(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "Window" in p
+
+
+def test_t7_range_join_is_equi_bucketed(spark):
+    """The containment join must reach the join operator as an EQUI join
+    on (key, bucket) — SortMergeJoin or BroadcastHashJoin — with the
+    exact predicate as a join condition/filter, never a
+    BroadcastNestedLoopJoin over the raw inequality."""
+    p = plan(analytics.t7_range_join(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert ("SortMergeJoin" in p) or ("BroadcastHashJoin" in p)
+
+
+def test_x15_kmv_two_phase_bounded(spark):
+    """The KMV sketch aggregation must be the two-phase bounded form:
+    collect_set appears only under per-partition / per-group hash
+    aggregates (ObjectHashAggregate), with no window sort over the full
+    hash set and no nested-loop join anywhere."""
+    p = plan(analytics.x15_kmv_vocab(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "ObjectHashAggregate" in p

@@ -1,0 +1,113 @@
+"""operators/sketch.py — KMV bottom-k distinct sketch: exactness of the
+bottom-k set, zero-error merge, estimator accuracy and determinism."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from news_crawler_spark.operators import sketch
+
+
+def _py_hash60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+@pytest.fixture(scope="module")
+def hashed(spark):
+    """3 groups × ~1700/1000/300 distinct values, with heavy duplication
+    (each value appears 3×) so distinct-before-sketch matters."""
+    df = spark.range(0, 9000).select(
+        F.element_at(
+            F.array(F.lit("g0"), F.lit("g1"), F.lit("g2")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("g"),
+        F.concat(
+            F.lit("v"),
+            F.when(F.col("id") % 3 == 0, F.col("id") % 5100)
+            .when(F.col("id") % 3 == 1, F.col("id") % 3000)
+            .otherwise(F.col("id") % 900)
+            .cast("string"),
+        ).alias("v"),
+    )
+    return df.select(
+        "g", F.col("v"), sketch.md5_hash60(F.col("v")).alias("h")
+    ).localCheckpoint(eager=True)
+
+
+def _py_bottom_k(rows, k):
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r.g, set()).add(_py_hash60(r.v))
+    return {g: sorted(hs)[:k] for g, hs in by_g.items()}
+
+
+def test_hash60_matches_python(hashed):
+    for r in hashed.limit(50).collect():
+        assert r.h == _py_hash60(r.v)
+
+
+def test_bottom_k_is_exact(spark, hashed):
+    k = 64
+    got = {
+        r.g: list(r.mins)
+        for r in sketch.kmv_bottom_k(hashed, ["g"], "h", k).collect()
+    }
+    assert got == _py_bottom_k(hashed.collect(), k)
+
+
+def test_partial_sketch_holds_all_hashes(spark, hashed):
+    """A group with fewer distinct values than k keeps them ALL (the
+    sketch degrades to the exact set)."""
+    k = 2048
+    got = {
+        r.g: list(r.mins)
+        for r in sketch.kmv_bottom_k(hashed, ["g"], "h", k).collect()
+    }
+    want = _py_bottom_k(hashed.collect(), k)
+    assert got == want
+    assert any(len(v) < k for v in want.values())
+
+
+@pytest.mark.parametrize("n_shards", [2, 5])
+def test_merge_is_zero_error(spark, hashed, n_shards):
+    k = 64
+    direct = {
+        r.g: list(r.mins)
+        for r in sketch.kmv_bottom_k(hashed, ["g"], "h", k).collect()
+    }
+    shards = [
+        sketch.kmv_bottom_k(
+            hashed.filter(F.pmod(F.col("h"), F.lit(n_shards)) == i), ["g"], "h", k
+        )
+        for i in range(n_shards)
+    ]
+    merged = {
+        r.g: list(r.mins) for r in sketch.kmv_merge(shards, ["g"], k).collect()
+    }
+    assert merged == direct
+
+
+def test_estimate_matches_python_and_is_close(spark, hashed):
+    k = 128
+    sk = sketch.with_kmv_estimate(sketch.kmv_bottom_k(hashed, ["g"], "h", k), k)
+    exact = {
+        r.g: r.n
+        for r in hashed.select("g", "h")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for r in sk.collect():
+        if len(r.mins) >= k:
+            want = (k - 1) * sketch.KMV_SPACE // r.mins[k - 1]
+            rel = abs(r.estimate - exact[r.g]) / exact[r.g]
+            assert rel < 0.5, (r.g, r.estimate, exact[r.g])
+        else:
+            want = len(r.mins)
+            assert r.estimate == exact[r.g]  # partial sketch is exact
+        assert r.estimate == want
+    # at least one full and one partial sketch exercised
+    sizes = [len(r.mins) for r in sk.collect()]
+    assert max(sizes) == k
