@@ -79,6 +79,7 @@ HEADLINE = [
     "t6_asof_join",
     "t7_range_join",
     "x15_kmv_vocab",
+    "a8_sessionization",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by

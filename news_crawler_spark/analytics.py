@@ -268,6 +268,55 @@ FROM lineitem GROUP BY 1
 """
 
 
+A8_GAP_SECONDS = 1800
+
+
+def a8_sessionization(spark, sf):
+    """Gap-based sessionization under the hard gate
+    (operators/sessions.sessionize): each user's event stream splits
+    into sessions wherever the whole-second gap exceeds 30 min; output
+    is one row per session (count, bounds, duration), so one misplaced
+    split anywhere breaks the hash. Ordering ties pinned by event_id;
+    gap arithmetic truncates to seconds on BOTH sides (events.ts
+    carries microseconds)."""
+    from .operators import sessions
+
+    e = load(spark, sf, "events")
+    s = sessions.sessionize(
+        e, key="user_id", ts_col="ts", gap_seconds=A8_GAP_SECONDS,
+        tiebreak="event_id",
+    )
+    tl = F.col("ts").cast("timestamp").cast("long")
+    return s.groupBy("user_id", "session_no").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (F.max(tl) - F.min(tl)).cast("long").alias("duration_s"),
+    )
+
+
+A8_SQL = f"""
+WITH o AS (
+  SELECT user_id, ts, floor(epoch(ts))::BIGINT AS tl,
+         lag(floor(epoch(ts))::BIGINT)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_tl,
+         event_id
+  FROM events
+), m AS (
+  SELECT user_id, ts, tl,
+         sum(CASE WHEN prev_tl IS NULL OR tl - prev_tl > {A8_GAP_SECONDS}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING)::BIGINT AS session_no
+  FROM o
+)
+SELECT user_id, session_no, count(*)::BIGINT AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       (max(tl) - min(tl))::BIGINT AS duration_s
+FROM m GROUP BY 1, 2
+"""
+
+
 # ===========================================================================
 # J — joins / set ops (seen-set & audit shapes)
 
@@ -3483,6 +3532,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a5b_outage_days": a5b_outage_days,
     "a6_value_stats": a6_value_stats,
     "a7_retry_histogram": a7_retry_histogram,
+    "a8_sessionization": a8_sessionization,
     "j1_anti_join_unseen": j1_anti_join_unseen,
     "j2_first_wins_dedup": j2_first_wins_dedup,
     "j6_audit_join": j6_audit_join,
@@ -3551,6 +3601,7 @@ ORACLES: dict[str, str] = {
     "a5b_outage_days": A5B_SQL,
     "a6_value_stats": A6_SQL,
     "a7_retry_histogram": A7_SQL,
+    "a8_sessionization": A8_SQL,
     "j1_anti_join_unseen": J1_SQL,
     "j2_first_wins_dedup": J2_SQL,
     "j6_audit_join": J6_SQL,
