@@ -80,6 +80,7 @@ HEADLINE = [
     "t7_range_join",
     "x15_kmv_vocab",
     "a8_sessionization",
+    "x16_countmin_heavy",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by

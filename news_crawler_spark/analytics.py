@@ -3022,6 +3022,118 @@ FROM r GROUP BY 1
 """
 
 
+X16_DEPTH = 4
+X16_WIDTH = 64
+X16_TOPK = 10
+
+
+def x16_countmin_heavy(spark, sf):
+    """Count-min frequency sketch under the hard gate
+    (operators/sketch.countmin_*): per event_type, the top-10 heaviest
+    user_ids by exact count, each carrying its estimate from a 4×64
+    count-min table built over the full stream — the oracle recomputes
+    table, point queries, and ranking exactly, so the (always ≥ exact)
+    collision bias is pinned, not hidden. merged_equal additionally
+    witnesses the cell-wise shard merge: the table re-built from 4
+    disjoint event shards and summed must equal the direct table
+    (the oracle states TRUE; any merge bug breaks the hash)."""
+    from .operators import sketch
+
+    e = load(spark, sf, "events")
+    table = sketch.countmin_table(
+        e, ["event_type"], "user_id", X16_DEPTH, X16_WIDTH
+    )
+    shards = [
+        sketch.countmin_table(
+            e.filter(F.pmod(F.col("event_id"), F.lit(4)) == i),
+            ["event_type"],
+            "user_id",
+            X16_DEPTH,
+            X16_WIDTH,
+        )
+        for i in range(4)
+    ]
+    merged = sketch.countmin_merge(shards, ["event_type"]).withColumnRenamed(
+        "n", "n_merged"
+    )
+    flag = (
+        table.join(merged, ["event_type", "r", "c"], "full")
+        .groupBy("event_type")
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        F.coalesce(F.col("n"), F.lit(-1))
+                        != F.coalesce(F.col("n_merged"), F.lit(-1)),
+                        1,
+                    ).otherwise(0)
+                )
+                == 0
+            ).alias("merged_equal")
+        )
+    )
+    exact = e.groupBy("event_type", "user_id").agg(
+        F.count("*").cast("long").alias("exact_n")
+    )
+    est = sketch.countmin_estimate(
+        exact.select("event_type", "user_id"),
+        table,
+        ["event_type"],
+        "user_id",
+        X16_DEPTH,
+        X16_WIDTH,
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("exact_n"), "user_id")
+    return (
+        exact.join(est, ["event_type", "user_id"])
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= X16_TOPK)
+        .join(F.broadcast(flag), "event_type")
+        .select(
+            "event_type", "user_id", "exact_n", "cm_estimate", "rk", "merged_equal"
+        )
+    )
+
+
+def _md5_h60_sql(expr: str) -> str:
+    """DuckDB twin of sketch.md5_hash60: positive 60-bit md5 prefix."""
+    return f"('0x' || substring(md5({expr}), 1, 15))::BIGINT"
+
+
+_X16_CELL = _md5_h60_sql("'cm' || t.r::VARCHAR || ':' || user_id::VARCHAR")
+
+X16_SQL = f"""
+WITH cell AS (
+  SELECT e.event_type, e.user_id, t.r::INT AS r,
+         ({_X16_CELL} % {X16_WIDTH})::INT AS c
+  FROM events e CROSS JOIN generate_series(0, {X16_DEPTH - 1}) AS t(r)
+),
+tab AS (SELECT event_type, r, c, count(*) AS n FROM cell GROUP BY 1, 2, 3),
+exact AS (
+  SELECT event_type, user_id, count(*)::BIGINT AS exact_n
+  FROM events GROUP BY 1, 2
+),
+probe AS (
+  SELECT x.event_type, x.user_id, t.r::INT AS r,
+         ({_X16_CELL} % {X16_WIDTH})::INT AS c
+  FROM exact x CROSS JOIN generate_series(0, {X16_DEPTH - 1}) AS t(r)
+),
+est AS (
+  SELECT p.event_type, p.user_id, min(tab.n)::BIGINT AS cm_estimate
+  FROM probe p JOIN tab USING (event_type, r, c) GROUP BY 1, 2
+),
+rk AS (
+  SELECT exact.event_type, exact.user_id, exact_n, cm_estimate,
+         row_number() OVER (PARTITION BY exact.event_type
+                            ORDER BY exact_n DESC, exact.user_id) AS rk
+  FROM exact JOIN est USING (event_type, user_id)
+)
+SELECT event_type, user_id, exact_n, cm_estimate, rk::INT AS rk,
+       TRUE AS merged_equal
+FROM rk WHERE rk <= {X16_TOPK}
+"""
+
+
 def x8_token_packing(spark, sf):
     """Token-budget shard packing (operators/sampling.pack_token_shards)
     — the sequence-packing layout a trainer consumes: docs hashed to 8
@@ -3586,6 +3698,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x13_bm25": x13_bm25,
     "x14_corpus_build": x14_corpus_build,
     "x15_kmv_vocab": x15_kmv_vocab,
+    "x16_countmin_heavy": x16_countmin_heavy,
     "m1_interleaved_spans": m1_interleaved_spans,
     "m2_media_pipeline": m2_media_pipeline,
     "s1_stream_cursor_cut": s1_stream_cursor_cut,
@@ -3655,6 +3768,7 @@ ORACLES: dict[str, str] = {
     "x13_bm25": X13_SQL,
     "x14_corpus_build": X14_SQL,
     "x15_kmv_vocab": X15_SQL,
+    "x16_countmin_heavy": X16_SQL,
     "m1_interleaved_spans": M1_SQL,
     "m2_media_pipeline": M2_SQL,
     "s1_stream_cursor_cut": S1_SQL,

@@ -31,7 +31,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["md5_hash60", "kmv_bottom_k", "kmv_merge", "with_kmv_estimate", "KMV_SPACE"]
+__all__ = [
+    "md5_hash60",
+    "kmv_bottom_k",
+    "kmv_merge",
+    "with_kmv_estimate",
+    "KMV_SPACE",
+    "countmin_table",
+    "countmin_merge",
+    "countmin_estimate",
+]
 
 # hash space: first 15 md5 hex chars = 60 bits, always positive — chosen
 # (like dedup.md5_hash64) so a DuckDB oracle reproduces it exactly via
@@ -97,4 +106,93 @@ def with_kmv_estimate(
     )
     return sketch.withColumn(
         out, F.when(full, est).otherwise(F.size(F.col(mins)).cast("long"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min: the frequency sketch (Cormode & Muthukrishnan 2005) — the dual
+# of KMV. Same three properties: deterministic (row-salted md5 cell hashes,
+# integer counts), mergeable (tables add cell-wise), bounded (each group's
+# table is exactly depth × width cells no matter how many values flow in).
+# Estimates are exact-or-over, never under: est(v) = min over rows of
+# cell(v) — the bias a Spark-side exact top-k can verify (the x16 gate
+# carries the exact count beside the estimate).
+
+
+def _cm_cell(value: Column, row: int, width: int) -> Column:
+    """Row-salted cell index: md5-derived, so any engine replays it."""
+    return F.pmod(
+        md5_hash60(F.concat(F.lit(f"cm{row}:"), value)), F.lit(int(width))
+    )
+
+
+def countmin_table(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Per group: the count-min table as (group, r, c, n) rows — built in
+    ONE scan (the depth hashes explode from each input row) and one
+    map-side-combinable groupBy; the shuffle carries at most
+    |groups| × depth × width rows."""
+    v = F.col(value_col).cast("string")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("r"),
+                _cm_cell(v, i, width).cast("int").alias("c"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.select(*group_cols, F.explode(cells).alias("__rc"))
+        .groupBy(*group_cols, F.col("__rc.r").alias("r"), F.col("__rc.c").alias("c"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def countmin_merge(tables: list[DataFrame], group_cols: list[str]) -> DataFrame:
+    """Tables from disjoint shards add cell-wise — zero-error merge."""
+    u = tables[0]
+    for t in tables[1:]:
+        u = u.unionByName(t)
+    return u.groupBy(*group_cols, "r", "c").agg(F.sum("n").alias("n"))
+
+
+def countmin_estimate(
+    items: DataFrame,
+    table: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    depth: int = 4,
+    width: int = 64,
+    out: str = "cm_estimate",
+) -> DataFrame:
+    """Point queries: for each (group, value) in ``items``, the count-min
+    estimate = min over rows of its cell's count. The table is tiny
+    (depth × width per group), so the join broadcasts."""
+    from pyspark.sql.functions import broadcast
+
+    v = F.col(value_col).cast("string")
+    probes = items.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("r"),
+                        _cm_cell(v, i, width).cast("int").alias("c"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("__rc"),
+    ).select("*", F.col("__rc.r").alias("r"), F.col("__rc.c").alias("c"))
+    joined = probes.join(broadcast(table), [*group_cols, "r", "c"])
+    return (
+        joined.groupBy(*group_cols, value_col)
+        .agg(F.min("n").cast("long").alias(out))
     )

@@ -297,3 +297,13 @@ def test_x15_kmv_two_phase_bounded(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert "ObjectHashAggregate" in p
+
+
+def test_x16_countmin_estimate_join_is_broadcast(spark):
+    """Count-min point queries join against a depth×width table (tiny by
+    construction): that join must broadcast, and nothing in the query
+    may plan a nested loop."""
+    p = plan(analytics.x16_countmin_heavy(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p

@@ -111,3 +111,59 @@ def test_estimate_matches_python_and_is_close(spark, hashed):
     # at least one full and one partial sketch exercised
     sizes = [len(r.mins) for r in sk.collect()]
     assert max(sizes) == k
+
+
+class TestCountMin:
+    def _mk(self, spark):
+        # 2 groups, zipf-ish: value v{i} appears (40-i) times in g0
+        rows = [("g0", f"v{i}") for i in range(40) for _ in range(40 - i)]
+        rows += [("g1", f"w{i}") for i in range(10) for _ in range(i + 1)]
+        return spark.createDataFrame(rows, "g string, v string")
+
+    def test_estimate_never_underestimates(self, spark):
+        from pyspark.sql import functions as F
+
+        df = self._mk(spark)
+        table = sketch.countmin_table(df, ["g"], "v", depth=4, width=16)
+        exact = df.groupBy("g", "v").agg(F.count("*").alias("n_exact"))
+        est = sketch.countmin_estimate(
+            exact.select("g", "v"), table, ["g"], "v", depth=4, width=16
+        )
+        joined = exact.join(est, ["g", "v"]).collect()
+        assert len(joined) == 50
+        assert all(r.cm_estimate >= r.n_exact for r in joined)
+        # width 16 vs 40 values: collisions must actually occur
+        assert any(r.cm_estimate > r.n_exact for r in joined)
+
+    def test_wide_table_is_exact(self, spark):
+        """With width >> distinct values, every estimate is exact."""
+        from pyspark.sql import functions as F
+
+        df = self._mk(spark)
+        table = sketch.countmin_table(df, ["g"], "v", depth=4, width=4096)
+        exact = df.groupBy("g", "v").agg(F.count("*").alias("n_exact"))
+        est = sketch.countmin_estimate(
+            exact.select("g", "v"), table, ["g"], "v", depth=4, width=4096
+        )
+        assert all(
+            r.cm_estimate == r.n_exact
+            for r in exact.join(est, ["g", "v"]).collect()
+        )
+
+    def test_merge_is_cellwise_exact(self, spark):
+        from pyspark.sql import functions as F
+
+        df = self._mk(spark).withColumn(
+            "shard", F.pmod(F.xxhash64("v"), F.lit(3))
+        )
+        direct = sketch.countmin_table(df, ["g"], "v", depth=3, width=8)
+        shards = [
+            sketch.countmin_table(
+                df.filter(F.col("shard") == i), ["g"], "v", depth=3, width=8
+            )
+            for i in range(3)
+        ]
+        merged = sketch.countmin_merge(shards, ["g"])
+        d = {(r.g, r.r, r.c): r.n for r in direct.collect()}
+        m = {(r.g, r.r, r.c): r.n for r in merged.collect()}
+        assert d == m
