@@ -81,6 +81,7 @@ HEADLINE = [
     "x15_kmv_vocab",
     "a8_sessionization",
     "x16_countmin_heavy",
+    "x17_length_quantiles",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by

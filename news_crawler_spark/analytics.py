@@ -3134,6 +3134,49 @@ FROM rk WHERE rk <= {X16_TOPK}
 """
 
 
+def x17_length_quantiles(spark, sf):
+    """Exact discrete quantiles (p50/p90/p99) of document length per
+    source — the thresholds a corpus curator reads off before setting
+    length filters. percentile_disc semantics computed EXPLICITLY (the
+    value at row ceil(q·n) in (n_chars, doc_id) order) so both engines
+    run pure integer arithmetic — interpolating percentile() would pit
+    Spark's IEEE evaluation order against DuckDB's. One shuffle, one
+    sort, two fused windows (the sessionize pattern); at 100 TB the
+    same numbers come from percentile_approx on the full corpus or this
+    exact form on a hash sample — this operator is the calibration-
+    grade exact path."""
+    d = load(spark, sf, "documents").select("source", "n_chars", "doc_id")
+    wo = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("source")
+    r = d.withColumn("rn", F.row_number().over(wo)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    pick = lambda num, den: F.max(  # noqa: E731 — value at rank ceil(q·n)
+        F.when(F.col("rn") == F.expr(f"({num} * n + {num}) div {den}"), F.col("n_chars"))
+    ).cast("long")
+    return r.groupBy("source").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        pick(1, 2).alias("p50"),
+        pick(9, 10).alias("p90"),
+        pick(99, 100).alias("p99"),
+    )
+
+
+X17_SQL = """
+WITH r AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT source, max(n)::BIGINT AS n_docs,
+       max(CASE WHEN rn = (1 * n + 1) // 2 THEN n_chars END)::BIGINT AS p50,
+       max(CASE WHEN rn = (9 * n + 9) // 10 THEN n_chars END)::BIGINT AS p90,
+       max(CASE WHEN rn = (99 * n + 99) // 100 THEN n_chars END)::BIGINT AS p99
+FROM r GROUP BY 1
+"""
+
+
 def x8_token_packing(spark, sf):
     """Token-budget shard packing (operators/sampling.pack_token_shards)
     — the sequence-packing layout a trainer consumes: docs hashed to 8
@@ -3699,6 +3742,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x14_corpus_build": x14_corpus_build,
     "x15_kmv_vocab": x15_kmv_vocab,
     "x16_countmin_heavy": x16_countmin_heavy,
+    "x17_length_quantiles": x17_length_quantiles,
     "m1_interleaved_spans": m1_interleaved_spans,
     "m2_media_pipeline": m2_media_pipeline,
     "s1_stream_cursor_cut": s1_stream_cursor_cut,
@@ -3769,6 +3813,7 @@ ORACLES: dict[str, str] = {
     "x14_corpus_build": X14_SQL,
     "x15_kmv_vocab": X15_SQL,
     "x16_countmin_heavy": X16_SQL,
+    "x17_length_quantiles": X17_SQL,
     "m1_interleaved_spans": M1_SQL,
     "m2_media_pipeline": M2_SQL,
     "s1_stream_cursor_cut": S1_SQL,
