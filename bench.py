@@ -582,6 +582,137 @@ def ann_probe(
     return out
 
 
+def temporal_join_probe(
+    spark,
+    n_quotes: int = 60_000,
+    n_probes: int = 120_000,
+    n_keys: int = 100,
+    reps: int = 3,
+) -> dict:
+    """As-of join design evidence (t6, operators/joins.py), three arms on
+    the SAME uniform input: (a) NAIVE - the plan Catalyst gives the
+    direct formulation ``join(key AND qts <= pts)`` + max_by: a
+    SortMergeJoin whose range residual makes it all-pairs per key
+    (~|p_k|*|q_k| comparisons); (b) asof_join (union-tag-window); (c)
+    asof_join_bucketed. Then the SKEW cases at skew_scale x that size -
+    one key holding 50% and then 95% of both sides, window vs bucketed
+    only (the naive hot key would be billions of comparisons; that
+    cliff is the point). The two hot fractions bracket the documented
+    crossover: bucketing pays ~2x extra shuffle passes, so it loses
+    while the hot key still sorts inside one task's budget (50%) and
+    wins severalfold once the single hot task dominates wall-clock
+    (95% - the regime a 1000-executor cluster with a billion-row hot
+    host lives in permanently). Interleaved reps; every arm is forced
+    through its match column (count(q_qid)) so the window can't be
+    pruned; matched-probe counts asserted equal across same-input arms."""
+    import statistics
+
+    from news_crawler_spark.operators import joins
+
+    span = 30 * 86400  # 30 days of event time
+    big = 33  # skew arms run at big x the naive-feasible size
+
+    def mk(n, hot_mod: int, side: str, id_name: str):
+        key = F.pmod(
+            F.xxhash64(F.concat(F.lit(side + "k"), F.col("id").cast("string"))),
+            F.lit(n_keys),
+        )
+        if hot_mod:  # id % hot_mod != 0 -> key 0 (hot fraction = 1 - 1/mod)
+            key = F.when(F.col("id") % hot_mod != 0, F.lit(0)).otherwise(key)
+        ts = (
+            F.lit(1704067200)
+            + F.pmod(
+                F.xxhash64(F.concat(F.lit(side + "t"), F.col("id").cast("string"))),
+                F.lit(span),
+            )
+        ).cast("timestamp")
+        return spark.range(n).select(
+            F.col("id").alias(id_name), key.cast("long").alias("k"), ts.alias("ts")
+        )
+
+    def quotes(hot_mod, scale=1):
+        return mk(n_quotes * scale, hot_mod, "q", "qid").withColumn(
+            "px", (F.col("qid") % 1000).cast("double")
+        )
+
+    def probes(hot_mod, scale=1):
+        return mk(n_probes * scale, hot_mod, "p", "pid")
+
+    def force(df, col):  # evaluate the match column, return matched count
+        return df.agg(F.count(col).alias("n")).collect()[0]["n"]
+
+    def naive():
+        q, p = quotes(0).alias("q"), probes(0).alias("p")
+        j = p.join(
+            q, (F.col("p.k") == F.col("q.k")) & (F.col("q.ts") <= F.col("p.ts"))
+        )
+        best = j.groupBy("pid").agg(
+            F.max_by(F.col("qid"), F.struct(F.col("q.ts"), F.col("qid"))).alias(
+                "q_qid"
+            )
+        )
+        return force(best, "q_qid")
+
+    def window(hot_mod, scale=1):
+        return force(
+            joins.asof_join(
+                probes(hot_mod, scale), quotes(hot_mod, scale), "k",
+                quote_tiebreak="qid",
+            ),
+            "q_qid",
+        )
+
+    def bucketed(hot_mod, scale=1):
+        return force(
+            joins.asof_join_bucketed(
+                probes(hot_mod, scale), quotes(hot_mod, scale), "k",
+                bucket_seconds=6 * 3600, quote_tiebreak="qid",
+            ),
+            "q_qid",
+        )
+
+    arms = {
+        "naive": naive,
+        "window": lambda: window(0),
+        "bucketed": lambda: bucketed(0),
+        "skew50_window": lambda: window(2, big),
+        "skew50_bucketed": lambda: bucketed(2, big),
+        "skew95_window": lambda: window(20, big),
+        "skew95_bucketed": lambda: bucketed(20, big),
+    }
+    times = {a: [] for a in arms}
+    counts = {}
+    for _ in range(reps):
+        for a, fn in arms.items():
+            t0 = time.perf_counter()
+            counts[a] = fn()
+            times[a].append(time.perf_counter() - t0)
+    assert counts["naive"] == counts["window"] == counts["bucketed"], counts
+    assert counts["skew50_window"] == counts["skew50_bucketed"], counts
+    assert counts["skew95_window"] == counts["skew95_bucketed"], counts
+    out = {
+        "n_quotes": n_quotes,
+        "n_probes": n_probes,
+        "n_keys": n_keys,
+        "skew_scale": big,
+        **{f"{a}_sec": round(statistics.median(ts), 2) for a, ts in times.items()},
+        "reps": {a: [round(t, 2) for t in ts] for a, ts in times.items()},
+    }
+    out["naive_over_window"] = round(out["naive_sec"] / out["window_sec"], 2)
+    out["skew95_window_over_bucketed"] = round(
+        out["skew95_window_sec"] / out["skew95_bucketed_sec"], 2
+    )
+    log(
+        f"  temporal: naive {out['naive_sec']}s vs window {out['window_sec']}s "
+        f"({out['naive_over_window']}x); skew95 window "
+        f"{out['skew95_window_sec']}s vs bucketed {out['skew95_bucketed_sec']}s "
+        f"({out['skew95_window_over_bucketed']}x); skew50 "
+        f"{out['skew50_window_sec']}s vs {out['skew50_bucketed_sec']}s "
+        f"(crossover evidence)"
+    )
+    return out
+
+
 def skew_probe(spark, n_urls: int, reps: int = 3) -> dict:
     """X4 hot-host salting under REAL skew (round-3 verdict item 4): a
     frontier where ONE host holds ~50% of the URLs, through the fused
@@ -874,6 +1005,13 @@ def _main() -> None:
     skew = skew_probe(spark, 40_000 if quick else 160_000, reps=2 if quick else 3)
     log("== ann scan-cost probe (brute vs pruned) ==")
     ann = ann_probe(spark, 50_000 if quick else 200_000, reps=2 if quick else 3)
+    log("== temporal-join probe (naive vs window vs bucketed) ==")
+    temporal = temporal_join_probe(
+        spark,
+        n_quotes=20_000 if quick else 60_000,
+        n_probes=40_000 if quick else 120_000,
+        reps=2 if quick else 3,
+    )
     log("== d3 stage profile ==")
     d3_split = d3_profile(spark, sf_dir)
     log("== incremental-ingest prefilter probe ==")
@@ -916,6 +1054,7 @@ def _main() -> None:
                 "crawl_1m": crawl_1m,
                 "skew": skew,
                 "ann": ann,
+                "temporal_join": temporal,
                 "d3_profile": d3_split,
                 "ingest": ingest,
                 "scaling": scaling,
