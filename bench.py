@@ -148,6 +148,9 @@ SF1_QUERIES = [
     "v1_cosine_topk",
     "v8_signlsh_pairs",
     "m1_interleaved_spans",
+    "x15_kmv_vocab",
+    "t6_asof_join",
+    "a8_sessionization",
 ]
 
 
@@ -206,6 +209,29 @@ def synth_sf1_dir(spark, src_dir: str, copies: int = 10) -> str:
     for sh in eshards[1:]:
         eout = eout.unionByName(sh)
     eout.write.parquet(f"{dst}/embeddings.parquet")
+
+    # events: 10 shards re-keyed on (event_id, user_id) with ts/type
+    # untouched — the key space stays 5 event_types over the same 30
+    # days, so per-key densities grow 10× like a real traffic increase
+    # (t6's quotes-per-type, a8's users both scale realistically)
+    ev = spark.read.parquet(f"{src_dir}/events.parquet")
+    vshards = [
+        ev.select(
+            (F.col("event_id") + s * 10_000_000).alias("event_id"),
+            "ts",
+            (F.col("user_id") + s * 1_000_000).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        for s in range(copies)
+    ]
+    vout = vshards[0]
+    for sh in vshards[1:]:
+        vout = vout.unionByName(sh)
+    vout.repartition(max(8, spark.sparkContext.defaultParallelism)).write.parquet(
+        f"{dst}/events.parquet"
+    )
     return dst
 
 
