@@ -82,6 +82,7 @@ HEADLINE = [
     "a8_sessionization",
     "x16_countmin_heavy",
     "x17_length_quantiles",
+    "x18_incremental_neardup",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by

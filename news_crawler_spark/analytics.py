@@ -3177,6 +3177,55 @@ FROM r GROUP BY 1
 """
 
 
+def x18_incremental_neardup(spark, sf):
+    """Incremental content dedup under the hard gate
+    (operators/dedup.incremental_simhash_pairs): the corpus splits into
+    a BASE (doc_id % 5 != 0) and a new BATCH (doc_id % 5 == 0); output
+    is every (batch, base) pair within hamming 8 of the 64-bit SimHash
+    — the per-poll "is this new article a near-copy of anything we
+    hold?" question, answered without ever pairing the base against
+    itself. The oracle recomputes the sketch per doc (the d4 twin) and
+    takes exact cross-side all-pairs hamming — the banded batch×base
+    join must find exactly that set."""
+    d = load(spark, sf, "documents")
+    return dedup.incremental_simhash_pairs(
+        d.filter(F.col("doc_id") % 5 != 0),
+        d.filter(F.col("doc_id") % 5 == 0),
+        max_hamming=8,
+    ).withColumn("hamming", F.col("hamming").cast("int"))
+
+
+X18_SQL = """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+                        s -> ('0x' || substring(md5(s), 1, 8))::BIGINT) AS hi,
+         list_transform(string_split(text, ' '),
+                        s -> ('0x' || substring(md5(s), 9, 8))::BIGINT) AS lo
+  FROM documents
+),
+words AS MATERIALIZED (
+  SELECT doc_id,
+         list_sum([CASE WHEN list_sum(list_transform(hi,
+                     h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                   THEN (1::BIGINT << b) ELSE 0 END
+                   for b in generate_series(0, 31)])::BIGINT AS hi32,
+         list_sum([CASE WHEN list_sum(list_transform(lo,
+                     h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                   THEN (1::BIGINT << b) ELSE 0 END
+                   for b in generate_series(0, 31)])::BIGINT AS lo32
+  FROM toks
+)
+SELECT batch_id, base_id, hamming FROM (
+  SELECT n.doc_id AS batch_id, o.doc_id AS base_id,
+         (bit_count(xor(n.hi32, o.hi32)) + bit_count(xor(n.lo32, o.lo32)))::INT
+           AS hamming
+  FROM words n JOIN words o
+    ON n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0
+) WHERE hamming <= 8
+"""
+
+
 def x8_token_packing(spark, sf):
     """Token-budget shard packing (operators/sampling.pack_token_shards)
     — the sequence-packing layout a trainer consumes: docs hashed to 8
@@ -3743,6 +3792,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x15_kmv_vocab": x15_kmv_vocab,
     "x16_countmin_heavy": x16_countmin_heavy,
     "x17_length_quantiles": x17_length_quantiles,
+    "x18_incremental_neardup": x18_incremental_neardup,
     "m1_interleaved_spans": m1_interleaved_spans,
     "m2_media_pipeline": m2_media_pipeline,
     "s1_stream_cursor_cut": s1_stream_cursor_cut,
@@ -3814,6 +3864,7 @@ ORACLES: dict[str, str] = {
     "x15_kmv_vocab": X15_SQL,
     "x16_countmin_heavy": X16_SQL,
     "x17_length_quantiles": X17_SQL,
+    "x18_incremental_neardup": X18_SQL,
     "m1_interleaved_spans": M1_SQL,
     "m2_media_pipeline": M2_SQL,
     "s1_stream_cursor_cut": S1_SQL,

@@ -730,6 +730,36 @@ def simhash128_pairs(
     return pairs
 
 
+def _banded64(sh: DataFrame, n_bands: int) -> DataFrame:
+    """(doc_id, simhash) → one row per band with the band's exact chunk
+    value. Uneven split: chunk b covers bits [bounds[b], bounds[b+1])."""
+    bounds = [b * 64 // n_bands for b in range(n_bands + 1)]
+    return sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), bounds[b])
+                        .bitwiseAND(
+                            F.lit((1 << (bounds[b + 1] - bounds[b])) - 1).cast("long")
+                        )
+                        .alias("chunk"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("bb.band").alias("band"),
+        F.col("bb.chunk").alias("chunk"),
+    )
+
+
 def simhash_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -754,27 +784,7 @@ def simhash_pairs(
     if n_bands is None:
         n_bands = max_hamming + 1
     sh = with_simhash(docs, text_col, id_col, token_hash).persist()
-    # uneven chunk split: chunk b covers bits [bounds[b], bounds[b+1])
-    bounds = [b * 64 // n_bands for b in range(n_bands + 1)]
-    banded = sh.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(F.col("simhash"), bounds[b])
-                        .bitwiseAND(
-                            F.lit((1 << (bounds[b + 1] - bounds[b])) - 1).cast("long")
-                        )
-                        .alias("chunk"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk"))
+    banded = _banded64(sh, n_bands)
     # ORDER MATTERS: the hamming verify (xor + bit_count, codegen'd) runs
     # on the raw banded join output BEFORE the distinct — verifying is a
     # per-row expression, deduping is a shuffle, so the distinct must see
@@ -801,4 +811,57 @@ def simhash_pairs(
     # hygiene — same reasoning as minhash_lsh_pairs)
     pairs = pairs.localCheckpoint(eager=True)
     sh.unpersist()
+    return pairs
+
+
+def incremental_simhash_pairs(
+    base: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    n_bands: int | None = None,
+    token_hash: str = "md5",
+) -> DataFrame:
+    """Near-dup the NEW batch against the existing corpus WITHOUT
+    re-pairing the corpus: every (batch doc, base doc) pair with
+    hamming(simhash) <= max_hamming — the content-level analog of the
+    URL seen-filter probe (J1's incremental path): each crawl poll asks
+    "is this new article a near-copy of anything we already hold?"
+    against a base that only ever grows.
+
+    Same banded pigeonhole + verify-inside-the-join as simhash_pairs,
+    but the join is batch-bands × base-bands — the base side is NEVER
+    self-joined, so cost is O(|base| + |batch| · band_occupancy) per
+    poll instead of the O(|base|²/2^bits) a full re-pair would grow
+    toward. At scale the base's (doc_id, simhash) projection is
+    write-once (persist the sketch column at ingest; bands derive in
+    the scan), so each poll reads the base once and shuffles only its
+    banded projection."""
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    base_sh = with_simhash(base, text_col, id_col, token_hash).persist()
+    batch_sh = with_simhash(batch, text_col, id_col, token_hash).persist()
+    bb = _banded64(base_sh, n_bands).withColumnsRenamed(
+        {"doc_id": "base_id", "simhash": "base_simhash"}
+    )
+    nb = _banded64(batch_sh, n_bands).withColumnsRenamed(
+        {"doc_id": "batch_id", "simhash": "batch_simhash"}
+    )
+    # verify BEFORE distinct, for the same reason as simhash_pairs: the
+    # xor+bit_count is a codegen'd per-row expression on the candidate
+    # stream; the distinct shuffle must only ever see true pairs
+    pairs = (
+        nb.join(bb, ["band", "chunk"])
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("batch_simhash").bitwiseXOR(F.col("base_simhash"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("batch_id", "base_id", "hamming")
+        .distinct()
+    )
+    pairs = pairs.localCheckpoint(eager=True)
+    base_sh.unpersist()
+    batch_sh.unpersist()
     return pairs

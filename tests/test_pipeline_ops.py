@@ -816,3 +816,28 @@ def test_kmeans_separates_planted_clusters(spark):
         for r in similarity.kmeans_cells(emb, seed_ids=(0, 1), iters=3).collect()
     }
     assert again == out
+
+
+def test_incremental_simhash_pairs_cross_only(spark, docs, doc_rows):
+    """incremental_simhash_pairs(base, batch) must equal the exact
+    cross-side all-pairs hamming<=8 set — complete at the radius, NO
+    base-base or batch-batch pairs, batch_id/base_id sides correct."""
+    from pyspark.sql import functions as F
+
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    rows = dedup.incremental_simhash_pairs(base, batch, max_hamming=8).collect()
+    sh = {d: py_simhash(t) for d, t in doc_rows.items()}
+    want = {}
+    for a in sh:  # batch side
+        if a % 5 != 0:
+            continue
+        for b in sh:  # base side
+            if b % 5 == 0:
+                continue
+            ham = bin((sh[a] ^ sh[b]) & ((1 << 64) - 1)).count("1")
+            if ham <= 8:
+                want[(a, b)] = ham
+    got = {(r.batch_id, r.base_id): r.hamming for r in rows}
+    assert got == want
+    assert all(a % 5 == 0 and b % 5 != 0 for a, b in got)

@@ -307,3 +307,15 @@ def test_x16_countmin_estimate_join_is_broadcast(spark):
     assert "BroadcastHashJoin" in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_x18_incremental_neardup_never_pairs_the_base(spark):
+    """The incremental near-dup must be ONE equi-join between the batch
+    bands and the base bands (no self-join of either side, no nested
+    loop), with the hamming verify inside the join output."""
+    p = plan(analytics.x18_incremental_neardup(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    # exactly one join in the pair plan (checkpointed upstream aside):
+    # batch-bands x base-bands
+    assert p.count("Join") <= 2, p
