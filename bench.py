@@ -83,6 +83,7 @@ HEADLINE = [
     "x16_countmin_heavy",
     "x17_length_quantiles",
     "x18_incremental_neardup",
+    "a9_rollup",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by

@@ -268,6 +268,35 @@ FROM lineitem GROUP BY 1
 """
 
 
+def a9_rollup(spark, sf):
+    """Multi-level rollup in ONE pass: (event_type, day) subtotals, per-
+    type totals, and the grand total from a single ROLLUP aggregate —
+    Spark plans grouping sets as one Expand + one shuffled aggregate
+    (partial aggregation intact), never three scans of the fact table.
+    lvl is the grouping_id bitmask (0 = leaf, 1 = per-type, 3 = grand),
+    identical to DuckDB's GROUPING(); the float total is rounded to 2 dp
+    on both sides so summation order can't flip the hash."""
+    e = load(spark, sf, "events")
+    return (
+        e.withColumn("day", F.to_date("ts"))
+        .rollup("event_type", "day")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.grouping_id().cast("int").alias("lvl"),
+        )
+    )
+
+
+A9_SQL = """
+WITH d AS (SELECT event_type, ts::DATE AS day, value FROM events)
+SELECT event_type, day, count(*)::BIGINT AS n,
+       round(sum(value), 2) AS sum_value,
+       grouping(event_type, day)::INT AS lvl
+FROM d GROUP BY ROLLUP (event_type, day)
+"""
+
+
 A8_GAP_SECONDS = 1800
 
 
@@ -3737,6 +3766,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a6_value_stats": a6_value_stats,
     "a7_retry_histogram": a7_retry_histogram,
     "a8_sessionization": a8_sessionization,
+    "a9_rollup": a9_rollup,
     "j1_anti_join_unseen": j1_anti_join_unseen,
     "j2_first_wins_dedup": j2_first_wins_dedup,
     "j6_audit_join": j6_audit_join,
@@ -3809,6 +3839,7 @@ ORACLES: dict[str, str] = {
     "a6_value_stats": A6_SQL,
     "a7_retry_histogram": A7_SQL,
     "a8_sessionization": A8_SQL,
+    "a9_rollup": A9_SQL,
     "j1_anti_join_unseen": J1_SQL,
     "j2_first_wins_dedup": J2_SQL,
     "j6_audit_join": J6_SQL,

@@ -319,3 +319,13 @@ def test_x18_incremental_neardup_never_pairs_the_base(spark):
     # exactly one join in the pair plan (checkpointed upstream aside):
     # batch-bands x base-bands
     assert p.count("Join") <= 2, p
+
+
+def test_a9_rollup_is_one_pass(spark):
+    """ROLLUP must plan as a single Expand feeding ONE shuffled
+    aggregate (with a partial phase) — never one scan per grouping
+    level."""
+    p = plan(analytics.a9_rollup(spark, SF))
+    assert p.count("Expand") >= 1
+    assert p.count("Scan parquet") == 1, p
+    assert p.count("Exchange hashpartitioning") == 1, p
