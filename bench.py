@@ -84,6 +84,7 @@ HEADLINE = [
     "x17_length_quantiles",
     "x18_incremental_neardup",
     "a9_rollup",
+    "x19_dup_spans",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by

@@ -3255,6 +3255,49 @@ SELECT batch_id, base_id, hamming FROM (
 """
 
 
+def x19_dup_spans(spark, sf):
+    """Position-level exact-substring dedup (operators/dedup.
+    duplicate_spans) — the Lee-et-al.-2021 pass that finds repeated
+    PASSAGES document-level dedup keeps: every 8-token window occurring
+    ≥2× corpus-wide marks its range, per-doc overlapping windows merge
+    into maximal (tok_start, tok_end] spans. Spark streams 8-byte
+    chained-xxhash64 window hashes (no window strings in flight); the
+    oracle recomputes the windows as literal strings, so a 64-bit hash
+    collision, an off-by-one in the window grid, or a wrong
+    gaps-and-islands break condition all break the value hash."""
+    return dedup.duplicate_spans(
+        load(spark, sf, "documents"), window=8, min_count=2
+    ).orderBy("doc_id", "tok_start")
+
+
+X19_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+wins AS (
+  SELECT doc_id, c::INT AS pos, array_to_string(t[c+1 : c+8], ' ') AS w
+  FROM toks, unnest(generate_series(0, len(t) - 8)) AS u(c)
+  WHERE len(t) >= 8
+),
+freq AS (SELECT w FROM wins GROUP BY w HAVING count(*) >= 2),
+dup AS (SELECT doc_id, pos FROM wins JOIN freq USING (w)),
+flg AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                   OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+              THEN 1 ELSE 0 END AS brk
+  FROM dup
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM flg
+)
+SELECT doc_id, min(pos)::INT AS tok_start, (max(pos) + 8)::INT AS tok_end,
+       count(*)::BIGINT AS n_windows
+FROM isl GROUP BY doc_id, island ORDER BY doc_id, tok_start
+"""
+
+
 def x8_token_packing(spark, sf):
     """Token-budget shard packing (operators/sampling.pack_token_shards)
     — the sequence-packing layout a trainer consumes: docs hashed to 8
@@ -3823,6 +3866,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x16_countmin_heavy": x16_countmin_heavy,
     "x17_length_quantiles": x17_length_quantiles,
     "x18_incremental_neardup": x18_incremental_neardup,
+    "x19_dup_spans": x19_dup_spans,
     "m1_interleaved_spans": m1_interleaved_spans,
     "m2_media_pipeline": m2_media_pipeline,
     "s1_stream_cursor_cut": s1_stream_cursor_cut,
@@ -3896,6 +3940,7 @@ ORACLES: dict[str, str] = {
     "x16_countmin_heavy": X16_SQL,
     "x17_length_quantiles": X17_SQL,
     "x18_incremental_neardup": X18_SQL,
+    "x19_dup_spans": X19_SQL,
     "m1_interleaved_spans": M1_SQL,
     "m2_media_pipeline": M2_SQL,
     "s1_stream_cursor_cut": S1_SQL,

@@ -865,3 +865,112 @@ def incremental_simhash_pairs(
     base_sh.unpersist()
     batch_sh.unpersist()
     return pairs
+
+
+# --------------------------------------------------------------------------
+# exact duplicate-substring spans (ExactSubstr-style, position level)
+
+def window_hash_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+) -> DataFrame:
+    """``(doc_id, pos, wh)`` — one row per ``window``-token sliding
+    window, ``wh`` the chained ``xxhash64``-over-token-hashes window
+    hash (8 B/window, NO window strings materialized — a 50-token window
+    string would be ~300 B; same arithmetic-only form and rationale as
+    ``with_hashed_shingles``). Lazy; ``duplicate_spans`` is the consumer
+    that decides where to cut it."""
+    toked = (
+        spread_for_cpu(docs)
+        .select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks"))
+        .filter(F.size("__toks") >= window)
+    )
+    th = toked.select(
+        "doc_id", F.transform("__toks", lambda t: F.xxhash64(t)).alias("__th")
+    )
+    idx = F.sequence(F.lit(0), F.size(F.col("__th")) - window)
+    # __th is a projected column — the transform lambda captures a cheap
+    # column reference, not a re-evaluated expression (shingles_from_tokens
+    # note); same chained multi-arg xxhash64 as the shingle tiers
+    whs = F.transform(
+        idx,
+        lambda i: F.xxhash64(
+            *[
+                F.element_at(F.col("__th"), (i + j + 1).cast("int"))
+                for j in range(window)
+            ]
+        ),
+    )
+    return th.select("doc_id", F.posexplode(whs).alias("pos", "wh"))
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Maximal duplicated token spans — ``(doc_id, tok_start, tok_end,
+    n_windows)`` — the position-level complement to the document-level
+    dedup tiers above (the "exact substring" dedup of Lee et al. 2021,
+    which removes repeated PASSAGES a document-level near-dup pass
+    keeps: licence blocks, syndicated paragraphs, quoted boilerplate).
+
+    Semantics: every ``window``-token sliding window whose token
+    sequence occurs ≥ ``min_count`` times corpus-wide (across docs OR
+    repeated inside one doc) marks its token range ``[pos, pos+window)``
+    duplicated; per document, overlapping or back-to-back duplicated
+    windows merge into maximal spans (gaps-and-islands over positions:
+    a new span starts when ``pos > prev_pos + window``). ``tok_end`` is
+    exclusive; a downstream strip keeps ``tokens[:tok_start] +
+    tokens[tok_end:]`` per span.
+
+    Shape, and why it scales: the window stream (see
+    ``window_hash_stream``) is materialized ONCE with an eager
+    localCheckpoint before its two consumers — lazily, the frequency agg
+    and the position join would each re-run the scan + tokenize +
+    chained-hash explode (plan-verified: two ``Scan parquet`` subtrees),
+    and the materialized bytes (~16 B/window on executor-local disk) are
+    the same order the frequency shuffle pays anyway (the
+    ``cross_contamination`` cut). The frequency pass is a groupBy on the
+    8-byte hash, so map-side partial aggregation collapses hot windows
+    (a boilerplate window repeated 10⁶× arrives at the reducer as
+    ~|partitions| partial counts, not 10⁶ rows — the skew case a
+    count-over-window formulation would serialize on). Rejoining the
+    ≥min_count hash set back to the positions stream is one shuffle
+    join keyed on the hash (AQE broadcasts it when the dup set is
+    small); the island merge shuffles only the surviving duplicated
+    positions on doc_id. Total: one explode, two key shuffles, no
+    all-pairs anywhere. 64-bit window-hash collisions (p ≈ m²/2⁶⁴)
+    would conflate two distinct windows; the sf0.01 string-side DuckDB
+    oracle would catch any (same argument as the Jaccard tier)."""
+    from pyspark.sql import Window as W
+
+    wins = window_hash_stream(
+        docs, text_col=text_col, id_col=id_col, window=window
+    ).localCheckpoint(eager=True)
+    dup_hashes = (
+        wins.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("wh")
+    )
+    dup_pos = wins.join(dup_hashes, "wh").select("doc_id", "pos")
+    by_pos = W.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.lag("pos").over(by_pos).isNull()
+        | (F.col("pos") > F.lag("pos").over(by_pos) + window),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    islands = dup_pos.withColumn("__brk", brk).withColumn(
+        "__island",
+        F.sum("__brk").over(by_pos.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return islands.groupBy("doc_id", "__island").agg(
+        F.min("pos").alias("tok_start"),
+        (F.max("pos") + window).alias("tok_end"),
+        F.count(F.lit(1)).alias("n_windows"),
+    ).select("doc_id", "tok_start", "tok_end", "n_windows")

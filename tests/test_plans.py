@@ -329,3 +329,26 @@ def test_a9_rollup_is_one_pass(spark):
     assert p.count("Expand") >= 1
     assert p.count("Scan parquet") == 1, p
     assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_x19_dup_spans_plan_shape(spark):
+    """Three contracts: (a) the lazy window stream travels as hashed
+    windows off a pruned (doc_id, text) scan — never window strings,
+    never the other document columns; (b) the spans plan reads the
+    ONE materialized window stream, not a second parquet scan per
+    consumer (the lazy form re-ran scan+tokenize+chained-hash explode
+    under both the frequency agg and the position join); (c) the
+    frequency pass keeps its map-side partial phase (partial_count
+    collapses a 10^6-times-repeated boilerplate window before the
+    shuffle — the skew defense a count-over-window formulation lacks)."""
+    from news_crawler_spark.operators import dedup as dd
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    lazy = plan(dd.window_hash_stream(docs))
+    assert "xxhash64" in lazy, lazy
+    assert "n_chars" not in lazy.split("ReadSchema")[1][:200], lazy
+
+    p = plan(analytics.x19_dup_spans(spark, SF))
+    assert "Scan parquet" not in p, p
+    assert p.count("Scan ExistingRDD") == 2, p
+    assert "partial_count" in p, p

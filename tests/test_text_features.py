@@ -171,3 +171,57 @@ def test_x17_quantiles_rank_math(spark):
         pick = lambda q: vals[math.ceil(q * n) - 1]
         want[g] = (n, pick(0.5), pick(0.9), pick(0.99))
     assert got == want
+
+
+def test_duplicate_spans_planted(spark):
+    """Planted repeated passages: a 12-token licence block shared by two
+    docs must come back as ONE maximal span covering exactly its token
+    range in each doc (5 overlapping windows merged); an 8-token block
+    repeated twice INSIDE one doc counts toward min_count; unique text
+    yields nothing."""
+    from news_crawler_spark.operators import dedup
+
+    lic = " ".join(f"lic{i}" for i in range(12))     # 12-token shared block
+    rep = " ".join(f"rep{i}" for i in range(8))      # 8-token intra-doc block
+    rows = [
+        (0, f"{lic} u0a u0b u0c"),                   # block at tokens [0, 12)
+        (1, f"u1a u1b {lic}"),                       # block at tokens [2, 14)
+        (2, f"u2a {rep} u2b u2c u2d u2e u2f {rep}"), # twice in one doc
+        (3, "plain unique text with no repeats at all beyond window size x y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        (r.doc_id, r.tok_start, r.tok_end, r.n_windows)
+        for r in dedup.duplicate_spans(df, window=8, min_count=2).collect()
+    )
+    # 12-token block at offset o -> dup windows at o..o+4 (5 windows),
+    # merged span [o, o+12)
+    assert out == [
+        (0, 0, 12, 5),
+        (1, 2, 14, 5),
+        (2, 1, 9, 1),    # first rep occurrence: tokens [1, 9)
+        (2, 14, 22, 1),  # second: tokens [14, 22), gap > window -> two spans
+    ]
+
+
+def test_duplicate_spans_adjacent_merge(spark):
+    """Back-to-back duplicated windows (pos == prev + window, zero
+    overlap) merge into one span; a doc shorter than the window is
+    dropped before the explode."""
+    from news_crawler_spark.operators import dedup
+
+    a = " ".join(f"a{i}" for i in range(4))
+    b = " ".join(f"b{i}" for i in range(4))
+    c = " ".join(f"c{i}" for i in range(4))
+    # doc 0: A B C A B C -> windows at 0 (A B) and 8 (C A... wait) —
+    # plant exactly: tokens 0-7 = A+B, 8-15 = C+A; make both windows dup
+    # by repeating the full 16-token run in doc 1 at an offset
+    run = f"{a} {b} {c} {a}"
+    rows = [(0, f"{run} z0 z1"), (1, f"y0 y1 y2 {run}"), (2, "short text")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        (r.doc_id, r.tok_start, r.tok_end)
+        for r in dedup.duplicate_spans(df, window=8, min_count=2).collect()
+    )
+    # 16-token run -> 9 dup windows 0..8 (doc0) / 3..11 (doc1), one span each
+    assert out == [(0, 0, 16), (1, 3, 19)]
