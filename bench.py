@@ -85,6 +85,7 @@ HEADLINE = [
     "x18_incremental_neardup",
     "a9_rollup",
     "x19_dup_spans",
+    "g1_host_rank",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by

@@ -3298,6 +3298,83 @@ FROM isl GROUP BY doc_id, island ORDER BY doc_id, tok_start
 """
 
 
+def _g1_edges(spark, sf) -> DataFrame:
+    """Deterministic host link graph from the events table (the j-gate
+    md5 synthesis convention): 200 hosts, one candidate edge per event,
+    with every 4th event pointing into a 10-host hub set — the
+    in-degree skew real link graphs have (news front pages, CDNs)."""
+    ev = load(spark, sf, "events")
+    h = lambda tag: F.conv(
+        F.substring(F.md5(F.concat(F.lit(tag), F.col("event_id").cast("string"))), 1, 4),
+        16,
+        10,
+    ).cast("long")
+    e = ev.select(
+        (h("gs") % 200).alias("src"),
+        F.when(F.col("event_id") % 4 == 0, h("gd") % 10)
+        .otherwise(h("gd") % 200)
+        .alias("dst"),
+    )
+    return e.filter(F.col("src") != F.col("dst")).distinct()
+
+
+def g1_host_rank(spark, sf):
+    """Host-level PageRank (operators/graph.pagerank_int) over a
+    200-host link graph with a planted 10-host hub set — the frontier
+    priority signal (rank joins pending URLs by host; pop orders on
+    it). 3 iterations of exact integer arithmetic (scaled ranks, div
+    floor division, dangling mass dropped identically), so the
+    unrolled-CTE DuckDB twin replays every iteration bit-for-bit and
+    the value hash pins all 200 final ranks — a drift in the degree
+    join, the damping split, or the hub skew handling breaks it."""
+    from .operators import graph
+
+    return (
+        graph.pagerank_int(_g1_edges(spark, sf), iters=3)
+        .select(F.col("node").alias("host"), "rank")
+        .orderBy("host")
+    )
+
+
+_G1_EDGE_SQL = """
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT
+      ('0x' || substring(md5('gs' || event_id::VARCHAR), 1, 4))::BIGINT % 200
+        AS src,
+      CASE WHEN event_id % 4 = 0
+           THEN ('0x' || substring(md5('gd' || event_id::VARCHAR), 1, 4))::BIGINT % 10
+           ELSE ('0x' || substring(md5('gd' || event_id::VARCHAR), 1, 4))::BIGINT % 200
+      END AS dst
+    FROM events
+  ) WHERE src <> dst
+),
+nodes AS (SELECT DISTINCT h FROM (SELECT src AS h FROM edges
+                                  UNION SELECT dst FROM edges)),
+deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY src)
+"""
+
+_G1_STEP = """
+c{i} AS (
+  SELECT e.dst AS h, sum(r.r // d.outdeg)::BIGINT AS contrib
+  FROM edges e JOIN deg d ON e.src = d.src JOIN r{p} r ON r.h = e.src
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT n.h, (150000 + (85 * COALESCE(c.contrib, 0)) // 100)::BIGINT AS r
+  FROM nodes n LEFT JOIN c{i} c ON c.h = n.h
+)
+"""
+
+G1_SQL = (
+    "WITH "
+    + _G1_EDGE_SQL.strip()
+    + ",\nr0 AS (SELECT h, 1000000::BIGINT AS r FROM nodes),"
+    + ",".join(_G1_STEP.strip().format(i=i, p=i - 1) for i in (1, 2, 3))
+    + "\nSELECT h AS host, r AS rank FROM r3 ORDER BY host"
+)
+
+
 def x8_token_packing(spark, sf):
     """Token-budget shard packing (operators/sampling.pack_token_shards)
     — the sequence-packing layout a trainer consumes: docs hashed to 8
@@ -3867,6 +3944,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x17_length_quantiles": x17_length_quantiles,
     "x18_incremental_neardup": x18_incremental_neardup,
     "x19_dup_spans": x19_dup_spans,
+    "g1_host_rank": g1_host_rank,
     "m1_interleaved_spans": m1_interleaved_spans,
     "m2_media_pipeline": m2_media_pipeline,
     "s1_stream_cursor_cut": s1_stream_cursor_cut,
@@ -3941,6 +4019,7 @@ ORACLES: dict[str, str] = {
     "x17_length_quantiles": X17_SQL,
     "x18_incremental_neardup": X18_SQL,
     "x19_dup_spans": X19_SQL,
+    "g1_host_rank": G1_SQL,
     "m1_interleaved_spans": M1_SQL,
     "m2_media_pipeline": M2_SQL,
     "s1_stream_cursor_cut": S1_SQL,

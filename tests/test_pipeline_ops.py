@@ -841,3 +841,59 @@ def test_incremental_simhash_pairs_cross_only(spark, docs, doc_rows):
     got = {(r.batch_id, r.base_id): r.hamming for r in rows}
     assert got == want
     assert all(a % 5 == 0 and b % 5 != 0 for a, b in got)
+
+
+def py_pagerank_int(edges, iters=3, num=85, den=100, scale=1_000_000):
+    """Straight-line python twin of graph.pagerank_int (exact ints)."""
+    nodes = sorted({n for e in edges for n in e})
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    base = (scale * (den - num)) // den
+    r = {n: scale for n in nodes}
+    for _ in range(iters):
+        contrib = {n: 0 for n in nodes}
+        for s, d in edges:
+            contrib[d] += r[s] // outdeg[s]
+        r = {n: base + (num * contrib[n]) // den for n in nodes}
+    return r
+
+
+def test_pagerank_planted_hub_matches_python_twin(spark):
+    """A 7-node star (1..6 -> 0, 0 -> 1) plus a detached 2-cycle: the
+    hub must rank highest, node 1 (fed by the whole hub's mass) second,
+    and every value must equal the integer twin bit-for-bit."""
+    from news_crawler_spark.operators import graph
+
+    edges = [(i, 0) for i in range(1, 7)] + [(0, 1), (8, 9), (9, 8)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r["rank"] for r in graph.pagerank_int(df, iters=3).collect()}
+    assert got == py_pagerank_int(edges)
+    order = sorted(got, key=lambda n: -got[n])
+    assert order[0] == 0 and order[1] == 1
+
+
+def test_pagerank_feeds_frontier_priority(spark):
+    """The scheduling hook: rank joins pending URLs by host and becomes
+    the pop order (priority = -rank, POP_ORDER is ascending) — the
+    hub host's URL must pop ahead of the leaf hosts'."""
+    from news_crawler_spark.operators import frontier as fops
+    from news_crawler_spark.operators import graph
+
+    edges = [(i, 0) for i in range(1, 5)] + [(0, 1)]
+    ranks = graph.pagerank_int(
+        spark.createDataFrame(edges, "src long, dst long"), iters=2
+    )
+    twin = py_pagerank_int(edges, iters=2)
+    want_order = [f"h{n}" for n in sorted(twin, key=lambda n: (-twin[n], n))]
+    pending = spark.createDataFrame(
+        [(f"h{n}", 100 + n, 0) for n in range(5)],
+        "host string, url_hash long, published_ts long",
+    ).join(
+        ranks.withColumn("host", F.concat(F.lit("h"), F.col("node"))),
+        "host",
+    ).select("host", "url_hash", "published_ts", (-F.col("rank")).alias("priority"))
+    budgets = spark.createDataFrame([("h0", 1)], "host string, budget int")
+    popped = fops.pop_round(pending, budgets, default_budget=1, salts=4)
+    by_prio = sorted(popped.collect(), key=lambda r: r.priority)
+    assert [r.host for r in by_prio][:2] == want_order[:2]

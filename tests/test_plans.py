@@ -352,3 +352,16 @@ def test_x19_dup_spans_plan_shape(spark):
     assert "Scan parquet" not in p, p
     assert p.count("Scan ExistingRDD") == 2, p
     assert "partial_count" in p, p
+
+
+def test_g1_pagerank_iteration_is_broadcast(spark):
+    """Each PageRank iteration joins the (big) edge list against the
+    (small, one-row-per-host) rank vector: that join must be a
+    broadcast with the RANK side built, the contribution sum must keep
+    its map-side partial phase (hub-host in-degree skew collapses
+    before the shuffle), and the edge list must never be sort-merged
+    or re-sorted per iteration."""
+    p = plan(analytics.g1_host_rank(spark, SF))
+    assert "BroadcastHashJoin" in p, p
+    assert "partial_sum" in p, p
+    assert "SortMergeJoin" not in p, p
