@@ -86,6 +86,7 @@ HEADLINE = [
     "a9_rollup",
     "x19_dup_spans",
     "g1_host_rank",
+    "x20_substring_strip",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by

@@ -3298,6 +3298,76 @@ FROM isl GROUP BY doc_id, island ORDER BY doc_id, tok_start
 """
 
 
+def x20_substring_strip(spark, sf):
+    """The strip stage over x19's spans (dedup.strip_duplicate_spans):
+    every duplicated 8-token span removed, document rebuilt in token
+    order — the hash pins per-doc token totals, removed-token counts,
+    and the md5 of every rebuilt text, so the span grid, the interval
+    filter, and the untouched-doc passthrough are all value-checked."""
+    return (
+        dedup.strip_duplicate_spans(
+            load(spark, sf, "documents"), window=8, min_count=2
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_dup_tokens",
+            F.md5("text_clean").alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+X20_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+wins AS (
+  SELECT doc_id, c::INT AS pos, array_to_string(t[c+1 : c+8], ' ') AS w
+  FROM toks, unnest(generate_series(0, len(t) - 8)) AS u(c)
+  WHERE len(t) >= 8
+),
+freq AS (SELECT w FROM wins GROUP BY w HAVING count(*) >= 2),
+dup AS (SELECT doc_id, pos FROM wins JOIN freq USING (w)),
+flg AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                   OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+              THEN 1 ELSE 0 END AS brk
+  FROM dup
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM flg
+),
+spans AS (
+  SELECT doc_id, min(pos) AS tok_start, max(pos) + 8 AS tok_end
+  FROM isl GROUP BY doc_id, island
+),
+tok AS (
+  SELECT doc_id, c::INT AS pos, t[c+1] AS tok
+  FROM toks, unnest(generate_series(0, len(t) - 1)) AS u(c)
+),
+kept AS (
+  SELECT k.doc_id, k.pos, k.tok FROM tok k
+  WHERE NOT EXISTS (SELECT 1 FROM spans s
+                    WHERE s.doc_id = k.doc_id
+                      AND k.pos >= s.tok_start AND k.pos < s.tok_end)
+),
+reb AS (
+  SELECT doc_id, count(*)::BIGINT AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS text_clean
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, len(t)::BIGINT AS n_tokens FROM toks)
+SELECT tot.doc_id, tot.n_tokens,
+       (tot.n_tokens - COALESCE(r.n_kept, 0))::BIGINT AS n_dup_tokens,
+       md5(COALESCE(r.text_clean, '')) AS clean_md5
+FROM tot LEFT JOIN reb r USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def _g1_edges(spark, sf) -> DataFrame:
     """Deterministic host link graph from the events table (the j-gate
     md5 synthesis convention): 200 hosts, one candidate edge per event,
@@ -3945,6 +4015,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x18_incremental_neardup": x18_incremental_neardup,
     "x19_dup_spans": x19_dup_spans,
     "g1_host_rank": g1_host_rank,
+    "x20_substring_strip": x20_substring_strip,
     "m1_interleaved_spans": m1_interleaved_spans,
     "m2_media_pipeline": m2_media_pipeline,
     "s1_stream_cursor_cut": s1_stream_cursor_cut,
@@ -4020,6 +4091,7 @@ ORACLES: dict[str, str] = {
     "x18_incremental_neardup": X18_SQL,
     "x19_dup_spans": X19_SQL,
     "g1_host_rank": G1_SQL,
+    "x20_substring_strip": X20_SQL,
     "m1_interleaved_spans": M1_SQL,
     "m2_media_pipeline": M2_SQL,
     "s1_stream_cursor_cut": S1_SQL,

@@ -974,3 +974,57 @@ def duplicate_spans(
         (F.max("pos") + window).alias("tok_end"),
         F.count(F.lit(1)).alias("n_windows"),
     ).select("doc_id", "tok_start", "tok_end", "n_windows")
+
+
+def strip_duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Apply :func:`duplicate_spans` — ``(doc_id, n_tokens, n_dup_tokens,
+    text_clean)`` with every duplicated span removed and the document
+    rebuilt in token order (the aggressive ExactSubstr variant: ALL
+    occurrences go; keeping a canonical copy is a policy layered on the
+    same spans).
+
+    Shape: the span set is per-doc TINY (a handful of intervals), so it
+    collapses to one ``collect_list(struct(start, end))`` row per doc —
+    bounded by construction, never by luck: spans are maximal and
+    disjoint with length ≥ window+? (each covers ≥ window tokens), so a
+    doc with T tokens carries at most T/window interval structs. The
+    rebuild joins that spans frame back to the documents ONCE (AQE
+    broadcasts the spans side when small) and filters tokens with a
+    pure higher-order ``filter(..., (tok, i) -> NOT exists(spans, s ->
+    s.start <= i < s.end))`` — no token explode, no per-token shuffle,
+    whole-stage codegen throughout the rebuild."""
+    spans = duplicate_spans(
+        docs, text_col=text_col, id_col=id_col, window=window, min_count=min_count
+    )
+    by_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("tok_start", "tok_end")).alias("__spans")
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks")
+    )
+    joined = base.join(by_doc, "doc_id", "left").withColumn(
+        "__spans", F.coalesce(F.col("__spans"), F.array())
+    )
+    in_span = lambda i: F.exists(
+        F.col("__spans"),
+        lambda s: (s["tok_start"] <= i) & (i < s["tok_end"]),
+    )
+    kept = F.filter(F.col("__toks"), lambda t, i: ~in_span(i))
+    # project the O(tokens·spans) filter ONCE; two consumers reference
+    # the projected column (CollapseProject's cost heuristic keeps a
+    # non-cheap multi-referenced alias in its own Project — unlike
+    # PushDownPredicates, see with_hashed_shingles)
+    return joined.select(
+        "doc_id", F.size("__toks").cast("long").alias("n_tokens"), kept.alias("__kept")
+    ).select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.size("__kept")).cast("long").alias("n_dup_tokens"),
+        F.array_join("__kept", " ").alias("text_clean"),
+    )

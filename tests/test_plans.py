@@ -365,3 +365,16 @@ def test_g1_pagerank_iteration_is_broadcast(spark):
     assert "BroadcastHashJoin" in p, p
     assert "partial_sum" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_x20_strip_rebuild_no_explode_single_eval(spark):
+    """The rebuild never explodes tokens (pure higher-order filter over
+    the token array), the per-doc span set joins back as a BROADCAST,
+    and the O(tokens×spans) interval filter is evaluated ONCE per row
+    (projected column referenced twice — not re-expanded per consumer,
+    the CollapseProject trap)."""
+    p = plan(analytics.x20_substring_strip(spark, SF))
+    assert "Generate" not in p.split("Scan ExistingRDD")[0], p
+    assert "BroadcastHashJoin" in p, p
+    head = p.split("Scan ExistingRDD")[0]
+    assert head.count("exists(") == 1, head

@@ -225,3 +225,27 @@ def test_duplicate_spans_adjacent_merge(spark):
     )
     # 16-token run -> 9 dup windows 0..8 (doc0) / 3..11 (doc1), one span each
     assert out == [(0, 0, 16), (1, 3, 19)]
+
+
+def test_strip_duplicate_spans_rebuild(spark):
+    """The strip composes with the span finder: shared licence block
+    removed from both docs, surrounding text byte-identical, untouched
+    docs pass through with n_dup_tokens=0."""
+    from news_crawler_spark.operators import dedup
+
+    lic = " ".join(f"lic{i}" for i in range(12))
+    rows = [
+        (0, f"{lic} u0a u0b u0c"),
+        (1, f"u1a u1b {lic}"),
+        (2, "entirely unique text nothing repeated here beyond the window a b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in dedup.strip_duplicate_spans(df, window=8, min_count=2).collect()
+    }
+    assert (out[0].n_tokens, out[0].n_dup_tokens) == (15, 12)
+    assert out[0].text_clean == "u0a u0b u0c"
+    assert (out[1].n_tokens, out[1].n_dup_tokens) == (14, 12)
+    assert out[1].text_clean == "u1a u1b"
+    assert out[2].n_dup_tokens == 0 and out[2].text_clean == rows[2][1]
