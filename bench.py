@@ -156,6 +156,8 @@ SF1_QUERIES = [
     "x15_kmv_vocab",
     "t6_asof_join",
     "a8_sessionization",
+    "x19_dup_spans",
+    "g1_host_rank",
 ]
 
 
