@@ -1312,6 +1312,108 @@ GROUP BY 1, 2
 """
 
 
+# P11 trap filter: seven URL shapes keyed by event_id % 7 — one per trap
+# rule plus two benign shapes and a rule-priority collision (the cycle
+# shape also carries a session param, pinning the CASE order).
+P11_MIDDLES = [
+    "/news/",                                          # ok
+    "/tag/a/tag/a/tag/",                               # cycle (beats session)
+    "/2024/01/02/03/",                                 # calendar
+    "/p?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&i=",           # params (9 > 8)
+    "/p?ref=x&PHPSESSID=",                             # session (case-folded)
+    "/a/b/c/d/e/f/g/h/i/j/k/l/m/",                     # depth (14 > 12)
+    "/news/item?page=",                                # ok (benign params)
+]
+P11_SUFFIXES = ["", "?sid=9", "", "", "", "", "&sort=asc"]
+
+
+def p11_trap_filter(spark, sf):
+    """P11 under the hard gate: spider-trap admission filtering through
+    the REAL operator (frontier.url_trap_flags — regexp split +
+    higher-order array expressions, zero shuffle before the census
+    groupBy). URLs derive from events: event_id % 7 picks one of seven
+    shapes — one per trap rule (depth / cycle / calendar / params /
+    session), two benign, and the cycle shape also carries a session
+    param so the rule-priority CASE order is value-hashed. The oracle
+    recomputes every feature (segment list, repeat census, digit
+    segments, param list, session probe) from the same URL strings in
+    DuckDB list lambdas. Output: per (host, trap_reason) count +
+    event_id checksum."""
+    from .operators import frontier as frontier_ops
+
+    e = load(spark, sf, "events")
+    cls = (F.pmod(F.col("event_id"), F.lit(7)) + 1).cast("int")
+    middle = F.element_at(F.array(*[F.lit(m) for m in P11_MIDDLES]), cls)
+    suffix = F.element_at(F.array(*[F.lit(s) for s in P11_SUFFIXES]), cls)
+    urls = e.select(
+        "event_id",
+        F.col("event_type").alias("host"),
+        F.concat(
+            F.lit("https://"),
+            F.col("event_type"),
+            middle,
+            F.col("event_id").cast("string"),
+            suffix,
+        ).alias("canonical_url"),
+    )
+    return (
+        frontier_ops.url_trap_flags(urls)
+        .groupBy("host", "trap_reason")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.sum("event_id").alias("sum_id"),
+        )
+    )
+
+
+_P11_MIDDLES_SQL = "[" + ", ".join(f"'{m}'" for m in P11_MIDDLES) + "]"
+_P11_SUFFIXES_SQL = "[" + ", ".join(f"'{s}'" for s in P11_SUFFIXES) + "]"
+
+P11_SQL = rf"""
+WITH urls AS (
+  SELECT event_id, event_type AS host,
+         'https://' || event_type
+           || ({_P11_MIDDLES_SQL})[(((event_id % 7) + 7) % 7) + 1]
+           || event_id::VARCHAR
+           || ({_P11_SUFFIXES_SQL})[(((event_id % 7) + 7) % 7) + 1]
+           AS canonical_url
+  FROM events
+),
+parts AS (
+  SELECT event_id, host,
+         list_filter(string_split(regexp_extract(canonical_url,
+             '^[a-z]+://[^/?#]+([^?#]*)', 1), '/'), s -> s <> '') AS segs,
+         list_filter(string_split(regexp_extract(canonical_url,
+             '\?([^#]*)', 1), '&'), p -> p <> '') AS params
+  FROM urls
+),
+feat AS (
+  SELECT event_id, host,
+         len(segs) AS depth,
+         CASE WHEN len(segs) = 0 THEN 0
+              ELSE list_max(list_transform(segs,
+                       s -> len(list_filter(segs, t -> t = s)))) END AS seg_repeat,
+         len(list_filter(segs, s -> regexp_matches(s, '^[0-9]+$'))) AS digit_segs,
+         len(params) AS n_params,
+         len(list_filter(params, p -> list_contains(
+             ['sessionid','phpsessid','jsessionid','sid','cfid','cftoken'],
+             lower(string_split(p, '=')[1])))) > 0 AS has_session
+  FROM parts
+)
+SELECT host,
+       CASE WHEN depth > 12 THEN 'depth'
+            WHEN seg_repeat > 2 THEN 'cycle'
+            WHEN digit_segs > 3 THEN 'calendar'
+            WHEN n_params > 8 THEN 'params'
+            WHEN has_session THEN 'session'
+            ELSE 'ok' END AS trap_reason,
+       count(*)::BIGINT AS n_urls,
+       sum(event_id)::BIGINT AS sum_id
+FROM feat
+GROUP BY 1, 2
+"""
+
+
 # ===========================================================================
 # T — frontier ordering / top-k / cursors
 
@@ -3970,6 +4072,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f1_jalali_calendar": f1_jalali_calendar,
     "f2_persian_datetime_parse": f2_persian_datetime_parse,
     "p9_robots_filter": p9_robots_filter,
+    "p11_trap_filter": p11_trap_filter,
     "t1_frontier_pop": t1_frontier_pop,
     "t3_cursor_cut": t3_cursor_cut,
     "t4_latest_cursor": t4_latest_cursor,
@@ -4046,6 +4149,7 @@ ORACLES: dict[str, str] = {
     "f1_jalali_calendar": F1_SQL,
     "f2_persian_datetime_parse": F2_SQL,
     "p9_robots_filter": P9_SQL,
+    "p11_trap_filter": P11_SQL,
     "t1_frontier_pop": T1_SQL,
     "t3_cursor_cut": T3_SQL,
     "t4_latest_cursor": T4_SQL,

@@ -174,3 +174,76 @@ def with_salted_key(df: DataFrame, hot_hosts: DataFrame, n_salts: int = 16) -> D
         .repartition(F.col("host"), F.col("__salt"))
         .drop("__salt")
     )
+
+
+# Query parameters that mark per-visitor state in a URL: any value makes
+# the "same" page infinitely many URLs — classic crawler-trap fuel.
+TRAP_SESSION_PARAMS = (
+    "sessionid",
+    "phpsessid",
+    "jsessionid",
+    "sid",
+    "cfid",
+    "cftoken",
+)
+
+
+def url_trap_flags(
+    urls: DataFrame,
+    url_col: str = "canonical_url",
+    max_depth: int = 12,
+    max_seg_repeat: int = 2,
+    max_digit_segs: int = 3,
+    max_params: int = 8,
+) -> DataFrame:
+    """Spider-trap detection over frontier URLs (P11) — the admission
+    hygiene pass the reference's per-source link validators imply
+    (news_sources/__init__.py:27-29 owns-link checks; the reference
+    crawls a closed set of archive/sitemap URL shapes so traps cannot
+    occur — an open-frontier crawler at 10^10 URLs must reject them
+    explicitly or the frontier fills with infinite URL spaces).
+
+    Adds ``trap_reason`` ∈ {depth, cycle, calendar, params, session, ok}
+    by the first matching rule (most-structural wins):
+
+    - ``depth``:    more than ``max_depth`` path segments
+    - ``cycle``:    some path segment repeats > ``max_seg_repeat`` times
+                    (/tag/a/tag/a/tag/... loops)
+    - ``calendar``: more than ``max_digit_segs`` all-digit segments
+                    (infinite date-grid archives: /2024/01/02/03/...)
+    - ``params``:   more than ``max_params`` query parameters
+    - ``session``:  a per-visitor state parameter (TRAP_SESSION_PARAMS,
+                    case-insensitive)
+
+    Scale shape: pure whole-stage-codegen expressions over the URL
+    string (regexp split + higher-order array ops, no UDF, no shuffle)
+    — a map-side admission filter in front of merge_pending, so trap
+    URLs never cost frontier storage or MERGE work. The segment-repeat
+    count is O(depth²) per row with depth ≤ a few dozen — flat register
+    work next to the parquet scan it fuses into.
+    """
+    u = F.col(url_col)
+    path = F.regexp_extract(u, r"^[a-z]+://[^/?#]+([^?#]*)", 1)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    segs = F.filter(F.split(path, "/"), lambda s: s != F.lit(""))
+    depth = F.size(segs)
+    seg_repeat = F.when(depth == 0, F.lit(0)).otherwise(
+        F.array_max(
+            F.transform(segs, lambda s: F.size(F.filter(segs, lambda t: t == s)))
+        )
+    )
+    digit_segs = F.size(F.filter(segs, lambda s: s.rlike("^[0-9]+$")))
+    params = F.filter(F.split(query, "&"), lambda p: p != F.lit(""))
+    has_session = F.exists(
+        params,
+        lambda p: F.lower(F.split(p, "=").getItem(0)).isin(*TRAP_SESSION_PARAMS),
+    )
+    reason = (
+        F.when(depth > max_depth, F.lit("depth"))
+        .when(seg_repeat > max_seg_repeat, F.lit("cycle"))
+        .when(digit_segs > max_digit_segs, F.lit("calendar"))
+        .when(F.size(params) > max_params, F.lit("params"))
+        .when(has_session, F.lit("session"))
+        .otherwise(F.lit("ok"))
+    )
+    return urls.withColumn("trap_reason", reason)

@@ -72,3 +72,58 @@ def test_pandas_udf_batch():
     fn = canonicalize_url.func
     out = fn(pd.Series([g[0] for g in GOLDEN]))
     assert list(out) == [g[1] for g in GOLDEN]
+
+
+# ---------------------------------------------------------------------------
+# P11 spider-trap flags (frontier.url_trap_flags)
+
+TRAP_CASES = [
+    # benign
+    ("https://h/news/123", "ok"),
+    ("https://h/", "ok"),
+    ("https://h/news/item?page=2&sort=asc", "ok"),
+    # boundaries sit exactly on the thresholds
+    ("https://h/a/b/c/d/e/f/g/h/i/j/k/9", "ok"),          # depth 12 == max
+    ("https://h/a/b/c/d/e/f/g/h/i/j/k/l/9", "depth"),     # depth 13
+    ("https://h/x/y/x/9", "ok"),                          # repeat 2 == max
+    ("https://h/x/y/x/y/x", "cycle"),                     # repeat 3
+    ("https://h/2024/01/02/a", "ok"),                     # 3 digit segs == max
+    ("https://h/2024/01/02/03/55", "calendar"),           # 5 digit segs
+    ("https://h/p?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8", "ok"),
+    ("https://h/p?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&i=9", "params"),
+    # session ids, case-insensitive, anywhere in the query
+    ("https://h/p?ref=x&PHPSESSID=77", "session"),
+    ("https://h/p?jsessionid=abc", "session"),
+    # rule priority: cycle is more structural than session
+    ("https://h/tag/a/tag/a/tag/9?sid=1", "cycle"),
+    # a 'sid' VALUE (not key) is not a session param
+    ("https://h/p?q=sid", "ok"),
+]
+
+
+def test_url_trap_flags_golden(spark):
+    from news_crawler_spark.operators.frontier import url_trap_flags
+
+    df = spark.createDataFrame(
+        [(u,) for u, _ in TRAP_CASES], "canonical_url string"
+    )
+    got = {
+        r.canonical_url: r.trap_reason for r in url_trap_flags(df).collect()
+    }
+    assert got == {u: want for u, want in TRAP_CASES}
+
+
+def test_url_trap_flags_plan_is_map_side(spark):
+    """The admission filter must not shuffle: no Exchange in the plan."""
+    from news_crawler_spark.operators.frontier import url_trap_flags
+
+    df = spark.range(8).selectExpr(
+        "concat('https://h/news/', id) AS canonical_url"
+    )
+    plan = (
+        url_trap_flags(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
