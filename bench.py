@@ -87,6 +87,7 @@ HEADLINE = [
     "x19_dup_spans",
     "g1_host_rank",
     "x20_substring_strip",
+    "x21_semdedup",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by

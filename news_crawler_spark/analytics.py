@@ -2011,9 +2011,12 @@ s{i} AS (
 c{i} AS (SELECT cell, list(cx ORDER BY j) AS cv FROM s{i} GROUP BY cell)"""
 
 
-V10_SQL = (
-    f"""
-WITH qv AS (
+# the shared unrolled-Lloyd CTE chain (qv → c0 → iterations → dF → final
+# assignment aF): V10_SQL pins the clustering itself, X21_SQL composes the
+# SAME chain under SemDeDup — one definition so both gates replay identical
+# iterations.
+_KMEANS_CTES = (
+    f"""qv AS (
   SELECT vec_id,
          [floor(x::DOUBLE * {similarity.SIGNLSH_QUANT} + 0.5)::BIGINT
           for x in embedding] AS iv
@@ -2029,14 +2032,67 @@ dF AS (
          list_sum([ (v.iv[j] - c.cv[j]) * (v.iv[j] - c.cv[j])
                     for j in generate_series(1, len(v.iv)) ])::BIGINT AS dist
   FROM qv v CROSS JOIN c{KMEANS_ITERS - 1} c
+),
+aF AS (
+  SELECT vec_id, cell, dist FROM (
+    SELECT vec_id, cell, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+    FROM dF) WHERE rn = 1
+)"""
 )
-SELECT vec_id, cell, dist FROM (
-  SELECT vec_id, cell, dist,
-         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
-  FROM dF) WHERE rn = 1
+
+V10_SQL = f"""
+WITH {_KMEANS_CTES}
+SELECT vec_id, cell, dist FROM aF
 ORDER BY vec_id
 """
+
+
+def x21_semdedup(spark, sf):
+    """SemDeDup (Abbas et al. 2023) under the hard gate: the v10 k-means
+    cells + a within-cell integer-exact cosine≥τ prune — semantic
+    near-dup removal, the tier byte-level d3/d4 cannot see. The entire
+    pipeline is integer arithmetic after quantization (the cosine test
+    cross-multiplied into decimal(38,0) / HUGEINT), so the DuckDB twin
+    replays clustering AND pruning bit-for-bit; one doc drifting across
+    a cell boundary or a threshold flips kept/witness and breaks the
+    value hash."""
+    return (
+        similarity.semdedup(
+            load(spark, sf, "embeddings"),
+            seed_ids=tuple(range(KMEANS_K)),
+            iters=KMEANS_ITERS,
+        )
+        .orderBy("vec_id")
+    )
+
+
+X21_SQL = f"""
+WITH {_KMEANS_CTES},
+vv AS (
+  SELECT a.vec_id, a.cell, q.iv,
+         list_sum([ q.iv[j] * q.iv[j]
+                    for j in generate_series(1, len(q.iv)) ])::BIGINT AS n2
+  FROM aF a JOIN qv q ON a.vec_id = q.vec_id
+),
+pr0 AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.n2 AS na, b.n2 AS nb,
+         list_sum([ a.iv[j] * b.iv[j]
+                    for j in generate_series(1, len(a.iv)) ])::BIGINT AS dot
+  FROM vv a JOIN vv b ON a.cell = b.cell AND a.vec_id < b.vec_id
+),
+dr AS (
+  SELECT b_id AS vec_id, min(a_id) AS witness
+  FROM pr0
+  WHERE dot > 0
+    AND dot::HUGEINT * dot * {similarity.SEMDEDUP_TAU_DEN}
+        >= {similarity.SEMDEDUP_TAU_NUM}::HUGEINT * na * nb
+  GROUP BY 1
 )
+SELECT v.vec_id, v.cell, (dr.witness IS NULL)::INT AS kept, dr.witness
+FROM vv v LEFT JOIN dr ON v.vec_id = dr.vec_id
+ORDER BY v.vec_id
+"""
 
 
 N_PROBE = 3
@@ -4123,6 +4179,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m2_media_pipeline": m2_media_pipeline,
     "s1_stream_cursor_cut": s1_stream_cursor_cut,
     "s4_windowed_rates": s4_windowed_rates,
+    "x21_semdedup": x21_semdedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -4200,4 +4257,5 @@ ORACLES: dict[str, str] = {
     "m2_media_pipeline": M2_SQL,
     "s1_stream_cursor_cut": S1_SQL,
     "s4_windowed_rates": S4_SQL,
+    "x21_semdedup": X21_SQL,
 }

@@ -529,3 +529,104 @@ def lsh_cosine_pairs(
     out = out.localCheckpoint(eager=True)
     sketched.unpersist()
     return out
+
+
+# SemDeDup similarity threshold τ = 0.45 as a pure rational: τ² =
+# SEMDEDUP_TAU_NUM / SEMDEDUP_TAU_DEN, so the cosine test can be
+# cross-multiplied into integers and replayed bit-for-bit by a SQL twin.
+SEMDEDUP_TAU_NUM = 2025
+SEMDEDUP_TAU_DEN = 10_000
+
+
+def semdedup(
+    embeddings: DataFrame,
+    seed_ids: tuple[int, ...] = tuple(range(8)),
+    iters: int = 3,
+    tau_num: int = SEMDEDUP_TAU_NUM,
+    tau_den: int = SEMDEDUP_TAU_DEN,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus by embedding with the
+    exact-integer k-means (``kmeans_cells``), then WITHIN each cell drop
+    every document that has a ≥τ-cosine twin with a smaller id — the
+    near-duplicate-*meaning* tier that byte-level MinHash/SimHash (d3/d4)
+    cannot see, applied to the crawl corpus the way SemDeDup prunes
+    LAION/C4 before training.
+
+    Exactness: components quantized to BIGINT (``quantize_vec``); the
+    cosine ≥ τ test is cross-multiplied into pure integers —
+    ``dot > 0 AND dot²·tau_den ≥ tau_num·‖a‖²·‖b‖²`` with τ² =
+    tau_num/tau_den — evaluated in decimal(38,0) (dot ≤ dim·QUANT² ≈
+    6.4e13 at unit-scale dim-64, dot² ≈ 4e27 ≪ 10³⁸), so the DuckDB twin
+    replays it in HUGEINT with zero float drift.
+
+    Scale shape (the SemDeDup design point): the self-join is keyed on
+    the CELL, so pair work is Σ_c |c|², never corpus-quadratic — at 10¹⁰
+    docs size k ≈ N/occupancy so cells stay ~10³ and the join is
+    linear·occupancy. The dup test lives IN the join condition, so
+    failing candidates never materialize and the dot expression is
+    evaluated exactly once per candidate (the PushDownPredicates
+    re-evaluation trap — see ``_score_at_least``).
+
+    Returns ``(vec_id, cell, kept, witness)``; kept=0 rows carry the
+    smallest same-cell dup partner as the witness.
+    """
+    cells = kmeans_cells(
+        embeddings, seed_ids=seed_ids, iters=iters, vec_col=vec_col, id_col=id_col
+    ).select("vec_id", "cell")
+    qv = embeddings.select(
+        F.col(id_col).alias("vec_id"), quantize_vec(F.col(vec_col)).alias("iv")
+    )
+    sq = F.aggregate(
+        F.zip_with("iv", "iv", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    # one small frame feeds both join sides and the final left join;
+    # checkpoint it so the 3-iteration k-means lineage runs once.
+    v = (
+        cells.join(qv, "vec_id")
+        .select("vec_id", "cell", "iv", sq.alias("n2"))
+        .localCheckpoint(eager=True)
+    )
+    a = v.select(
+        F.col("vec_id").alias("a_id"),
+        "cell",
+        F.col("iv").alias("va"),
+        F.col("n2").alias("na"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("cell").alias("cell_b"),
+        F.col("iv").alias("vb"),
+        F.col("n2").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dec = "decimal(38,0)"
+    dup = (dot > F.lit(0)) & (
+        dot.cast(dec) * dot.cast(dec) * F.lit(tau_den).cast(dec)
+        >= F.lit(tau_num).cast(dec) * F.col("na").cast(dec) * F.col("nb").cast(dec)
+    )
+    pairs = a.join(
+        b,
+        (F.col("cell") == F.col("cell_b")) & (F.col("a_id") < F.col("b_id")) & dup,
+    )
+    drops = pairs.groupBy(F.col("b_id").alias("vec_id")).agg(
+        F.min("a_id").alias("witness")
+    )
+    return (
+        v.select("vec_id", "cell")
+        .join(drops, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.col("witness").isNull().cast("int").alias("kept"),
+            "witness",
+        )
+    )

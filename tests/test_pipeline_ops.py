@@ -15,7 +15,14 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def docs(spark):
-    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+    # unpersist at module teardown: a session-lifetime cache entry for the
+    # FULL documents scan makes Spark's CacheManager substitute the cached
+    # relation into LATER modules' plans, defeating the column pruning that
+    # test_plans asserts (the InMemoryRelation prints its cached child's
+    # full ReadSchema) — an ordering-dependent flake, not a real regression.
+    df = spark.read.parquet(f"{SF}/documents.parquet").cache()
+    yield df
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")
@@ -897,3 +904,49 @@ def test_pagerank_feeds_frontier_priority(spark):
     popped = fops.pop_round(pending, budgets, default_budget=1, salts=4)
     by_prio = sorted(popped.collect(), key=lambda r: r.priority)
     assert [r.host for r in by_prio][:2] == want_order[:2]
+
+
+def test_semdedup_prunes_within_cell_only(spark):
+    """SemDeDup on two planted clusters: near-identical twins inside a
+    cell collapse to the min-id survivor (witness = that id); equally
+    similar vectors in DIFFERENT cells are untouched (the within-cell
+    approximation is the operator's contract); re-running reproduces
+    the output exactly."""
+    from news_crawler_spark.operators import similarity
+
+    rows = [
+        # cell 0: ids 0,1,2 mutually near-identical; id 3 orthogonal-ish
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),
+        (2, [0.998, 0.02, 0.0, 0.0]),
+        (3, [0.6, 0.0, 0.0, 0.8]),
+        # cell 1: ids 4,5 near-identical twins of EACH OTHER
+        (4, [0.0, 1.0, 0.0, 0.0]),
+        (5, [0.01, 0.999, 0.0, 0.0]),
+        # id 6 sits in cell 1 but is far from everything in it
+        (6, [0.0, 0.6, 0.8, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: (r.cell, r.kept, r.witness)
+        for r in similarity.semdedup(
+            emb, seed_ids=(0, 4), iters=2, tau_num=9801, tau_den=10_000
+        ).collect()
+    }
+    assert len(out) == 7
+    # min-id survivors keep; twins drop with the smallest partner as witness
+    assert out[0] == (0, 1, None)
+    assert out[1] == (0, 0, 0)
+    assert out[2] == (0, 0, 0)
+    assert out[3][1] == 1  # dissimilar: kept despite sharing cell 0
+    assert out[4] == (4, 1, None)
+    assert out[5] == (4, 0, 4)
+    assert out[6][1] == 1
+
+    again = {
+        r.vec_id: (r.cell, r.kept, r.witness)
+        for r in similarity.semdedup(
+            emb, seed_ids=(0, 4), iters=2, tau_num=9801, tau_den=10_000
+        ).collect()
+    }
+    assert again == out

@@ -378,3 +378,18 @@ def test_x20_strip_rebuild_no_explode_single_eval(spark):
     assert "BroadcastHashJoin" in p, p
     head = p.split("Scan ExistingRDD")[0]
     assert head.count("exists(") == 1, head
+
+
+def test_x21_semdedup_pairs_join_is_cell_equi(spark):
+    """SemDeDup's pair generation must shuffle on the CELL key (an
+    equi-join: pair work = Σ_c |c|²) with the integer dup test riding
+    inside the join condition — a CartesianProduct / nested-loop means
+    Catalyst failed to extract the cell equality and the operator
+    degenerated to corpus-quadratic."""
+    from news_crawler_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = plan(similarity.semdedup(emb, seed_ids=(0, 1), iters=2))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "cell" in p, p
