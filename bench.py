@@ -88,6 +88,7 @@ HEADLINE = [
     "g1_host_rank",
     "x20_substring_strip",
     "x21_semdedup",
+    "x22_dsir_select",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by

@@ -3526,6 +3526,59 @@ ORDER BY doc_id
 """
 
 
+DSIR_TARGET_LANG = "de"
+DSIR_TOP_M = 100
+
+
+def x22_dsir_select(spark, sf):
+    """DSIR importance-weighted data selection (text.dsir_select) under
+    the hard gate: tilt the crawl corpus toward the lang='de' target
+    domain by hashed-token log-ratio weights, keep the top 100. Buckets
+    are md5-derived from the token string (both engines recompute them),
+    log-ratios quantized to integer micro-nats, per-doc weights exact
+    integer sums — the twin replays feature hashing, smoothing,
+    quantization and the top-m cut; one document crossing the selection
+    boundary breaks the hash."""
+    return text.dsir_select(
+        load(spark, sf, "documents"),
+        F.col("lang") == DSIR_TARGET_LANG,
+        m=DSIR_TOP_M,
+    )
+
+
+X22_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, (lang = '{DSIR_TARGET_LANG}')::INT AS is_t,
+         ('0x' || substr(md5(t.term), 1, 6))::BIGINT
+           % {text.DSIR_BUCKETS} AS bucket
+  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+),
+got AS (
+  SELECT bucket, count(*)::BIGINT AS cr, sum(is_t)::BIGINT AS ct
+  FROM tok GROUP BY 1
+),
+cnt AS (
+  SELECT g.bucket, coalesce(cr, 0) AS cr, coalesce(ct, 0) AS ct
+  FROM (SELECT unnest(generate_series(0, {text.DSIR_BUCKETS - 1}))::BIGINT
+          AS bucket) g
+  LEFT JOIN got ON g.bucket = got.bucket
+),
+tot AS (SELECT sum(cr)::BIGINT AS r_tot, sum(ct)::BIGINT AS t_tot FROM cnt),
+lr AS (
+  SELECT bucket,
+         round(ln( ((ct + 1)::DOUBLE * (r_tot + {text.DSIR_BUCKETS})::DOUBLE)
+                 / ((cr + 1)::DOUBLE * (t_tot + {text.DSIR_BUCKETS})::DOUBLE) )
+               * {text.DSIR_LOG_SCALE})::BIGINT AS lr
+  FROM cnt, tot
+)
+SELECT doc_id, sum(lr)::BIGINT AS weight
+FROM tok JOIN lr USING (bucket)
+GROUP BY 1
+ORDER BY weight DESC, doc_id
+LIMIT {DSIR_TOP_M}
+"""
+
+
 def _g1_edges(spark, sf) -> DataFrame:
     """Deterministic host link graph from the events table (the j-gate
     md5 synthesis convention): 200 hosts, one candidate edge per event,
@@ -4180,6 +4233,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s1_stream_cursor_cut": s1_stream_cursor_cut,
     "s4_windowed_rates": s4_windowed_rates,
     "x21_semdedup": x21_semdedup,
+    "x22_dsir_select": x22_dsir_select,
 }
 
 ORACLES: dict[str, str] = {
@@ -4258,4 +4312,5 @@ ORACLES: dict[str, str] = {
     "s1_stream_cursor_cut": S1_SQL,
     "s4_windowed_rates": S4_SQL,
     "x21_semdedup": X21_SQL,
+    "x22_dsir_select": X22_SQL,
 }

@@ -273,3 +273,93 @@ def with_text_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score(text_col).alias("quality"),
         fingerprint(text_col).alias("fp"),
     )
+
+
+# DSIR hashed-feature space and weight quantum: log-ratios are scaled to
+# integer MICRO-NATS (round(ln·1e6)) so per-document weights are exact
+# integer sums — engine-portable the same way bm25_topk's 6-decimal idf is.
+DSIR_BUCKETS = 64
+DSIR_LOG_SCALE = 1_000_000
+
+
+def dsir_select(
+    docs: DataFrame,
+    target_pred: Column,
+    n_buckets: int = DSIR_BUCKETS,
+    m: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
+    score every document by how much its hashed token features look like
+    a TARGET domain versus the RAW corpus, and keep the top-``m`` — the
+    importance-resampling step a training-mixture pipeline runs to tilt
+    a generic crawl toward a domain (here deterministic top-m instead of
+    Gumbel sampling, so a SQL twin replays the selection exactly).
+
+    Mechanics: tokens hash into ``n_buckets`` via md5 (both engines
+    recompute the SAME bucket from the token string — the d4/v8 recipe);
+    per-bucket Laplace-smoothed log-ratios ``ln(p_target/p_raw)`` are
+    quantized to integer micro-nats (``round(ln·1e6)``: counts and
+    totals are exactly representable doubles, IEEE ÷/× are correctly
+    rounded, so the only engine-varying step is ln's last ulp — absorbed
+    by the rounding, the bm25 idf argument); a document's weight is then
+    the exact INTEGER sum ``Σ count_doc[b]·lr[b]`` — no float
+    accumulation anywhere, so ties and the top-m cut are deterministic.
+
+    Scale shape: one token explode → broadcast join against the
+    ``n_buckets``-row log-ratio table → one map-side-combining sum per
+    doc_id → TakeOrderedAndProject(m). The bucket/total aggregates are
+    O(n_buckets)-row partials; nothing driver-side. At 100 TB the
+    explode is the same single pass x3/x13 make, and the final top-m
+    never globally sorts.
+
+    Returns ``(doc_id, weight)`` — weight in micro-nats, top-m by
+    (weight desc, doc_id).
+    """
+    spark = docs.sparkSession
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        target_pred.cast("int").alias("is_t"),
+        F.explode(tokens_col(text_col)).alias("term"),
+    ).withColumn(
+        "bucket",
+        F.conv(F.substring(F.md5("term"), 1, 6), 16, 10).cast("long")
+        % F.lit(n_buckets),
+    )
+    got = toks.groupBy("bucket").agg(
+        F.count("*").alias("cr"), F.sum("is_t").alias("ct")
+    )
+    # left-join against the full bucket range: an unhit bucket still
+    # contributes its smoothed prior to the log-ratio table
+    counts = (
+        spark.range(n_buckets)
+        .select(F.col("id").alias("bucket"))
+        .join(got, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("cr").alias("r_tot"), F.sum("ct").alias("t_tot")
+    )
+    b = F.lit(n_buckets)
+    ratio = (
+        (F.col("ct") + 1).cast("double") * (F.col("r_tot") + b).cast("double")
+    ) / (
+        (F.col("cr") + 1).cast("double") * (F.col("t_tot") + b).cast("double")
+    )
+    lr_tbl = counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(F.log(ratio) * F.lit(float(DSIR_LOG_SCALE)))
+        .cast("long")
+        .alias("lr"),
+    )
+    weights = (
+        toks.join(F.broadcast(lr_tbl), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("lr").alias("weight"))
+    )
+    return weights.orderBy(F.desc("weight"), "doc_id").limit(m)

@@ -393,3 +393,20 @@ def test_x21_semdedup_pairs_join_is_cell_equi(spark):
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "cell" in p, p
+
+
+def test_x22_dsir_weights_join_is_broadcast(spark):
+    """DSIR's per-doc weighting must join the exploded token stream
+    against the n_buckets-row log-ratio table as a BROADCAST (the big
+    side never shuffles for the join) and keep the map-side partial for
+    the per-doc sum; the final top-m must be a TakeOrderedAndProject,
+    never a global sort."""
+    from pyspark.sql import functions as F
+
+    from news_crawler_spark.operators import text as text_ops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(text_ops.dsir_select(docs, F.col("lang") == "de", m=100))
+    assert "BroadcastHashJoin" in p, p
+    assert "partial_sum" in p, p
+    assert "TakeOrderedAndProject" in p, p

@@ -249,3 +249,58 @@ def test_strip_duplicate_spans_rebuild(spark):
     assert (out[1].n_tokens, out[1].n_dup_tokens) == (14, 12)
     assert out[1].text_clean == "u1a u1b"
     assert out[2].n_dup_tokens == 0 and out[2].text_clean == rows[2][1]
+
+
+def test_dsir_select_matches_python_twin(spark):
+    """DSIR weights vs a python twin (same md5 buckets, same Laplace
+    smoothing, same micro-nat quantization): target-vocabulary docs must
+    outrank off-target docs, and every weight must match the twin
+    exactly — the integer-sum determinism the x22 oracle relies on."""
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from news_crawler_spark.operators import text as text_ops
+
+    rows = [
+        (0, "de", "zug bahn zug bahn strasse"),
+        (1, "de", "bahn strasse zug zug"),
+        (2, "en", "cat dog cat dog bird"),
+        (3, "en", "dog bird cat bird"),
+        (4, "en", "zug bahn cat dog"),  # mixed: between the two groups
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        r.doc_id: r.weight
+        for r in text_ops.dsir_select(
+            docs, F.col("lang") == "de", n_buckets=8, m=5
+        ).collect()
+    }
+
+    B, S = 8, 1_000_000
+
+    def bucket(term):
+        return int(hashlib.md5(term.encode()).hexdigest()[:6], 16) % B
+
+    cr = [0] * B
+    ct = [0] * B
+    for _, lang, t in rows:
+        for term in t.split(" "):
+            cr[bucket(term)] += 1
+            ct[bucket(term)] += lang == "de"
+    r_tot, t_tot = sum(cr), sum(ct)
+    lr = [
+        round(
+            math.log(((ct[b] + 1) * (r_tot + B)) / ((cr[b] + 1) * (t_tot + B))) * S
+        )
+        for b in range(B)
+    ]
+    want = {
+        did: sum(lr[bucket(term)] for term in t.split(" "))
+        for did, _, t in rows
+    }
+    assert got == want, (got, want)
+    # the de-vocabulary docs outrank the off-target ones; the mixed doc
+    # sits strictly between the two groups
+    assert min(want[0], want[1]) > want[4] > max(want[2], want[3]), want
