@@ -89,6 +89,7 @@ HEADLINE = [
     "x20_substring_strip",
     "x21_semdedup",
     "x22_dsir_select",
+    "j14_aimd_budget_replay",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by
@@ -103,6 +104,7 @@ GATE_REPLAY = {
     "j10_frontier_machine",
     "j11_token_bucket_replay",
     "j12_seen_filter_unseen",
+    "j14_aimd_budget_replay",
     "s1_stream_cursor_cut",
     "s4_windowed_rates",
 }

@@ -764,6 +764,173 @@ GROUP BY 1, 2
 )
 
 
+J14_ROUNDS = 5
+J14_INIT = 4
+J14_INC = 3
+J14_CAP = 20
+J14_MIN = 2
+J14_MAX_RETRIES = 2
+
+
+def j14_aimd_budget_replay(spark, sf):
+    """Adaptive per-host politeness under the hard gate: AIMD budgets
+    (additive increase on a clean round, multiplicative decrease on any
+    failure — the congestion-control rule a polite crawler applies to
+    per-host fetch rates when servers start erroring) replayed through
+    the REAL pop (frontier.pop_round over eligible) and the j10 MERGE
+    rule. Where j11's token bucket is a FIXED refill policy, this is the
+    FEEDBACK policy layered on top: budget_{i+1} = max(MIN, ⌊budget/2⌋)
+    if the host failed this round, else min(CAP, budget + INC); fetch
+    failure is url_hash arithmetic (pmod 7), so the DuckDB twin unrolls
+    the same 5 rounds and the value hash pins every pop, every status
+    transition and every budget step. At sf0.01 every host both halves
+    and re-grows within the 5 rounds (≈14% failure odds per pop at
+    budgets 2-20), so both AIMD branches are under the gate.
+
+    Same merge-on-read overlay + round-stamp shape as j11 (immutable
+    base, O(|popped|) per-round state, ONE Spark job per round) — see
+    j11's docstring for why that is the 10^10-row plan."""
+    from .operators import frontier as frontier_ops
+    from .operators.dedup import md5_hash64
+
+    e = load(spark, sf, "events")
+    h = md5_hash64(F.concat(F.lit("u"), F.col("event_id").cast("string")))
+    base = e.select(
+        h.alias("url_hash"),
+        F.col("event_type").alias("host"),
+        F.pmod(h, F.lit(3)).cast("int").alias("priority"),
+        F.col("ts").alias("published_ts"),
+        F.lit("pending").alias("status"),
+        F.lit(0).alias("tried_count"),
+        F.lit(-1).cast("int").alias("__r"),
+    )
+    overlay = base.filter(F.lit(False)).localCheckpoint(eager=True)
+    bud = (
+        base.select("host")
+        .distinct()
+        .withColumn("budget", F.lit(J14_INIT).cast("long"))
+    )
+    ok = F.pmod(F.col("url_hash"), F.lit(7)) != 0
+    for i in range(J14_ROUNDS):
+        merged = base.join(
+            F.broadcast(overlay.select("url_hash")), "url_hash", "left_anti"
+        ).unionByName(overlay)
+        popped = frontier_ops.pop_round(
+            frontier_ops.eligible(merged, J14_MAX_RETRIES).drop("__r"),
+            bud,
+            salts=8,
+        )
+        updated = (
+            popped.withColumn(
+                "tried_count",
+                F.when(ok, F.col("tried_count")).otherwise(F.col("tried_count") + 1),
+            )
+            .withColumn(
+                "status",
+                F.when(ok, F.lit("completed"))
+                .when(F.col("tried_count") >= J14_MAX_RETRIES, F.lit("failed"))
+                .otherwise(F.lit("pending")),
+            )
+            .withColumn("__r", F.lit(i).cast("int"))
+        )
+        overlay = (
+            overlay.join(popped.select("url_hash"), "url_hash", "left_anti")
+            .unionByName(updated)
+            .localCheckpoint(eager=True)
+        )
+        # AIMD fold from the already-materialized overlay (the j11
+        # round-stamp trick: no second job re-executing the pop)
+        fails = (
+            overlay.filter((F.col("__r") == i) & (F.col("status") != "completed"))
+            .groupBy("host")
+            .agg(F.count("*").alias("__nf"))
+        )
+        bud = (
+            bud.join(fails, "host", "left")
+            .select(
+                "host",
+                F.when(
+                    F.coalesce("__nf", F.lit(0)) > 0,
+                    F.greatest(
+                        F.lit(J14_MIN).cast("long"),
+                        F.floor(F.col("budget") / F.lit(2)).cast("long"),
+                    ),
+                )
+                .otherwise(
+                    F.least(
+                        F.lit(J14_CAP).cast("long"), F.col("budget") + F.lit(J14_INC)
+                    )
+                )
+                .alias("budget"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    final = base.join(
+        F.broadcast(overlay.select("url_hash")), "url_hash", "left_anti"
+    ).unionByName(overlay)
+    return (
+        final.groupBy("host", "status")
+        .agg(F.count("*").alias("n"))
+        .join(bud, "host")
+    )
+
+
+def _j14_round_sql(i: int) -> str:
+    prev, cur = f"s{i}", f"s{i + 1}"
+    r = J14_MAX_RETRIES
+    return f"""
+pops{i + 1} AS (
+  SELECT e.url_hash, e.host
+  FROM (SELECT url_hash, host,
+               row_number() OVER (PARTITION BY host
+                   ORDER BY priority, published_ts, url_hash) AS rn
+        FROM {prev} WHERE status = 'pending' AND tried < {r}) e
+  JOIN b{i} USING (host)
+  WHERE e.rn <= budget
+),
+{cur} AS (
+  SELECT s.url_hash, s.host, s.priority, s.published_ts,
+         CASE WHEN p.url_hash IS NOT NULL THEN
+                CASE WHEN ((s.url_hash % 7) + 7) % 7 <> 0 THEN 'completed'
+                     WHEN s.tried + 1 >= {r} THEN 'failed'
+                     ELSE 'pending' END
+              ELSE s.status END AS status,
+         CASE WHEN p.url_hash IS NOT NULL AND ((s.url_hash % 7) + 7) % 7 = 0
+              THEN s.tried + 1 ELSE s.tried END AS tried
+  FROM {prev} s LEFT JOIN pops{i + 1} p USING (url_hash)
+),
+f{i + 1} AS (
+  SELECT host, count(*) AS nf FROM pops{i + 1}
+  WHERE ((url_hash % 7) + 7) % 7 = 0 GROUP BY 1
+),
+b{i + 1} AS (
+  SELECT b.host,
+         (CASE WHEN coalesce(f.nf, 0) > 0
+               THEN greatest({J14_MIN}, floor(b.budget / 2)::BIGINT)
+               ELSE least({J14_CAP}, b.budget + {J14_INC}) END)::BIGINT AS budget
+  FROM b{i} b LEFT JOIN f{i + 1} f USING (host)
+)"""
+
+
+J14_SQL = (
+    f"""
+WITH s0 AS (
+  SELECT h AS url_hash, event_type AS host,
+         (((h % 3) + 3) % 3)::INT AS priority, ts AS published_ts,
+         'pending' AS status, 0 AS tried
+  FROM (SELECT {_J10_H} AS h, event_type, ts FROM events)
+),
+b0 AS (SELECT DISTINCT event_type AS host, {J14_INIT}::BIGINT AS budget
+       FROM events),"""
+    + ",".join(_j14_round_sql(i) for i in range(J14_ROUNDS))
+    + f"""
+SELECT s.host, s.status, count(*)::BIGINT AS n, min(b.budget)::BIGINT AS budget
+FROM s{J14_ROUNDS} s JOIN b{J14_ROUNDS} b ON s.host = b.host
+GROUP BY 1, 2
+"""
+)
+
+
 def j12_seen_filter_unseen(spark, sf):
     """The persistent seen-filter store (J1 incremental path, the
     round-3 verdict's one 'weak' component) under the HARD gate, both
@@ -4234,6 +4401,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s4_windowed_rates": s4_windowed_rates,
     "x21_semdedup": x21_semdedup,
     "x22_dsir_select": x22_dsir_select,
+    "j14_aimd_budget_replay": j14_aimd_budget_replay,
 }
 
 ORACLES: dict[str, str] = {
@@ -4313,4 +4481,5 @@ ORACLES: dict[str, str] = {
     "s4_windowed_rates": S4_SQL,
     "x21_semdedup": X21_SQL,
     "x22_dsir_select": X22_SQL,
+    "j14_aimd_budget_replay": J14_SQL,
 }
