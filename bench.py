@@ -90,6 +90,8 @@ HEADLINE = [
     "x21_semdedup",
     "x22_dsir_select",
     "j14_aimd_budget_replay",
+    "g2_budget_apportion",
+    "t8_recrawl_schedule",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by
@@ -162,6 +164,8 @@ SF1_QUERIES = [
     "a8_sessionization",
     "x19_dup_spans",
     "g1_host_rank",
+    "x21_semdedup",
+    "x22_dsir_select",
 ]
 
 
@@ -265,6 +269,22 @@ def _v8_tuned(spark, sf_dir: str):
     )
 
 
+def _x21_tuned(spark, sf_dir: str):
+    """SemDeDup with its documented scale rule applied: k ≈
+    n / target_cell_occupancy, so within-cell pair work stays
+    linear·occupancy instead of quadratic-per-cell (the gate's fixed
+    k=8 is a correctness shape, not the at-scale contract — same
+    argument as _v8_tuned's bits). Returns (df, k)."""
+    from news_crawler_spark.operators import similarity
+
+    emb = analytics.load(spark, sf_dir, "embeddings")
+    k = max(8, emb.count() // 250)
+    return (
+        similarity.semdedup(emb, seed_ids=tuple(range(k)), iters=3),
+        k,
+    )
+
+
 def sf1_probe(spark, sf_dir: str, baseline: dict[str, float]) -> dict:
     """Run SF1_QUERIES once at the 10× slice; report wall and the ratio
     vs the same query's same-session sf0.1 time (same VM window, so the
@@ -277,13 +297,14 @@ def sf1_probe(spark, sf_dir: str, baseline: dict[str, float]) -> dict:
     out: dict = {}
     try:
         for name in SF1_QUERIES:
-            if name == "v8_signlsh_pairs":
+            if name in ("v8_signlsh_pairs", "x21_semdedup"):
+                tuned = _v8_tuned if name == "v8_signlsh_pairs" else _x21_tuned
                 t0 = time.perf_counter()
-                df0, bits0 = _v8_tuned(spark, sf_dir)
+                df0, size0 = tuned(spark, sf_dir)
                 df0.count()
                 base = time.perf_counter() - t0
                 t0 = time.perf_counter()
-                df1, bits1 = _v8_tuned(spark, dst)
+                df1, size1 = tuned(spark, dst)
                 n = df1.count()
                 dt = time.perf_counter() - t0
                 out[name] = {
@@ -291,7 +312,7 @@ def sf1_probe(spark, sf_dir: str, baseline: dict[str, float]) -> dict:
                     "sf01_sec": round(base, 3),
                     "ratio": round(dt / base, 1),
                     "rows": n,
-                    "bits": [bits0, bits1],
+                    ("bits" if name == "v8_signlsh_pairs" else "k"): [size0, size1],
                 }
             else:
                 fn = analytics.QUERIES[name]

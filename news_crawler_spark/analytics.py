@@ -3814,13 +3814,109 @@ r{i} AS (
 )
 """
 
-G1_SQL = (
-    "WITH "
-    + _G1_EDGE_SQL.strip()
+# shared PageRank CTE body (edges → deg → r0..r3): G1_SQL pins the ranks,
+# G2_SQL apportions a budget from the SAME unrolled iterations.
+_G1_BODY = (
+    _G1_EDGE_SQL.strip()
     + ",\nr0 AS (SELECT h, 1000000::BIGINT AS r FROM nodes),"
     + ",".join(_G1_STEP.strip().format(i=i, p=i - 1) for i in (1, 2, 3))
-    + "\nSELECT h AS host, r AS rank FROM r3 ORDER BY host"
 )
+
+G1_SQL = (
+    "WITH " + _G1_BODY + "\nSELECT h AS host, r AS rank FROM r3 ORDER BY host"
+)
+
+
+G2_TOTAL = 1000
+
+
+def g2_budget_apportion(spark, sf):
+    """Rank → budget: largest-remainder (Hamilton) apportionment of a
+    global fetch budget across the g1 PageRank hosts
+    (frontier.apportion_budget) — Σ budgets == T exactly, leftovers to
+    the largest remainders with host tie-break, every step integer.
+    The twin recomputes the same unrolled PageRank (the g1 CTE body)
+    and replays quota/remainder/leftover assignment; one unit moving
+    between hosts breaks the hash."""
+    from .operators import frontier as frontier_ops
+    from .operators import graph
+
+    ranks = graph.pagerank_int(_g1_edges(spark, sf), iters=3).select(
+        F.col("node").alias("host"), "rank"
+    )
+    return frontier_ops.apportion_budget(ranks, G2_TOTAL).orderBy("host")
+
+
+G2_SQL = (
+    "WITH "
+    + _G1_BODY
+    + f""",
+ranks AS (SELECT h AS host, r AS rank FROM r3),
+tot AS (SELECT sum(rank)::BIGINT AS R FROM ranks),
+q AS (
+  SELECT host,
+         ({G2_TOTAL}::BIGINT * rank) // R AS quota,
+         ({G2_TOTAL}::BIGINT * rank) % R AS rem
+  FROM ranks, tot
+),
+lo AS (SELECT ({G2_TOTAL} - sum(quota))::BIGINT AS L FROM q),
+ord AS (
+  SELECT host, quota,
+         row_number() OVER (ORDER BY rem DESC, host) AS rn
+  FROM q
+)
+SELECT host,
+       (quota + CASE WHEN rn <= L THEN 1 ELSE 0 END)::BIGINT AS budget
+FROM ord, lo
+ORDER BY host
+"""
+)
+
+
+T8_WINDOW_S = 3 * 86400
+T8_TARGET = 50
+T8_MIN_S = 60
+T8_MAX_S = 86400
+
+
+def t8_recrawl_schedule(spark, sf):
+    """Freshness-driven recrawl scheduling (sources.recrawl_schedule):
+    per-source next-poll interval sized so a poll catches ~TARGET new
+    items, from the trailing-window discovery rate — the rate→cadence
+    loop of the reference's fresh-links scheduler
+    (news_fresh_links_scheduler.py:29-68). Exact integer ceil-division
+    on epoch seconds; the twin replays window cut, counts and clamps."""
+    from . import sources as src
+
+    return src.recrawl_schedule(
+        load(spark, sf, "events"),
+        window_s=T8_WINDOW_S,
+        target_batch=T8_TARGET,
+        min_s=T8_MIN_S,
+        max_s=T8_MAX_S,
+    ).orderBy("source")
+
+
+# floor(epoch(...)) and NOT epoch(...)::BIGINT in the twin: DuckDB's
+# double→BIGINT cast ROUNDS the fractional second where Spark's
+# timestamp→long cast floors it — boundary events would land on different
+# sides of the window cut
+T8_SQL = f"""
+WITH mx AS (SELECT max(ts) AS mx FROM events),
+n AS (
+  SELECT event_type AS source, count(*)::BIGINT AS n_recent
+  FROM events, mx
+  WHERE floor(epoch(ts))::BIGINT > floor(epoch(mx))::BIGINT - {T8_WINDOW_S}
+  GROUP BY 1
+)
+SELECT source, n_recent,
+       least({T8_MAX_S},
+             greatest({T8_MIN_S},
+                      ({T8_WINDOW_S * T8_TARGET}::BIGINT + n_recent - 1)
+                        // n_recent))::BIGINT AS next_poll_s
+FROM n
+ORDER BY source
+"""
 
 
 def x8_token_packing(spark, sf):
@@ -4402,6 +4498,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x21_semdedup": x21_semdedup,
     "x22_dsir_select": x22_dsir_select,
     "j14_aimd_budget_replay": j14_aimd_budget_replay,
+    "g2_budget_apportion": g2_budget_apportion,
+    "t8_recrawl_schedule": t8_recrawl_schedule,
 }
 
 ORACLES: dict[str, str] = {
@@ -4482,4 +4580,6 @@ ORACLES: dict[str, str] = {
     "x21_semdedup": X21_SQL,
     "x22_dsir_select": X22_SQL,
     "j14_aimd_budget_replay": J14_SQL,
+    "g2_budget_apportion": G2_SQL,
+    "t8_recrawl_schedule": T8_SQL,
 }

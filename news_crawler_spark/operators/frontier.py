@@ -247,3 +247,56 @@ def url_trap_flags(
         .otherwise(F.lit("ok"))
     )
     return urls.withColumn("trap_reason", reason)
+
+
+def apportion_budget(
+    ranks: DataFrame,
+    total: int,
+    node_col: str = "host",
+    rank_col: str = "rank",
+    salts: int = 64,
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a global per-round
+    fetch budget across hosts, proportional to an integer rank signal
+    (e.g. ``graph.pagerank_int``): budget_h = ⌊T·r_h/R⌋ plus one of the
+    T − Σ⌊·⌋ leftover units for the largest remainders (ties by host) —
+    Σ budgets == T exactly, every step integer arithmetic, so a SQL twin
+    replays it bit-for-bit. This is how a rank signal becomes the
+    per-host budget column ``pop_round`` consumes when the crawl has a
+    global politeness/QPS ceiling rather than per-host constants.
+
+    Scale shape: two 1-row aggregates (R, then the leftover count L —
+    the engine's one-row-collect discipline, never a row collect), and
+    the +1 set is picked by the SAME two-phase salted top-k ``pop_round``
+    uses (phase 1 ranks within a salt, phase 2 ranks the ≤ salts·L
+    survivors), so there is no single-task global window over the host
+    table. Quota math rides a broadcast of the 1-row total; the host
+    table is scanned twice (quota pass + top-L pass) and shuffled once.
+    """
+    r_tot = int(ranks.agg(F.sum(rank_col).cast("long")).collect()[0][0])
+    q = ranks.select(
+        F.col(node_col).alias("host"),
+        F.expr(f"(cast({total} as bigint) * {rank_col}) div {r_tot}").alias(
+            "quota"
+        ),
+        F.pmod(F.lit(total).cast("long") * F.col(rank_col), F.lit(r_tot)).alias(
+            "rem"
+        ),
+    )
+    leftover = int(total - q.agg(F.sum("quota")).collect()[0][0])
+    if leftover == 0:
+        return q.select("host", F.col("quota").cast("long").alias("budget"))
+    w1 = Window.partitionBy("__s").orderBy(F.desc("rem"), "host")
+    w2 = Window.orderBy(F.desc("rem"), "host")
+    plus = (
+        q.withColumn("__s", F.pmod(F.xxhash64("host"), F.lit(salts)))
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= leftover)
+        .withColumn("__r2", F.row_number().over(w2))
+        .filter(F.col("__r2") <= leftover)
+        .select("host", F.lit(1).cast("long").alias("__plus"))
+    )
+    return q.join(plus, "host", "left").select(
+        "host",
+        (F.col("quota") + F.coalesce("__plus", F.lit(0))).cast("long").alias("budget"),
+    )

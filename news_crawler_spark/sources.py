@@ -245,3 +245,50 @@ def discover(
         F.col("published_ts").alias("discovery_time"),
     )
     return fresh, latest_cursors(links)
+
+
+def recrawl_schedule(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    window_s: int = 3 * 86400,
+    target_batch: int = 50,
+    min_s: int = 60,
+    max_s: int = 86400,
+) -> DataFrame:
+    """Freshness-driven recrawl scheduling: pick each source's next poll
+    interval so a poll catches ~``target_batch`` new items, from the
+    discovery rate observed over the trailing ``window_s`` — the
+    decision the reference's fresh-links scheduler makes per feed
+    (news_fresh_links_scheduler.py:29-68 polls on a fixed cadence and
+    counts fresh links; this closes the loop rate → cadence). A source
+    discovering n items per window gets interval
+    clamp(⌈target·window/n⌉, min_s, max_s) — exact integer ceil-div on
+    epoch seconds, so a SQL twin replays every interval bit-for-bit.
+
+    Scale shape: one 1-row max aggregate broadcast back, a pushed-down
+    timestamp filter, one per-source count — O(sources) output. Sources
+    with zero recent discoveries are absent (poll them at max_s by
+    default at the call site).
+
+    Returns ``(source, n_recent, next_poll_s)``.
+    """
+    mx = events.agg(F.max(ts_col).alias("__mx"))
+    # .cast("timestamp").cast("long"): NTZ→long needs the two-step (the
+    # a8 epoch recipe, matches the twin's floor(epoch(...)))
+    tl = F.col(ts_col).cast("timestamp").cast("long")
+    n = (
+        events.join(F.broadcast(mx))
+        .filter(tl > F.col("__mx").cast("timestamp").cast("long") - window_s)
+        .groupBy(F.col(key_col).alias("source"))
+        .agg(F.count("*").alias("n_recent"))
+    )
+    a = int(window_s) * int(target_batch)
+    delay = F.least(
+        F.lit(max_s).cast("long"),
+        F.greatest(
+            F.lit(min_s).cast("long"),
+            F.expr(f"(cast({a} as bigint) + n_recent - 1) div n_recent"),
+        ),
+    )
+    return n.select("source", "n_recent", delay.alias("next_poll_s"))

@@ -268,3 +268,32 @@ def test_seen_prefilter_modes_identical(spark, tmp_path_factory):
         results[pf] = (n, urls)
     assert results[None] == results["bloom"] == results["cuckoo"]
     assert results[None][0] > 0  # the batch really admitted new URLs
+
+
+def test_apportion_budget_hamilton_exact(spark):
+    """Largest-remainder apportionment: budgets sum to the total
+    exactly, quotas never under-allocate the floor, leftovers go to the
+    largest remainders with host tie-break — checked against a python
+    twin on a skewed rank vector, plus the all-equal tie edge."""
+    from news_crawler_spark.operators import frontier as fops
+
+    ranks = {"h%02d" % i: (i + 1) ** 2 for i in range(17)}
+    df = spark.createDataFrame(list(ranks.items()), "host string, rank long")
+    total = 103
+    got = {r.host: r.budget for r in fops.apportion_budget(df, total).collect()}
+
+    R = sum(ranks.values())
+    quota = {h: total * r // R for h, r in ranks.items()}
+    rem = {h: total * r % R for h, r in ranks.items()}
+    left = total - sum(quota.values())
+    plus = sorted(ranks, key=lambda h: (-rem[h], h))[:left]
+    want = {h: quota[h] + (1 if h in plus else 0) for h in ranks}
+    assert got == want, (got, want)
+    assert sum(got.values()) == total
+
+    # all-equal ranks, total not divisible: ties broken by host name
+    eq = spark.createDataFrame(
+        [("a", 5), ("b", 5), ("c", 5)], "host string, rank long"
+    )
+    got_eq = {r.host: r.budget for r in fops.apportion_budget(eq, 10).collect()}
+    assert got_eq == {"a": 4, "b": 3, "c": 3}, got_eq

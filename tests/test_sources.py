@@ -152,3 +152,34 @@ def test_discover_feeds_engine(spark, pages, tmp_path):
     assert 0 < n <= fresh.count()  # dedup may collapse rediscoveries
     assert pend.select("canonical_url").distinct().count() == n
     assert cursors.count() == 5
+
+
+def test_recrawl_schedule_clamps_and_ceil(spark):
+    """Interval math vs hand computation: exact ceil-div, min/max clamps,
+    and zero-recent sources absent from the output."""
+    import datetime as dt
+
+    from news_crawler_spark import sources
+
+    base = dt.datetime(2024, 1, 10, 0, 0, 0)
+    rows = []
+    # 'hot': 100 events inside the window -> ceil(50*3600/100) = 1800
+    rows += [("hot", base - dt.timedelta(seconds=i)) for i in range(100)]
+    # 'cold': 1 event inside -> ceil(180000/1) clamped to max_s
+    rows += [("cold", base - dt.timedelta(seconds=30))]
+    # 'firehose': 4000 inside -> ceil(180000/4000)=45 clamped to min_s
+    rows += [("firehose", base - dt.timedelta(seconds=i % 3000)) for i in range(4000)]
+    # 'stale': only events OUTSIDE the window -> absent
+    rows += [("stale", base - dt.timedelta(seconds=4000))]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = {
+        r.source: (r.n_recent, r.next_poll_s)
+        for r in sources.recrawl_schedule(
+            df, window_s=3600, target_batch=50, min_s=60, max_s=7200
+        ).collect()
+    }
+    assert got == {
+        "hot": (100, 1800),
+        "cold": (1, 7200),
+        "firehose": (4000, 60),
+    }, got
