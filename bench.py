@@ -92,6 +92,7 @@ HEADLINE = [
     "j14_aimd_budget_replay",
     "g2_budget_apportion",
     "t8_recrawl_schedule",
+    "x23_temperature_mixture",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by

@@ -3873,6 +3873,52 @@ ORDER BY host
 )
 
 
+X23_TOTAL = 10_000
+
+
+def x23_temperature_mixture(spark, sf):
+    """Temperature-scaled corpus mixing (sampling.temperature_mixture):
+    per-language training quotas ∝ n^0.5 (T=0.5 upweights low-resource
+    languages — the mT5/XLM-R sampling rule), quantized to integer
+    micro-weights and apportioned by the SAME Hamilton largest-remainder
+    operator g2 gates for crawl budgets. Σ quotas == 10 000 exactly; the
+    twin replays sqrt-quantization, quota, remainder and the leftover
+    tie-break."""
+    from .operators import sampling
+
+    return sampling.temperature_mixture(
+        load(spark, sf, "documents"), total=X23_TOTAL, group_col="lang"
+    ).orderBy("source")
+
+
+X23_SQL = f"""
+WITH n AS (
+  SELECT lang AS source, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1
+),
+r AS (
+  SELECT source, n_docs,
+         round(sqrt(n_docs::DOUBLE) * 1000000)::BIGINT AS rank FROM n
+),
+tot AS (SELECT sum(rank)::BIGINT AS R FROM r),
+q AS (
+  SELECT source, n_docs,
+         ({X23_TOTAL}::BIGINT * rank) // R AS quota,
+         ({X23_TOTAL}::BIGINT * rank) % R AS rem
+  FROM r, tot
+),
+lo AS (SELECT ({X23_TOTAL} - sum(quota))::BIGINT AS L FROM q),
+ord AS (
+  SELECT source, n_docs, quota,
+         row_number() OVER (ORDER BY rem DESC, source) AS rn
+  FROM q
+)
+SELECT source, n_docs,
+       (quota + CASE WHEN rn <= L THEN 1 ELSE 0 END)::BIGINT AS quota
+FROM ord, lo
+ORDER BY source
+"""
+
+
 T8_WINDOW_S = 3 * 86400
 T8_TARGET = 50
 T8_MIN_S = 60
@@ -4500,6 +4546,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j14_aimd_budget_replay": j14_aimd_budget_replay,
     "g2_budget_apportion": g2_budget_apportion,
     "t8_recrawl_schedule": t8_recrawl_schedule,
+    "x23_temperature_mixture": x23_temperature_mixture,
 }
 
 ORACLES: dict[str, str] = {
@@ -4582,4 +4629,5 @@ ORACLES: dict[str, str] = {
     "j14_aimd_budget_replay": J14_SQL,
     "g2_budget_apportion": G2_SQL,
     "t8_recrawl_schedule": T8_SQL,
+    "x23_temperature_mixture": X23_SQL,
 }

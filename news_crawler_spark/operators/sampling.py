@@ -146,3 +146,48 @@ def stratified_sample(
         .filter(bucket < F.col("__thresh"))
         .drop("__thresh")
     )
+
+
+def temperature_mixture(
+    docs: DataFrame,
+    total: int,
+    temperature: float = 0.5,
+    group_col: str = "source",
+) -> DataFrame:
+    """Temperature-scaled mixture quotas — the multilingual-corpus
+    sampling rule (sample groups ∝ n^T, T<1 upweights small
+    sources/languages; the mT5/XLM-R recipe) as exact integers: per-group
+    weights w_g = round(n_g^T · 10⁶) quantized to BIGINT (sqrt for the
+    canonical T=0.5 — correctly-rounded IEEE in every engine; the DSIR
+    micro-unit argument), then a Hamilton apportionment of ``total``
+    across groups (``frontier.apportion_budget``), so Σ quotas == total
+    exactly and a SQL twin replays weight quantization AND the
+    largest-remainder assignment. Only T=0.5 is engine-portable
+    bit-for-bit (general pow is not correctly rounded); other
+    temperatures carry the same ulp-at-the-round-boundary caveat as ln
+    in ``text.dsir_select``.
+
+    Returns ``(source, n_docs, quota)``. Scale: one count aggregate
+    (O(groups) rows) + the apportionment's two 1-row aggregates.
+    """
+    from .frontier import apportion_budget
+
+    counts = docs.groupBy(F.col(group_col).alias("source")).agg(
+        F.count("*").alias("n_docs")
+    )
+    if abs(temperature - 0.5) < 1e-12:
+        # sqrt, not pow(x, .5): sqrt is correctly rounded IEEE, pow is not
+        w = F.sqrt(F.col("n_docs").cast("double"))
+    else:
+        w = F.pow(F.col("n_docs").cast("double"), F.lit(float(temperature)))
+    ranks = counts.select(
+        F.col("source").alias("host"),
+        F.round(w * F.lit(1_000_000.0)).cast("long").alias("rank"),
+    )
+    return (
+        counts.join(
+            apportion_budget(ranks, total).withColumnRenamed("host", "source"),
+            "source",
+        )
+        .select("source", "n_docs", F.col("budget").alias("quota"))
+    )

@@ -950,3 +950,21 @@ def test_semdedup_prunes_within_cell_only(spark):
         ).collect()
     }
     assert again == out
+
+
+def test_temperature_mixture_upweights_small_groups(spark):
+    """T=0.5 mixing: quotas sum to the total exactly, and the small
+    group's share strictly exceeds its raw proportion (the rule's whole
+    point) while the big group's share shrinks."""
+    from news_crawler_spark.operators import sampling
+
+    rows = [("big", i) for i in range(900)] + [("small", i) for i in range(100)]
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    got = {
+        r.source: (r.n_docs, r.quota)
+        for r in sampling.temperature_mixture(df, total=1000).collect()
+    }
+    assert got["big"][0] == 900 and got["small"][0] == 100
+    assert got["big"][1] + got["small"][1] == 1000
+    # raw share would be 100; sqrt share = 10/(30+10) = 250
+    assert got["small"][1] == 250, got
