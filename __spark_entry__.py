@@ -33,7 +33,16 @@ k-means whose three iterations the DuckDB twin replays bit-for-bit,
 x13: BM25 ranked retrieval with idf quantized so both engines'
 contributions are bit-identical, and x14: the corpus build end-to-end
 — quality → dedup → eval split → decontaminate → shard-pack — as one
-value-hashed composition).
+value-hashed composition. Late round 5 closes the loop on the
+training-mixture and adaptive-crawl surfaces: x21 SemDeDup (v10's
+k-means cells + within-cell integer-exact cosine prune), x22 DSIR
+importance-weighted selection (md5 buckets, micro-nat log-ratios,
+integer weight sums), x23 temperature-scaled mixing quotas (n^0.5
+micro-weights through the Hamilton apportionment), j14 AIMD adaptive
+politeness budgets replayed through the real pop/MERGE loop, g2
+rank→budget apportionment from the g1 PageRank, and t8
+freshness-driven recrawl scheduling — every one value-hash-gated
+against a DuckDB twin).
 """
 
 from __future__ import annotations

@@ -297,3 +297,46 @@ def test_apportion_budget_hamilton_exact(spark):
     )
     got_eq = {r.host: r.budget for r in fops.apportion_budget(eq, 10).collect()}
     assert got_eq == {"a": 4, "b": 3, "c": 3}, got_eq
+
+
+def test_apportioned_budgets_drive_pop_round(spark):
+    """Composition: rank → apportion_budget → pop_round. The per-host
+    popped counts equal min(budget, pending(host)) and the global pop
+    total never exceeds the apportioned ceiling — the g2→T1 loop a
+    globally-QPS-capped crawl runs every round."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from news_crawler_spark.operators import frontier as fops
+
+    ranks = spark.createDataFrame(
+        [("a.example", 60), ("b.example", 30), ("c.example", 10)],
+        "host string, rank long",
+    )
+    budgets = fops.apportion_budget(ranks, 10)
+    got_b = {r.host: r.budget for r in budgets.collect()}
+    assert got_b == {"a.example": 6, "b.example": 3, "c.example": 1}, got_b
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (h, i, base + dt.timedelta(seconds=i))
+        for h in ("a.example", "b.example", "c.example")
+        for i in range(8)
+    ]
+    pend = spark.createDataFrame(
+        rows, "host string, url_hash long, published_ts timestamp"
+    ).select(
+        "host",
+        "url_hash",
+        F.lit(0).cast("int").alias("priority"),
+        "published_ts",
+        F.lit("pending").alias("status"),
+        F.lit(0).alias("tried_count"),
+    )
+    popped = fops.pop_round(fops.eligible(pend), budgets, salts=4)
+    per_host = {
+        r.host: r.n
+        for r in popped.groupBy("host").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_host == {"a.example": 6, "b.example": 3, "c.example": 1}, per_host
