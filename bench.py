@@ -93,6 +93,7 @@ HEADLINE = [
     "g2_budget_apportion",
     "t8_recrawl_schedule",
     "x23_temperature_mixture",
+    "x24_gopher_rules",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by

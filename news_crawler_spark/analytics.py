@@ -3873,6 +3873,48 @@ ORDER BY host
 )
 
 
+def x24_gopher_rules(spark, sf):
+    """Gopher rule-based quality gate (text.gopher_flags) under the hard
+    gate: per-doc supporting counts and per-rule flags, every rule a
+    cross-multiplied integer comparison, so the twin reproduces each
+    flag bit-for-bit. One codegen'd scan, no shuffle."""
+    return text.gopher_flags(load(spark, sf, "documents")).orderBy("doc_id")
+
+
+X24_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+c AS (
+  SELECT doc_id,
+         len(toks)::BIGINT AS n_tokens,
+         list_sum([len(x) for x in toks])::BIGINT AS tok_chars,
+         len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))::BIGINT
+           AS n_alpha,
+         len(list_filter(toks, x -> x IN {text.EN_STOPWORDS}))::BIGINT
+           AS n_stops
+  FROM t
+)
+SELECT doc_id, n_tokens, tok_chars, n_alpha, n_stops,
+       (n_tokens >= {text.GOPHER_MIN_TOKENS}
+        AND n_tokens <= {text.GOPHER_MAX_TOKENS})::INT AS count_ok,
+       ({text.GOPHER_MWL_MIN} * n_tokens <= tok_chars
+        AND tok_chars <= {text.GOPHER_MWL_MAX} * n_tokens)::INT AS mwl_ok,
+       ({text.GOPHER_ALPHA_DEN} * n_alpha
+        >= {text.GOPHER_ALPHA_NUM} * n_tokens)::INT AS alpha_ok,
+       (n_stops >= {text.GOPHER_MIN_STOPS})::INT AS stop_ok,
+       (n_tokens >= {text.GOPHER_MIN_TOKENS}
+        AND n_tokens <= {text.GOPHER_MAX_TOKENS}
+        AND {text.GOPHER_MWL_MIN} * n_tokens <= tok_chars
+        AND tok_chars <= {text.GOPHER_MWL_MAX} * n_tokens
+        AND {text.GOPHER_ALPHA_DEN} * n_alpha
+            >= {text.GOPHER_ALPHA_NUM} * n_tokens
+        AND n_stops >= {text.GOPHER_MIN_STOPS})::INT AS passes
+FROM c
+ORDER BY doc_id
+"""
+
+
 X23_TOTAL = 10_000
 
 
@@ -4547,6 +4589,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g2_budget_apportion": g2_budget_apportion,
     "t8_recrawl_schedule": t8_recrawl_schedule,
     "x23_temperature_mixture": x23_temperature_mixture,
+    "x24_gopher_rules": x24_gopher_rules,
 }
 
 ORACLES: dict[str, str] = {
@@ -4630,4 +4673,5 @@ ORACLES: dict[str, str] = {
     "g2_budget_apportion": G2_SQL,
     "t8_recrawl_schedule": T8_SQL,
     "x23_temperature_mixture": X23_SQL,
+    "x24_gopher_rules": X24_SQL,
 }

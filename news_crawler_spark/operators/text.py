@@ -363,3 +363,59 @@ def dsir_select(
         .agg(F.sum("lr").alias("weight"))
     )
     return weights.orderBy(F.desc("weight"), "doc_id").limit(m)
+
+
+# Gopher-rules thresholds as pure rationals (cross-multiplied below —
+# no float division anywhere, so every flag is engine-exact):
+# mean word length in [3, 10]; ≥80% alphabetic tokens; ≥2 stopword hits;
+# token count in [5, 10_000].
+GOPHER_MIN_TOKENS = 5
+GOPHER_MAX_TOKENS = 10_000
+GOPHER_MWL_MIN = 3
+GOPHER_MWL_MAX = 10
+GOPHER_ALPHA_NUM = 4  # alpha_tokens/tokens ≥ 4/5
+GOPHER_ALPHA_DEN = 5
+GOPHER_MIN_STOPS = 2
+
+
+def gopher_flags(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, §A1.1) as
+    one codegen'd projection — the rule-based gate a training pipeline
+    runs before any model-based filter: token-count bounds, mean word
+    length 3-10, ≥80% alphabetic tokens, ≥2 stopword hits. Every rule is
+    a cross-multiplied INTEGER comparison (mean-word-length ∈ [3,10] ⇔
+    3·n ≤ Σ|tok| ≤ 10·n), so a SQL twin reproduces each flag exactly —
+    no ratio ever materializes as a float.
+
+    Returns the supporting counts and per-rule flags plus the combined
+    ``passes`` — keep the counts in the output so a failed doc is
+    attributable without recomputation. One scan, no shuffle, no UDF
+    (the x11/x2 plan shape).
+    """
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    stops = stopword_hits(toks)
+    n_ok = (n >= GOPHER_MIN_TOKENS) & (n <= GOPHER_MAX_TOKENS)
+    mwl_ok = (F.lit(GOPHER_MWL_MIN) * n <= chars) & (
+        chars <= F.lit(GOPHER_MWL_MAX) * n
+    )
+    alpha_ok = F.lit(GOPHER_ALPHA_DEN) * alpha >= F.lit(GOPHER_ALPHA_NUM) * n
+    stop_ok = stops >= GOPHER_MIN_STOPS
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n.cast("long").alias("n_tokens"),
+        chars.cast("long").alias("tok_chars"),
+        alpha.cast("long").alias("n_alpha"),
+        stops.cast("long").alias("n_stops"),
+        n_ok.cast("int").alias("count_ok"),
+        mwl_ok.cast("int").alias("mwl_ok"),
+        alpha_ok.cast("int").alias("alpha_ok"),
+        stop_ok.cast("int").alias("stop_ok"),
+        (n_ok & mwl_ok & alpha_ok & stop_ok).cast("int").alias("passes"),
+    )

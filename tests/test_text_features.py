@@ -304,3 +304,30 @@ def test_dsir_select_matches_python_twin(spark):
     # the de-vocabulary docs outrank the off-target ones; the mixed doc
     # sits strictly between the two groups
     assert min(want[0], want[1]) > want[4] > max(want[2], want[3]), want
+
+
+def test_gopher_flags_edges(spark):
+    """Each rule trips on its own planted edge: too-short doc, mean word
+    length out of both bounds, non-alpha flood, no stopwords."""
+    from news_crawler_spark.operators import text as text_ops
+
+    rows = [
+        (0, "the quick brown fox jumps over the crazy dogs today"),  # all pass
+        (1, "the a of"),                                     # too few tokens
+        (2, "the of supercalifragilistic extraordinarily " + "x" * 0 +
+            "incomprehensibilities antidisestablishmentarianism neuropsychopharmacologist"),
+        (3, "the of 123 456 789 777 888 999 000 111"),       # alpha < 80%
+        (4, "cat dog bird fish mouse horse goat sheep"),     # no stopwords
+        (5, "a b c d e f g h i j"),                          # mwl < 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.count_ok, r.mwl_ok, r.alpha_ok, r.stop_ok, r.passes)
+        for r in text_ops.gopher_flags(df).collect()
+    }
+    assert got[0] == (1, 1, 1, 1, 1), got
+    assert got[1][0] == 0 and got[1][4] == 0
+    assert got[2][1] == 0, got  # mean word length > 10
+    assert got[3][2] == 0, got
+    assert got[4] == (1, 1, 1, 0, 0), got
+    assert got[5][1] == 0, got  # mean word length < 3
