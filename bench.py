@@ -94,6 +94,7 @@ HEADLINE = [
     "t8_recrawl_schedule",
     "x23_temperature_mixture",
     "x24_gopher_rules",
+    "p12_canonical_collapse",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by

@@ -3873,6 +3873,64 @@ ORDER BY host
 )
 
 
+def p12_canonical_collapse(spark, sf):
+    """F6-F7 under the hard gate: the PRODUCTION URL canonicalizer (the
+    Arrow-batched pandas UDF, functions/urls.py — RFC-3986 normalize the
+    reference relies on for its seen-set keys,
+    utils/url_utils canonicalization in the reference collectors) run
+    over woven variant URLs whose canonical form both engines know BY
+    CONSTRUCTION (the x11 PII-weave trick): per event, one of four
+    variants — tracking-params suffix, scheme-less, protocol-relative,
+    uppercase-host + default-:443 + doubled path slash — all of which
+    must collapse to https://h{id%50}.example/p/{id//7}. The twin builds
+    that canonical directly from the id arithmetic, so the value hash
+    pins scheme-defaulting, tracking-strip, host-lowercasing,
+    default-port drop and slash collapse across every event id at once
+    (golden tests pin the same rules case-by-case)."""
+    from .functions.urls import canonicalize_url
+
+    e = load(spark, sf, "events")
+    # group key = event_id div 4: four consecutive ids hit the four
+    # variant kinds exactly once each, so every canonical group must
+    # collapse 4 distinct raw spellings → n_variants == 4 everywhere
+    k = F.expr("(event_id div 4) % 50")
+    m = F.expr("event_id div 4")
+    base = F.concat(F.lit("h"), k, F.lit(".example/p/"), m)
+    raw = (
+        F.when(
+            F.col("event_id") % 4 == 0,
+            F.concat(F.lit("https://"), base, F.lit("?utm_source=a&utm_medium=b")),
+        )
+        .when(F.col("event_id") % 4 == 1, base)
+        .when(F.col("event_id") % 4 == 2, F.concat(F.lit("//"), base))
+        .otherwise(
+            F.concat(
+                F.lit("https://H"), k, F.lit(".EXAMPLE:443/p//"), m
+            )
+        )
+    )
+    return (
+        e.select(F.col("event_id"), canonicalize_url(raw).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_variants"),
+            F.min("event_id").alias("first_event"),
+        )
+        .orderBy("canonical_url")
+    )
+
+
+P12_SQL = """
+SELECT 'https://h' || ((event_id // 4) % 50) || '.example/p/'
+         || (event_id // 4) AS canonical_url,
+       count(*)::BIGINT AS n_variants,
+       min(event_id)::BIGINT AS first_event
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 def x24_gopher_rules(spark, sf):
     """Gopher rule-based quality gate (text.gopher_flags) under the hard
     gate: per-doc supporting counts and per-rule flags, every rule a
@@ -4590,6 +4648,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t8_recrawl_schedule": t8_recrawl_schedule,
     "x23_temperature_mixture": x23_temperature_mixture,
     "x24_gopher_rules": x24_gopher_rules,
+    "p12_canonical_collapse": p12_canonical_collapse,
 }
 
 ORACLES: dict[str, str] = {
@@ -4674,4 +4733,5 @@ ORACLES: dict[str, str] = {
     "t8_recrawl_schedule": T8_SQL,
     "x23_temperature_mixture": X23_SQL,
     "x24_gopher_rules": X24_SQL,
+    "p12_canonical_collapse": P12_SQL,
 }
