@@ -273,7 +273,13 @@ def apportion_budget(
     table. Quota math rides a broadcast of the 1-row total; the host
     table is scanned twice (quota pass + top-L pass) and shuffled once.
     """
-    r_tot = int(ranks.agg(F.sum(rank_col).cast("long")).collect()[0][0])
+    row = ranks.agg(F.sum(rank_col).cast("long")).collect()[0][0]
+    if row is None or row <= 0:
+        # empty input or all-zero ranks: nothing to apportion
+        return ranks.select(
+            F.col(node_col).alias("host"), F.lit(0).cast("long").alias("budget")
+        )
+    r_tot = int(row)
     q = ranks.select(
         F.col(node_col).alias("host"),
         F.expr(f"(cast({total} as bigint) * {rank_col}) div {r_tot}").alias(

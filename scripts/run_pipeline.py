@@ -129,7 +129,45 @@ def main() -> None:
     vecs = sched.vectors()
     out["vectors"] = vecs.count()
 
-    # 5. search
+    # 5. training-corpus export: Gopher rule gate → token-budget shard
+    # packing → temperature-scaled per-source mixture quotas — the
+    # crawl-to-training handoff (the x14/x23/x24 operators composed over
+    # REAL crawled docs instead of the testdata tables)
+    from news_crawler_spark.operators import sampling
+    from news_crawler_spark.operators import text as text_ops
+
+    corpus = keep.select(
+        "doc_id",
+        F.concat_ws(" ", "title", "summary").alias("text"),
+        "source",
+    )
+    # the synthetic crawl vocabulary carries no English stopwords, so the
+    # stopword rule is REPORTED (out["gopher_stop_fail"]) but not
+    # enforced on this corpus; the structural rules gate admission
+    flags = text_ops.gopher_flags(corpus)
+    out["gopher_stop_fail"] = flags.filter(F.col("stop_ok") == 0).count()
+    passing = corpus.join(
+        flags.filter(
+            (F.col("count_ok") == 1)
+            & (F.col("mwl_ok") == 1)
+            & (F.col("alpha_ok") == 1)
+        ).select("doc_id"),
+        "doc_id",
+    )
+    packed = sampling.pack_token_shards(passing, budget=2048, n_shards=8)
+    corpus_dir = os.path.join(args.workdir, "corpus")
+    packed.write.mode("overwrite").parquet(corpus_dir)
+    packed = spark.read.parquet(corpus_dir)
+    out["corpus_docs"] = packed.count()
+    out["corpus_bins"] = packed.agg(
+        F.count_distinct("shard", "bin_id")
+    ).collect()[0][0]
+    quotas = sampling.temperature_mixture(passing, total=10_000)
+    out["mixture_quotas"] = {
+        r.source: r.quota for r in quotas.collect()
+    }
+
+    # 6. search
     hits = embed.search(vecs, keep, args.query, k=args.k, dim=args.dim)
     out["query"] = args.query
     out["hits"] = [

@@ -340,3 +340,16 @@ def test_apportioned_budgets_drive_pop_round(spark):
         for r in popped.groupBy("host").agg(F.count("*").alias("n")).collect()
     }
     assert per_host == {"a.example": 6, "b.example": 3, "c.example": 1}, per_host
+
+
+def test_apportion_budget_empty_and_zero_rank(spark):
+    """Empty or all-zero rank input apportions nothing instead of
+    raising (the guard a composed pipeline hits when a quality gate
+    filters a corpus to zero rows)."""
+    from news_crawler_spark.operators import frontier as fops
+
+    empty = spark.createDataFrame([], "host string, rank long")
+    assert fops.apportion_budget(empty, 100).count() == 0
+    zeros = spark.createDataFrame([("a", 0), ("b", 0)], "host string, rank long")
+    got = {r.host: r.budget for r in fops.apportion_budget(zeros, 100).collect()}
+    assert got == {"a": 0, "b": 0}
