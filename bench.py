@@ -95,6 +95,7 @@ HEADLINE = [
     "x23_temperature_mixture",
     "x24_gopher_rules",
     "p12_canonical_collapse",
+    "x25_unigram_entropy",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by

@@ -3931,6 +3931,34 @@ ORDER BY 1
 """
 
 
+def x25_unigram_entropy(spark, sf):
+    """Per-doc token unigram entropy (text.unigram_entropy) under the
+    hard gate: the integer numerator n·L(n) − Σ c·L(c) with L =
+    round(ln·10⁶) — no engine-side division, so single-token-type docs
+    pin exactly 0 and every other doc's value hash is micro-nat
+    exact."""
+    return text.unigram_entropy(load(spark, sf, "documents")).orderBy("doc_id")
+
+
+X25_SQL = """
+WITH tok AS (
+  SELECT doc_id, t.t FROM documents,
+         unnest(string_split(text, ' ')) AS t(t)
+),
+c AS (SELECT doc_id, t, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2),
+s AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+         sum(c * round(ln(c::DOUBLE) * 1000000)::BIGINT)::BIGINT AS s
+  FROM c GROUP BY 1
+)
+SELECT doc_id, n_tokens,
+       (n_tokens * round(ln(n_tokens::DOUBLE) * 1000000)::BIGINT - s)::BIGINT
+         AS h_num
+FROM s
+ORDER BY doc_id
+"""
+
+
 def x24_gopher_rules(spark, sf):
     """Gopher rule-based quality gate (text.gopher_flags) under the hard
     gate: per-doc supporting counts and per-rule flags, every rule a
@@ -4649,6 +4677,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x23_temperature_mixture": x23_temperature_mixture,
     "x24_gopher_rules": x24_gopher_rules,
     "p12_canonical_collapse": p12_canonical_collapse,
+    "x25_unigram_entropy": x25_unigram_entropy,
 }
 
 ORACLES: dict[str, str] = {
@@ -4734,4 +4763,5 @@ ORACLES: dict[str, str] = {
     "x23_temperature_mixture": X23_SQL,
     "x24_gopher_rules": X24_SQL,
     "p12_canonical_collapse": P12_SQL,
+    "x25_unigram_entropy": X25_SQL,
 }

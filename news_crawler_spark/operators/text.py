@@ -419,3 +419,43 @@ def gopher_flags(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         stop_ok.cast("int").alias("stop_ok"),
         (n_ok & mwl_ok & alpha_ok & stop_ok).cast("int").alias("passes"),
     )
+
+
+def unigram_entropy(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document token unigram entropy — the language-model-free
+    degenerate-text signal of the CCNet/C4 family (a keyboard-mash or
+    single-token-spam page has near-zero entropy; natural text sits
+    high), complementing x10's repetition fractions with a
+    distribution-shape view.
+
+    Exact-integer formulation: with L(x) = round(ln(x)·10⁶) (micro-nats,
+    the DSIR/bm25 quantization argument), Shannon entropy
+    H = ln n − (Σ c_i·ln c_i)/n is emitted as the INTEGER numerator
+    ``h_num = n·L(n) − Σ c_i·L(c_i)`` plus ``n_tokens`` — true entropy
+    = h_num / (n·10⁶) nats, but no division ever happens engine-side,
+    so the value hash is exact (single-token-type docs give exactly 0).
+
+    Scale shape: one explode → one (doc, token) count → one per-doc sum
+    — the x3 token pass with one extra aggregation level; no UDF.
+    """
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("t")
+    )
+    lmicro = lambda c: F.round(F.log(c.cast("double")) * F.lit(1_000_000.0)).cast(  # noqa: E731
+        "long"
+    )
+    per_tok = toked.groupBy("doc_id", "t").agg(F.count("*").alias("c"))
+    return (
+        per_tok.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * lmicro(F.col("c"))).alias("__s"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("n_tokens") * lmicro(F.col("n_tokens")) - F.col("__s"))
+            .cast("long")
+            .alias("h_num"),
+        )
+    )

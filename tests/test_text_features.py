@@ -331,3 +331,40 @@ def test_gopher_flags_edges(spark):
     assert got[3][2] == 0, got
     assert got[4] == (1, 1, 1, 0, 0), got
     assert got[5][1] == 0, got  # mean word length < 3
+
+
+def test_unigram_entropy_twin(spark):
+    """Entropy numerator vs a python twin; the all-same-token doc is
+    exactly 0 and the all-distinct doc is exactly n*L(n)."""
+    import math
+
+    from news_crawler_spark.operators import text as text_ops
+
+    rows = [
+        (0, "a a a a a"),                  # zero entropy
+        (1, "a b c d e"),                  # max entropy: L(c)=ln(1)=0
+        (2, "a a b b b c"),
+        (3, "x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.h_num)
+        for r in text_ops.unigram_entropy(df).collect()
+    }
+
+    def L(x):
+        return round(math.log(x) * 1_000_000)
+
+    def twin(t):
+        toks = t.split(" ")
+        n = len(toks)
+        cs = {}
+        for w in toks:
+            cs[w] = cs.get(w, 0) + 1
+        return (n, n * L(n) - sum(c * L(c) for c in cs.values()))
+
+    for d, t in rows:
+        assert got[d] == twin(t), (d, got[d], twin(t))
+    assert got[0][1] == 0
+    assert got[3] == (1, 0)
+    assert got[1][1] == 5 * L(5)
