@@ -644,6 +644,110 @@ def ann_probe(
     return out
 
 
+def semdedup_prune_probe(
+    spark, n_small: int = 200_000, dim: int = 64, occupancy: int = 2_500, reps: int = 3
+) -> dict:
+    """Scale + tier evidence for the SemDeDup prune (x21's pair stage in
+    isolation): hash-assigned cells at CONSTANT occupancy (k = n/occ, the
+    operator's documented sizing rule).
+
+    Two claims measured: (a) the GEMM tier (semdedup_prune_blocked,
+    fixture-pinned bit-identical to the expression tier) doubles in wall
+    when the corpus doubles — linear·occupancy, never the fixed-k
+    quadratic; (b) the expression tier's interpreted ArrayAggregate
+    per-pair cost, measured on a small slice and reported as ns/pair
+    next to the GEMM tier's — the reason the blocked tier exists.
+    Forcing note: aggregate ``kept`` rather than count() — a bare count
+    lets Catalyst ELIMINATE the row-preserving left join and with it
+    the entire pair stage (measured 0.4 s for a "125 M-pair" run)."""
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from news_crawler_spark.operators import similarity
+
+    def vectors(n):
+        def gen(it):
+            import numpy as np
+
+            for pdf in it:
+                ids = pdf["id"].to_numpy()
+                k = ids[:, None] * dim + np.arange(dim)[None, :]
+                v = np.sin(k.astype(np.float64)) * 43758.5453125
+                v = (v - np.floor(v) - 0.5).astype(np.float64)
+                q = np.floor(v * similarity.SIGNLSH_QUANT + 0.5).astype(np.int64)
+                yield __import__("pandas").DataFrame(
+                    {
+                        "vec_id": ids,
+                        "cell": (ids % (n // occupancy)).astype("int64"),
+                        "iv": list(q),
+                        "n2": (q * q).sum(axis=1),
+                    }
+                )
+
+        return (
+            spark.range(n)
+            .repartition(max(8, spark.sparkContext.defaultParallelism))
+            .mapInPandas(
+                gen, "vec_id long, cell long, iv array<long>, n2 long"
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    def force(df) -> int:
+        return int(df.agg(F.sum("kept")).collect()[0][0])
+
+    def pairs_of(n: int) -> int:
+        return (n // occupancy) * (occupancy * (occupancy - 1) // 2)
+
+    out: dict = {"occupancy": occupancy, "dim": dim}
+
+    # (b) expression tier on a small slice — per-pair interpretation cost
+    n_expr = max(occupancy * 4, 10_000)
+    v = vectors(n_expr)
+    t0 = time.perf_counter()
+    force(similarity.semdedup_prune(v))
+    expr_sec = time.perf_counter() - t0
+    out["expression_tier"] = {
+        "n": n_expr,
+        "sec": round(expr_sec, 2),
+        "ns_per_pair": round(expr_sec * 1e9 / pairs_of(n_expr), 0),
+    }
+
+    # (a) GEMM tier at n and 2n
+    walls = {}
+    for n in (n_small, 2 * n_small):
+        v = vectors(n)
+        force(similarity.semdedup_prune_blocked(v))  # warm arrow/codegen
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            force(similarity.semdedup_prune_blocked(v))
+            ts.append(time.perf_counter() - t0)
+        walls[n] = statistics.median(ts)
+        out[f"n{n}"] = {
+            "sec": round(walls[n], 2),
+            "reps": [round(t, 2) for t in ts],
+            "cells": n // occupancy,
+            "ns_per_pair": round(walls[n] * 1e9 / pairs_of(n), 1),
+        }
+    out["ratio_2x"] = round(walls[2 * n_small] / walls[n_small], 2)
+    out["tier_speedup_per_pair"] = round(
+        out["expression_tier"]["ns_per_pair"]
+        / out[f"n{2 * n_small}"]["ns_per_pair"],
+        1,
+    )
+    log(
+        f"  semdedup prune (GEMM tier): {out[f'n{n_small}']['sec']}s @ "
+        f"{n_small} → {out[f'n{2 * n_small}']['sec']}s @ {2 * n_small} "
+        f"(ratio {out['ratio_2x']}x, occ {occupancy}); expression tier "
+        f"{out['expression_tier']['ns_per_pair']:.0f} ns/pair vs GEMM "
+        f"{out[f'n{2 * n_small}']['ns_per_pair']} ns/pair "
+        f"({out['tier_speedup_per_pair']}x)"
+    )
+    return out
+
+
 def temporal_join_probe(
     spark,
     n_quotes: int = 60_000,
@@ -1067,6 +1171,10 @@ def _main() -> None:
     skew = skew_probe(spark, 40_000 if quick else 160_000, reps=2 if quick else 3)
     log("== ann scan-cost probe (brute vs pruned) ==")
     ann = ann_probe(spark, 50_000 if quick else 200_000, reps=2 if quick else 3)
+    log("== semdedup prune probe (linear at constant occupancy) ==")
+    semdedup = semdedup_prune_probe(
+        spark, 50_000 if quick else 200_000, reps=2 if quick else 3
+    )
     log("== temporal-join probe (naive vs window vs bucketed) ==")
     temporal = temporal_join_probe(
         spark,
@@ -1116,6 +1224,7 @@ def _main() -> None:
                 "crawl_1m": crawl_1m,
                 "skew": skew,
                 "ann": ann,
+                "semdedup_prune": semdedup,
                 "temporal_join": temporal,
                 "d3_profile": d3_split,
                 "ingest": ingest,

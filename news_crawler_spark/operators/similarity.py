@@ -591,6 +591,23 @@ def semdedup(
         .select("vec_id", "cell", "iv", sq.alias("n2"))
         .localCheckpoint(eager=True)
     )
+    return semdedup_prune(v, tau_num=tau_num, tau_den=tau_den)
+
+
+def semdedup_prune(
+    v: DataFrame,
+    tau_num: int = SEMDEDUP_TAU_NUM,
+    tau_den: int = SEMDEDUP_TAU_DEN,
+) -> DataFrame:
+    """The within-cell prune stage of ``semdedup``, over a prepared
+    ``(vec_id, cell, iv, n2)`` frame (quantized vector + its integer
+    squared norm). Exposed separately because the CELLS need not come
+    from Lloyd's: at ≥10⁸ vectors assign cells with ``ivf_assign``
+    against a sampled codebook (or any hash/routing scheme) — Lloyd's
+    full assignment is n·k integer distances, quadratic once k tracks
+    corpus size, while the prune itself stays linear·occupancy at any
+    scale. ``bench.py``'s ``semdedup_prune_probe`` measures exactly
+    that: double the corpus at constant occupancy → ~double the wall."""
     a = v.select(
         F.col("vec_id").alias("a_id"),
         "cell",
@@ -629,4 +646,79 @@ def semdedup(
             F.col("witness").isNull().cast("int").alias("kept"),
             "witness",
         )
+    )
+
+
+def semdedup_prune_blocked(
+    v: DataFrame,
+    tau_num: int = SEMDEDUP_TAU_NUM,
+    tau_den: int = SEMDEDUP_TAU_DEN,
+) -> DataFrame:
+    """The GEMM tier of ``semdedup_prune`` — same contract, same output,
+    bit-identical results (fixture-pinned equality), ~35× faster at 10⁵
+    vectors (BENCH.md ``semdedup_prune`` probe).
+
+    Why a pandas UDF: the expression tier evaluates its dot as an
+    interpreted ArrayAggregate once per candidate pair (~560 ns/pair
+    measured — CodegenFallback, the fold never enters whole-stage
+    codegen), so a 2 500-occupancy cell pays 2500²·560 ns ≈ 3.5 s of
+    pure interpretation. One matrix product per cell does the same
+    occ²·dim multiplies at BLAS speed. This is the "built-ins genuinely
+    can't express it efficiently" case, the v8 sketch argument.
+
+    Exactness: quantized components ≤ QUANT (~5·10⁵ at unit scale), so
+    every dot partial sum ≤ dim·QUANT² ≈ 1.6·10¹³ < 2⁵³ — the float64
+    GEMM is EXACT (every intermediate is an integer below the mantissa
+    limit). The τ² comparison needs ~2⁹³ (dot²·τ_den), so it is decided
+    in float64 with a guard band: pairs within 10⁻⁹ relative of the
+    boundary are re-checked in exact python integers (float64's 2⁻⁵²
+    relative error makes the band conservative by ~10⁷×, and it is
+    near-empty in practice — the recheck is O(dups), not O(pairs)).
+
+    Memory: one occ²-float64 triangle per cell (~50 MB at occ 2 500) —
+    bounded by the occupancy contract, the same knob that bounds the
+    expression tier's pair volume. Cells stream through applyInPandas
+    one group per batch; nothing global.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        cell = pdf["cell"].iloc[0]
+        Q = np.stack(pdf["iv"].to_numpy()[order]).astype(np.float64)
+        n2 = pdf["n2"].to_numpy()[order].astype(np.float64)
+        D = Q @ Q.T  # exact: every partial sum an integer < 2^53
+        lhs = (D * D) * float(tau_den)
+        rhs = float(tau_num) * (n2[:, None] * n2[None, :])
+        upper = np.triu(np.ones_like(D, dtype=bool), k=1)
+        pos = (D > 0) & upper
+        sure = pos & (lhs >= rhs * (1.0 + 1e-9))
+        band = pos & ~sure & (lhs >= rhs * (1.0 - 1e-9))
+        if band.any():
+            bi, bj = np.nonzero(band)
+            for i, j in zip(bi.tolist(), bj.tolist()):
+                d = int(round(D[i, j]))
+                if d * d * tau_den >= tau_num * int(round(n2[i])) * int(
+                    round(n2[j])
+                ):
+                    sure[i, j] = True
+        has_dup = sure.any(axis=0)
+        first = sure.argmax(axis=0)  # ids sorted asc → first True = min id
+        witness = np.where(has_dup, ids[first], 0)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cell": np.full(len(ids), cell, dtype=np.int64),
+                "kept": (~has_dup).astype(np.int32),
+                "witness": pd.array(
+                    [int(w) if h else None for w, h in zip(witness, has_dup)],
+                    dtype="Int64",
+                ),
+            }
+        )
+
+    return v.groupBy("cell").applyInPandas(
+        prune, "vec_id long, cell long, kept int, witness long"
     )

@@ -968,3 +968,46 @@ def test_temperature_mixture_upweights_small_groups(spark):
     assert got["big"][1] + got["small"][1] == 1000
     # raw share would be 100; sqrt share = 10/(30+10) = 250
     assert got["small"][1] == 250, got
+
+
+def test_semdedup_prune_blocked_equals_expression(spark):
+    """The GEMM tier must be BIT-IDENTICAL to the expression tier on a
+    deterministic pseudo-random corpus (both kept flags and witnesses),
+    including cells with zero dups and a planted exact-duplicate pair."""
+    import numpy as np
+
+    from news_crawler_spark.operators import similarity
+
+    n, dim, cells = 600, 16, 6
+    ks = np.arange(n)[:, None] * dim + np.arange(dim)[None, :]
+    vv = np.sin(ks.astype(np.float64)) * 43758.5453125
+    vv = vv - np.floor(vv) - 0.5
+    vv[5] = vv[11]  # planted exact dup inside cell 5 % 6
+    rows = [
+        (int(i), int(i % cells), [float(x) for x in vv[i]]) for i in range(n)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, cell long, embedding array<double>"
+    )
+    sq = F.aggregate(
+        F.zip_with("iv", "iv", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    v = emb.select(
+        "vec_id",
+        "cell",
+        similarity.quantize_vec(F.col("embedding")).alias("iv"),
+    ).select("vec_id", "cell", "iv", sq.alias("n2"))
+
+    expr = {
+        r.vec_id: (r.cell, r.kept, r.witness)
+        for r in similarity.semdedup_prune(v).collect()
+    }
+    blocked = {
+        r.vec_id: (r.cell, r.kept, r.witness)
+        for r in similarity.semdedup_prune_blocked(v).collect()
+    }
+    assert blocked == expr
+    assert sum(1 for c, k, w in expr.values() if k == 0) >= 1  # dups exist
+    assert expr[11][1] == 0 and expr[11][2] == 5  # planted pair collapses
