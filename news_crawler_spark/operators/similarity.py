@@ -722,3 +722,52 @@ def semdedup_prune_blocked(
     return v.groupBy("cell").applyInPandas(
         prune, "vec_id long, cell long, kept int, witness long"
     )
+
+
+def kmeans_assign_blocked(v: DataFrame, cents: DataFrame) -> DataFrame:
+    """GEMM tier of the Lloyd assignment step — bit-identical to
+    ``kmeans_cells``'s expression ``assign`` (fixture-pinned), for the
+    scale regime where k tracks corpus size and the expression tier's
+    n·k interpreted ArrayAggregate distances dominate (the
+    ``semdedup_prune_blocked`` argument applied to assignment; at 10⁸+
+    vectors pair it with a hash-sampled codebook — the kmeans_cells
+    docstring's scale recipe — so the full corpus pays ONE GEMM
+    assignment pass and no Lloyd iterations).
+
+    Exactness: dist = n2v + n2c − 2·dot, every term an integer ≤
+    ~6·10¹³ < 2⁵³, and dot's float64 GEMM partial sums are integers
+    < 2⁵³ — the whole computation is exact in float64. Ties broken by
+    smallest cell id (centroids sorted by cell; ``argmin`` returns the
+    first minimum) — the expression tier's ``min(struct(dist, cell))``
+    rule.
+
+    ``v`` is ``(vec_id, iv, n2)`` (quantized vectors); ``cents`` is
+    ``(cell, cv)`` — collected driver-side (k rows, the broadcast-dim
+    discipline: k ≤ ~10⁵ even at corpus scale). Returns
+    ``(vec_id, cell, dist)``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = sorted(cents.collect(), key=lambda r: r[0])
+    cells = np.array([r[0] for r in rows], dtype=np.int64)
+    C = np.array([r[1] for r in rows], dtype=np.float64)
+    n2c = (C * C).sum(axis=1)
+
+    def assign(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            Q = np.stack(pdf["iv"].to_numpy()).astype(np.float64)
+            n2v = pdf["n2"].to_numpy().astype(np.float64)
+            D = n2v[:, None] + n2c[None, :] - 2.0 * (Q @ C.T)
+            best = D.argmin(axis=1)  # first min = smallest cell id
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cell": cells[best],
+                    "dist": D[np.arange(len(best)), best].astype(np.int64),
+                }
+            )
+
+    return v.mapInPandas(assign, "vec_id long, cell long, dist long")

@@ -1011,3 +1011,46 @@ def test_semdedup_prune_blocked_equals_expression(spark):
     assert blocked == expr
     assert sum(1 for c, k, w in expr.values() if k == 0) >= 1  # dups exist
     assert expr[11][1] == 0 and expr[11][2] == 5  # planted pair collapses
+
+
+def test_kmeans_assign_blocked_equals_expression(spark):
+    """The GEMM assignment must match kmeans_cells' expression assign
+    bit-for-bit (iters=1 = one assignment against the seed centroids),
+    including the duplicate-centroid tie (smallest cell id wins)."""
+    import numpy as np
+
+    from news_crawler_spark.operators import similarity
+
+    n, dim = 300, 16
+    ks = np.arange(n)[:, None] * dim + np.arange(dim)[None, :]
+    vv = np.sin(ks.astype(np.float64)) * 43758.5453125
+    vv = vv - np.floor(vv) - 0.5
+    vv[1] = vv[0]  # seeds 0 and 1 identical -> every tie resolves to cell 0
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in vv[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    seeds = (0, 1, 2, 3)
+    expr = {
+        r.vec_id: (r.cell, r.dist)
+        for r in similarity.kmeans_cells(emb, seed_ids=seeds, iters=1).collect()
+    }
+
+    qv = emb.select(
+        "vec_id", similarity.quantize_vec(F.col("embedding")).alias("iv")
+    )
+    sq = F.aggregate(
+        F.zip_with("iv", "iv", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    v = qv.select("vec_id", "iv", sq.alias("n2"))
+    cents = qv.filter(F.col("vec_id").isin(*seeds)).select(
+        F.col("vec_id").alias("cell"), F.col("iv").alias("cv")
+    )
+    blocked = {
+        r.vec_id: (r.cell, r.dist)
+        for r in similarity.kmeans_assign_blocked(v, cents).collect()
+    }
+    assert blocked == expr
+    assert blocked[1][0] == 0  # the planted tie resolved to the smaller cell
