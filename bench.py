@@ -96,6 +96,7 @@ HEADLINE = [
     "x24_gopher_rules",
     "p12_canonical_collapse",
     "x25_unigram_entropy",
+    "x26_semdedup_blocked",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by

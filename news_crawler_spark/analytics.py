@@ -4001,6 +4001,25 @@ ORDER BY doc_id
 """
 
 
+def x26_semdedup_blocked(spark, sf):
+    """x21's PRODUCTION tier under the hard gate (the v8 pattern —
+    gate what production runs): the SAME k-means cells pruned through
+    the Arrow/GEMM path (similarity.semdedup_prune_blocked). Output is
+    bit-identical to the expression tier by construction (float64 GEMM
+    exact below 2⁵³ + python-int boundary recheck; fixture-pinned), so
+    the oracle IS X21's SQL — one engine-side drift between the tiers
+    and exactly one of the two rows breaks."""
+    return (
+        similarity.semdedup(
+            load(spark, sf, "embeddings"),
+            seed_ids=tuple(range(KMEANS_K)),
+            iters=KMEANS_ITERS,
+            tier="blocked",
+        )
+        .orderBy("vec_id")
+    )
+
+
 X23_TOTAL = 10_000
 
 
@@ -4678,6 +4697,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x24_gopher_rules": x24_gopher_rules,
     "p12_canonical_collapse": p12_canonical_collapse,
     "x25_unigram_entropy": x25_unigram_entropy,
+    "x26_semdedup_blocked": x26_semdedup_blocked,
 }
 
 ORACLES: dict[str, str] = {
@@ -4764,4 +4784,5 @@ ORACLES: dict[str, str] = {
     "x24_gopher_rules": X24_SQL,
     "p12_canonical_collapse": P12_SQL,
     "x25_unigram_entropy": X25_SQL,
+    "x26_semdedup_blocked": X21_SQL,
 }

@@ -546,6 +546,7 @@ def semdedup(
     tau_den: int = SEMDEDUP_TAU_DEN,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    tier: str = "expression",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the corpus by embedding with the
@@ -591,7 +592,8 @@ def semdedup(
         .select("vec_id", "cell", "iv", sq.alias("n2"))
         .localCheckpoint(eager=True)
     )
-    return semdedup_prune(v, tau_num=tau_num, tau_den=tau_den)
+    prune = semdedup_prune_blocked if tier == "blocked" else semdedup_prune
+    return prune(v, tau_num=tau_num, tau_den=tau_den)
 
 
 def semdedup_prune(
