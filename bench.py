@@ -97,6 +97,7 @@ HEADLINE = [
     "p12_canonical_collapse",
     "x25_unigram_entropy",
     "x26_semdedup_blocked",
+    "x27_semantic_clusters",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by

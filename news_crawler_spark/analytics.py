@@ -4001,6 +4001,40 @@ ORDER BY doc_id
 """
 
 
+def x27_semantic_clusters(spark, sf):
+    """Semantic near-dup CLUSTERS: connected components over the v3
+    exact-cosine pair graph (duplicate_clusters' min-label propagation,
+    the d5 operator re-targeted at embedding space) — the 'keep one of
+    these k paraphrases' output a semantic dedup pipeline actually
+    consumes, where v3/x21 stop at pairs/witnesses. Oracle = the v3
+    pair SQL closed with a recursive CTE (the D5 twin pattern)."""
+    return dedup.duplicate_clusters(
+        similarity.cosine_pairs(
+            load(spark, sf, "embeddings"), threshold=NEARDUP_COS_THRESHOLD
+        )
+    ).orderBy("doc_id")
+
+
+X27_SQL = f"""
+WITH RECURSIVE jpairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]), 4)
+        >= {NEARDUP_COS_THRESHOLD}
+),
+edges AS (SELECT a_id AS u, b_id AS v FROM jpairs
+          UNION SELECT b_id, a_id FROM jpairs),
+reach(n, m) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT r.n, e.v FROM reach r JOIN edges e ON e.u = r.m
+)
+SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n
+ORDER BY doc_id
+"""
+
+
 def x26_semdedup_blocked(spark, sf):
     """x21's PRODUCTION tier under the hard gate (the v8 pattern —
     gate what production runs): the SAME k-means cells pruned through
@@ -4698,6 +4732,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p12_canonical_collapse": p12_canonical_collapse,
     "x25_unigram_entropy": x25_unigram_entropy,
     "x26_semdedup_blocked": x26_semdedup_blocked,
+    "x27_semantic_clusters": x27_semantic_clusters,
 }
 
 ORACLES: dict[str, str] = {
@@ -4785,4 +4820,5 @@ ORACLES: dict[str, str] = {
     "p12_canonical_collapse": P12_SQL,
     "x25_unigram_entropy": X25_SQL,
     "x26_semdedup_blocked": X21_SQL,
+    "x27_semantic_clusters": X27_SQL,
 }
