@@ -40,9 +40,13 @@ importance-weighted selection (md5 buckets, micro-nat log-ratios,
 integer weight sums), x23 temperature-scaled mixing quotas (n^0.5
 micro-weights through the Hamilton apportionment), j14 AIMD adaptive
 politeness budgets replayed through the real pop/MERGE loop, g2
-rank→budget apportionment from the g1 PageRank, and t8
-freshness-driven recrawl scheduling — every one value-hash-gated
-against a DuckDB twin).
+rank→budget apportionment from the g1 PageRank, t8 freshness-driven
+recrawl scheduling, x24 the Gopher rule gate as cross-multiplied
+integer flags, x25 unigram entropy as an exact integer numerator, p12
+the production URL canonicalizer collapsing four woven variant
+spellings per page, x26 the SemDeDup GEMM production tier against
+x21's own oracle, and x27 semantic near-dup clusters over the cosine
+pair graph — every one value-hash-gated against a DuckDB twin).
 """
 
 from __future__ import annotations
