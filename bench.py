@@ -98,6 +98,7 @@ HEADLINE = [
     "x25_unigram_entropy",
     "x26_semdedup_blocked",
     "x27_semantic_clusters",
+    "s5_stream_dedup",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by
@@ -115,6 +116,7 @@ GATE_REPLAY = {
     "j14_aimd_budget_replay",
     "s1_stream_cursor_cut",
     "s4_windowed_rates",
+    "s5_stream_dedup",
 }
 
 

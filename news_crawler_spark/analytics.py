@@ -4498,6 +4498,78 @@ def s1_stream_cursor_cut(spark, sf):
     return out
 
 
+def s5_stream_dedup(spark, sf):
+    """ST2 exactly-once under the hard gate: a two-micro-batch
+    availableNow run (the s1 scaffold) where batch 1 REDELIVERS every
+    event_id%10==0 row of batch 0 — the at-least-once Kafka producer —
+    through streaming.dedup_stream (dropDuplicatesWithinWatermark on
+    the link key). The sink must contain every event exactly once: a
+    dedup failure double-emits the redelivered rows and breaks
+    rows_match before the hash is even compared. The oracle is the
+    plain DISTINCT over the same construction."""
+    import os
+    import tempfile
+    import time
+
+    from . import streaming as streaming_mod
+
+    work = tempfile.mkdtemp(prefix="s5_dedup_")
+    seeds_dir = os.path.join(work, "seeds")
+    os.makedirs(seeds_dir)
+    ev = load(spark, sf, "events").select(
+        F.col("event_type").alias("source"),
+        F.concat(
+            F.lit("https://synthetic.local/e/"), F.col("event_id").cast("string")
+        ).alias("url"),
+        F.col("ts").alias("published_ts"),
+        F.lit("2024-02-01 00:00:00").cast("timestamp").alias("discovery_time"),
+        F.pmod("event_id", F.lit(2)).alias("par"),
+        F.pmod("event_id", F.lit(10)).alias("mod10"),
+    )
+    b0 = ev.filter(F.col("par") == 0).drop("par", "mod10")
+    b1 = (
+        ev.filter(F.col("par") == 1)
+        .drop("par", "mod10")
+        # redeliver a deterministic slice of batch 0 (byte-identical rows)
+        .unionByName(ev.filter(F.col("mod10") == 0).drop("par", "mod10"))
+    )
+    now = time.time()
+    for i, b in ((0, b0), (1, b1)):
+        path = os.path.join(seeds_dir, f"batch{i}.parquet")
+        b.toPandas().to_parquet(path, coerce_timestamps="us")
+        os.utime(path, (now - 200 + 100 * i, now - 200 + 100 * i))
+    out_dir = os.path.join(work, "out")
+    q = (
+        streaming_mod.dedup_stream(
+            streaming_mod.read_seed_stream(spark, seeds_dir, max_files_per_trigger=1)
+        )
+        .select("source", "url", "published_ts")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("s5 availableNow stream did not drain in 600s")
+    out = (
+        spark.read.parquet(out_dir)
+        .select("source", "url", "published_ts")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+S5_SQL = """
+SELECT event_type AS source,
+       'https://synthetic.local/e/' || event_id AS url,
+       ts AS published_ts
+FROM events
+"""
+
+
 S1_SQL = """
 WITH seeds AS (
   SELECT event_type AS source,
@@ -4733,6 +4805,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x25_unigram_entropy": x25_unigram_entropy,
     "x26_semdedup_blocked": x26_semdedup_blocked,
     "x27_semantic_clusters": x27_semantic_clusters,
+    "s5_stream_dedup": s5_stream_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -4821,4 +4894,5 @@ ORACLES: dict[str, str] = {
     "x25_unigram_entropy": X25_SQL,
     "x26_semdedup_blocked": X21_SQL,
     "x27_semantic_clusters": X27_SQL,
+    "s5_stream_dedup": S5_SQL,
 }

@@ -208,3 +208,22 @@ def cursor_cut_stream(seed_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dedup_stream(seed_stream: DataFrame, within: str = "40 days") -> DataFrame:
+    """ST2's exactly-once surface as a NATIVE streaming operator:
+    ``dropDuplicatesWithinWatermark`` on the canonical link key — the
+    stream-side twin of the batch seen-set anti-join (J1), absorbing
+    producer redeliveries (the at-least-once Kafka topic) BEFORE the
+    sink instead of relying solely on the sink MERGE's idempotence.
+
+    State shape: one entry per link key, expired once the event-time
+    watermark passes ``within`` — the knob that bounds state to the
+    redelivery horizon (a producer that may repeat a link for up to H
+    hours needs ``within ≥ H``, nothing more; an unbounded
+    ``dropDuplicates`` would grow state with the full crawl history).
+    First occurrence wins — redelivered copies are byte-identical
+    upstream rows, so emission is deterministic either way."""
+    return seed_stream.withWatermark("published_ts", within).dropDuplicatesWithinWatermark(
+        ["url"]
+    )
