@@ -505,10 +505,17 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     plan does not grow with iterations (the classic iterative-Spark
     footgun). Driver-side work per round is ONE scalar count.
     """
+    # checkpoint the edge list: every propagation round joins against it,
+    # and a LAZY pairs input (e.g. an all-pairs cosine self-join) would
+    # otherwise be re-evaluated once per round — measured 146 s instead
+    # of ~4 s for x27 at sf0.1 before this cut (callers that already
+    # materialized their pairs lose nothing: the checkpoint is one
+    # cheap scan of the small edge set)
     edges = (
         pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
         .unionByName(pairs.select(F.col("b_id").alias("u"), F.col("a_id").alias("v")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
         "label", F.col("node")

@@ -351,8 +351,17 @@ def cosine_pairs(
     sign-LSH of the vector first (simhash the float signs against fixed
     hyperplanes) and join within buckets; the verify math is this same
     expression.
+
+    The probe side is spread to cluster parallelism first: a small
+    parquet table scans as 1-2 partitions, and the broadcast self-join
+    inherits that, serializing n²/2 interpreted cosine evaluations onto
+    as many cores (measured 36-46 s for x27's 2 M pairs on 2 tasks;
+    ~4 s spread across 32). No-op when the input already has ≥ cores
+    partitions — the spread_for_cpu contract.
     """
-    a = embeddings.select(
+    from .dedup import spread_for_cpu
+
+    a = spread_for_cpu(embeddings).select(
         F.col(id_col).alias("a_id"), F.col(vec_col).alias("va")
     )
     b = embeddings.select(
