@@ -4002,26 +4002,53 @@ ORDER BY doc_id
 
 
 def x27_semantic_clusters(spark, sf):
-    """Semantic near-dup CLUSTERS: connected components over the v3
+    """Semantic near-dup CLUSTERS: connected components over the
     exact-cosine pair graph (duplicate_clusters' min-label propagation,
     the d5 operator re-targeted at embedding space) — the 'keep one of
     these k paraphrases' output a semantic dedup pipeline actually
-    consumes, where v3/x21 stop at pairs/witnesses. Oracle = the v3
-    pair SQL closed with a recursive CTE (the D5 twin pattern)."""
+    consumes, where v3/x21 stop at pairs/witnesses.
+
+    Since round 5 the pair stage is ``cosine_pairs_int`` at τ=0.45
+    (τ² = 2025/10000 — the SemDeDup rational, same threshold as v3's
+    float tier): the integer-exact criterion unlocks the GEMM blocked
+    tier in production (pair stage 19 s → ~2 s at sf0.1; expression ≡
+    blocked fixture-pinned in test_pipeline_ops), and the DuckDB twin
+    replays the pair set in HUGEINT with zero float drift before
+    closing it with the recursive CTE (the D5 twin pattern)."""
     return dedup.duplicate_clusters(
-        similarity.cosine_pairs(
-            load(spark, sf, "embeddings"), threshold=NEARDUP_COS_THRESHOLD
+        similarity.cosine_pairs_int(
+            load(spark, sf, "embeddings"),
+            tau_num=similarity.SEMDEDUP_TAU_NUM,
+            tau_den=similarity.SEMDEDUP_TAU_DEN,
+            tier="blocked",
         )
     ).orderBy("doc_id")
 
 
 X27_SQL = f"""
-WITH RECURSIVE jpairs AS (
-  SELECT a.vec_id AS a_id, b.vec_id AS b_id
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                     b.embedding::DOUBLE[]), 4)
-        >= {NEARDUP_COS_THRESHOLD}
+WITH RECURSIVE qn AS (
+  SELECT vec_id,
+         [floor(x::DOUBLE * {similarity.SIGNLSH_QUANT} + 0.5)::BIGINT
+          for x in embedding] AS iv
+  FROM embeddings
+),
+nn AS (
+  SELECT vec_id, iv,
+         list_sum([ iv[j] * iv[j]
+                    for j in generate_series(1, len(iv)) ])::BIGINT AS n2
+  FROM qn
+),
+pr AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.n2 AS na, b.n2 AS nb,
+         list_sum([ a.iv[j] * b.iv[j]
+                    for j in generate_series(1, len(a.iv)) ])::BIGINT AS dot
+  FROM nn a JOIN nn b ON a.vec_id < b.vec_id
+),
+jpairs AS (
+  SELECT a_id, b_id FROM pr
+  WHERE dot > 0
+    AND dot::HUGEINT * dot * {similarity.SEMDEDUP_TAU_DEN}
+        >= {similarity.SEMDEDUP_TAU_NUM}::HUGEINT * na * nb
 ),
 edges AS (SELECT a_id AS u, b_id AS v FROM jpairs
           UNION SELECT b_id, a_id FROM jpairs),

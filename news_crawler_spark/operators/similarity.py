@@ -547,6 +547,134 @@ SEMDEDUP_TAU_NUM = 2025
 SEMDEDUP_TAU_DEN = 10_000
 
 
+def _quantized_with_norm(
+    embeddings: DataFrame, vec_col: str, id_col: str
+) -> DataFrame:
+    """``(vec_id, iv, n2)`` — quantized components + integer squared
+    norm, the prepared frame every integer-exact cosine test consumes
+    (semdedup, cosine_pairs_int)."""
+    qv = embeddings.select(
+        F.col(id_col).alias("vec_id"), quantize_vec(F.col(vec_col)).alias("iv")
+    )
+    sq = F.aggregate(
+        F.zip_with("iv", "iv", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return qv.select("vec_id", "iv", sq.alias("n2"))
+
+
+def cosine_pairs_int(
+    embeddings: DataFrame,
+    tau_num: int = SEMDEDUP_TAU_NUM,
+    tau_den: int = SEMDEDUP_TAU_DEN,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    tier: str = "expression",
+) -> DataFrame:
+    """All pairs (a<b) with cosine ≥ τ under the INTEGER-EXACT criterion
+    (τ² = tau_num/tau_den): components quantized to BIGINT
+    (``quantize_vec``), test cross-multiplied to
+    ``dot > 0 AND dot²·tau_den ≥ tau_num·‖a‖²·‖b‖²`` — zero float drift,
+    so a SQL twin replays the pair set bit-for-bit in HUGEINT (the
+    x21/x26 exactness pattern applied to the v3 pair graph).
+
+    Two tiers, same output by construction:
+
+    - ``expression``: block self-join with the dup test IN the join
+      condition (failing candidates never materialize; the
+      PushDownPredicates single-eval discipline of ``semdedup_prune``).
+      Interpreted ArrayAggregate per candidate — the oracle tier.
+    - ``blocked``: one float64 GEMM per row-block against the full
+      quantized matrix (collected driver-side — the kmeans_assign_blocked
+      broadcast discipline, bounded to the exact-tier regime n ≲ 10⁵·dim⁻¹
+      ·RAM; beyond that, bucket first — sign-LSH ``lsh_cosine_pairs`` or
+      the semdedup cells — and verify with this same integer test).
+      dot's partial sums are integers < 2⁵³ so the GEMM is exact; the
+      τ² comparison (≈2⁹³) is decided in float64 with a ±1e-9 relative
+      guard band re-checked in exact python ints — the
+      ``semdedup_prune_blocked`` argument, measured there ~35× over the
+      interpreted fold.
+
+    Returns ``(a_id, b_id)`` — the pair graph ``duplicate_clusters``
+    consumes (x27). For scored float pairs, ``cosine_pairs`` is the
+    operator; this one trades the score column for engine-independent
+    exactness and the GEMM fast path.
+    """
+    v = _quantized_with_norm(embeddings, vec_col, id_col)
+    if tier == "blocked":
+        return _cosine_pairs_int_blocked(v, tau_num=tau_num, tau_den=tau_den)
+    a = v.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("iv").alias("va"),
+        F.col("n2").alias("na"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("iv").alias("vb"),
+        F.col("n2").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dec = "decimal(38,0)"
+    dup = (dot > F.lit(0)) & (
+        dot.cast(dec) * dot.cast(dec) * F.lit(tau_den).cast(dec)
+        >= F.lit(tau_num).cast(dec) * F.col("na").cast(dec) * F.col("nb").cast(dec)
+    )
+    return a.join(b, (F.col("a_id") < F.col("b_id")) & dup).select("a_id", "b_id")
+
+
+def _cosine_pairs_int_blocked(
+    v: DataFrame, tau_num: int, tau_den: int
+) -> DataFrame:
+    """GEMM tier of ``cosine_pairs_int`` over a prepared
+    ``(vec_id, iv, n2)`` frame. Each input block is the ``a`` side; the
+    full matrix (driver-collected, id-sorted) is the ``b`` side, masked
+    to ``b_id > a_id`` so every pair is emitted exactly once."""
+    import numpy as np
+
+    from .dedup import spread_for_cpu
+
+    rows = sorted(v.collect(), key=lambda r: r[0])
+    if not rows:
+        return v.sparkSession.createDataFrame([], "a_id long, b_id long")
+    ids_all = np.array([r[0] for r in rows], dtype=np.int64)
+    Q_all = np.array([r[1] for r in rows], dtype=np.float64)
+    n2_all = np.array([r[2] for r in rows], dtype=np.float64)
+
+    def pairs(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            B = np.stack(pdf["iv"].to_numpy()).astype(np.float64)
+            n2 = pdf["n2"].to_numpy().astype(np.float64)
+            D = B @ Q_all.T  # exact: every partial sum an integer < 2^53
+            lhs = (D * D) * float(tau_den)
+            rhs = float(tau_num) * (n2[:, None] * n2_all[None, :])
+            lt = ids[:, None] < ids_all[None, :]
+            pos = (D > 0) & lt
+            sure = pos & (lhs >= rhs * (1.0 + 1e-9))
+            band = pos & ~sure & (lhs >= rhs * (1.0 - 1e-9))
+            if band.any():
+                bi, bj = np.nonzero(band)
+                for i, j in zip(bi.tolist(), bj.tolist()):
+                    d = int(round(D[i, j]))
+                    if d * d * tau_den >= tau_num * int(round(n2[i])) * int(
+                        round(n2_all[j])
+                    ):
+                        sure[i, j] = True
+            ai, bj = np.nonzero(sure)
+            yield pd.DataFrame(
+                {"a_id": ids[ai], "b_id": ids_all[bj]}
+            )
+
+    return spread_for_cpu(v).mapInPandas(pairs, "a_id long, b_id long")
+
+
 def semdedup(
     embeddings: DataFrame,
     seed_ids: tuple[int, ...] = tuple(range(8)),

@@ -415,6 +415,63 @@ def test_signlsh_bits_for():
         assert similarity.signlsh_bits_for(2 * n) - similarity.signlsh_bits_for(n) <= 1
 
 
+def test_cosine_pairs_int_tiers_identical(spark):
+    """cosine_pairs_int: the expression tier (decimal(38,0) join test)
+    and the GEMM blocked tier must emit the IDENTICAL pair set on real
+    data — the x26 bit-identity contract applied to the x27 pair graph —
+    and both must match a python big-int brute force."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    expr = {(r.a_id, r.b_id) for r in
+            similarity.cosine_pairs_int(emb, tier="expression").collect()}
+    blk = {(r.a_id, r.b_id) for r in
+           similarity.cosine_pairs_int(emb, tier="blocked").collect()}
+    assert expr == blk and len(expr) > 0
+
+    rows = emb.collect()
+    qs = {
+        int(r.vec_id): np.floor(
+            np.asarray(r.embedding, dtype=np.float64) * similarity.SIGNLSH_QUANT
+            + 0.5
+        ).astype(np.int64)
+        for r in rows
+    }
+    brute = set()
+    ids = sorted(qs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = int(qs[a] @ qs[b])
+            na = int(qs[a] @ qs[a])
+            nb = int(qs[b] @ qs[b])
+            if d > 0 and d * d * similarity.SEMDEDUP_TAU_DEN >= (
+                similarity.SEMDEDUP_TAU_NUM * na * nb
+            ):
+                brute.add((a, b))
+    assert expr == brute
+
+
+def test_cosine_pairs_int_boundary_band(spark):
+    """Pairs landing EXACTLY on the τ² boundary (lhs == rhs, inside the
+    blocked tier's float64 guard band) must be decided by the exact
+    integer recheck — included (>=) — in both tiers. va=(3,4), vb=(4,3):
+    dot=24, norms 25 → cos=24/25; τ²=576/625 is exact equality. The
+    third vector sits well below τ and must not pair."""
+    emb = spark.createDataFrame(
+        [
+            (1, [3e-6, 4e-6]),
+            (2, [4e-6, 3e-6]),
+            (3, [5e-6, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    for tier in ("expression", "blocked"):
+        got = {(r.a_id, r.b_id) for r in similarity.cosine_pairs_int(
+            emb, tau_num=576, tau_den=625, tier=tier
+        ).collect()}
+        assert got == {(1, 2)}, tier
+
+
 def test_lsh_cosine_pairs_recall(spark):
     """Sign-LSH near-dup scale path: exact verification means precision is
     1.0 by construction; recall for genuinely-near pairs (the dedup
