@@ -45,8 +45,11 @@ recrawl scheduling, x24 the Gopher rule gate as cross-multiplied
 integer flags, x25 unigram entropy as an exact integer numerator, p12
 the production URL canonicalizer collapsing four woven variant
 spellings per page, x26 the SemDeDup GEMM production tier against
-x21's own oracle, and x27 semantic near-dup clusters over the cosine
-pair graph — every one value-hash-gated against a DuckDB twin).
+x21's own oracle, x27 semantic near-dup clusters over the
+integer-exact cosine pair graph (cosine_pairs_int, expression + GEMM
+tiers bit-identical), and x28 per-doc log-prob under a
+corpus-self-trained add-one bigram LM in exact micro-nat integers —
+every one value-hash-gated against a DuckDB twin).
 """
 
 from __future__ import annotations

@@ -99,6 +99,7 @@ HEADLINE = [
     "x26_semdedup_blocked",
     "x27_semantic_clusters",
     "s5_stream_dedup",
+    "x28_bigram_logprob",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by

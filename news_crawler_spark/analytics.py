@@ -3959,6 +3959,50 @@ ORDER BY doc_id
 """
 
 
+def x28_bigram_logprob(spark, sf):
+    """Per-doc log-prob under a corpus-self-trained Laplace bigram LM
+    (text.bigram_logprob) — the CCNet/KenLM quality signal, under the
+    hard gate as exact integers: lp_num = Σ L(c_uv+1) − L(c_u+V) in
+    micro-nats (x25's L = round(ln·10⁶) discipline), n_bigrams
+    alongside, so the twin replays model training AND scoring
+    bit-for-bit with no float division anywhere."""
+    return text.bigram_logprob(load(spark, sf, "documents")).orderBy("doc_id")
+
+
+X28_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+bi AS (
+  SELECT doc_id, tk[i] AS u, tk[i + 1] AS v
+  FROM toks, unnest(generate_series(1, len(tk) - 1)) AS g(i)
+  WHERE len(tk) >= 2
+),
+vocab AS (
+  SELECT count(DISTINCT t.t)::BIGINT AS vsz
+  FROM toks, unnest(tk) AS t(t)
+),
+cuv AS (SELECT u, v, count(*)::BIGINT AS cuv FROM bi GROUP BY 1, 2),
+cu AS (SELECT u, sum(cuv)::BIGINT AS cu FROM cuv GROUP BY 1),
+model AS (
+  SELECT u, v,
+         round(ln((cuv + 1)::DOUBLE) * 1000000)::BIGINT
+           - round(ln((cu + vsz)::DOUBLE) * 1000000)::BIGINT AS l
+  FROM cuv JOIN cu USING (u) CROSS JOIN vocab
+),
+sc AS (
+  SELECT b.doc_id, count(*)::BIGINT AS n_bigrams, sum(m.l)::BIGINT AS lp_num
+  FROM bi b JOIN model m ON b.u = m.u AND b.v = m.v
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(sc.n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(sc.lp_num, 0)::BIGINT AS lp_num
+FROM documents d LEFT JOIN sc USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def x24_gopher_rules(spark, sf):
     """Gopher rule-based quality gate (text.gopher_flags) under the hard
     gate: per-doc supporting counts and per-rule flags, every rule a
@@ -4830,6 +4874,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x24_gopher_rules": x24_gopher_rules,
     "p12_canonical_collapse": p12_canonical_collapse,
     "x25_unigram_entropy": x25_unigram_entropy,
+    "x28_bigram_logprob": x28_bigram_logprob,
     "x26_semdedup_blocked": x26_semdedup_blocked,
     "x27_semantic_clusters": x27_semantic_clusters,
     "s5_stream_dedup": s5_stream_dedup,
@@ -4919,6 +4964,7 @@ ORACLES: dict[str, str] = {
     "x24_gopher_rules": X24_SQL,
     "p12_canonical_collapse": P12_SQL,
     "x25_unigram_entropy": X25_SQL,
+    "x28_bigram_logprob": X28_SQL,
     "x26_semdedup_blocked": X21_SQL,
     "x27_semantic_clusters": X27_SQL,
     "s5_stream_dedup": S5_SQL,

@@ -459,3 +459,87 @@ def unigram_entropy(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
             .alias("h_num"),
         )
     )
+
+
+def bigram_logprob(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document log-probability under a bigram language model
+    trained on the corpus itself with add-one (Laplace) smoothing — the
+    CCNet/KenLM perplexity-style quality signal: boilerplate and
+    keyboard-mash score far below natural text, and unlike x25's
+    entropy it is ORDER-sensitive (shuffled tokens keep entropy but
+    lose bigram probability).
+
+    Exact-integer formulation (the x25 micro-nat discipline): with
+    L(x) = round(ln(x)·10⁶),
+
+        lp_num = Σ_{bigrams (u,v)} [ L(c(u,v)+1) − L(c(u·)+V) ]
+
+    where c(u,v) = corpus bigram count, c(u·) = count of bigrams
+    starting at u, V = corpus unigram vocabulary size. True average
+    log-prob = lp_num / (n_bigrams·10⁶) nats — no engine-side division,
+    so the value hash is exact; docs with fewer than two tokens emit
+    (0, 0).
+
+    Scale shape: the model is built with one (u,v) shuffle; the prefix
+    totals c(u·) derive from the model itself (GROUP BY u over
+    model-sized input — never a second pass over the corpus), V is a
+    one-row broadcast, and scoring is a single fact-side join on the
+    composite (u,v) key — finer-grained than a join on u alone, which
+    matters because token frequency is zipfian and the hot-word skew
+    lands on the model-sized side, not the corpus-sided shuffle. No
+    UDF anywhere.
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("__tk")
+    )
+    bi = (
+        base.where(F.size("__tk") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(__tk) - 2),"
+                    " i -> struct(__tk[i] AS u, __tk[i+1] AS v))"
+                )
+            ).alias("__b"),
+        )
+        .select("doc_id", "__b.u", "__b.v")
+    )
+    lmicro = lambda c: F.round(F.log(c.cast("double")) * F.lit(1_000_000.0)).cast(  # noqa: E731
+        "long"
+    )
+    vocab = base.select(F.explode("__tk").alias("t")).agg(
+        F.count_distinct("t").alias("__V")
+    )
+    cuv = bi.groupBy("u", "v").agg(F.count("*").alias("__cuv"))
+    cu = cuv.groupBy("u").agg(F.sum("__cuv").alias("__cu"))
+    model = (
+        cuv.join(cu, "u")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "u",
+            "v",
+            (lmicro(F.col("__cuv") + 1) - lmicro(F.col("__cu") + F.col("__V"))).alias(
+                "__l"
+            ),
+        )
+    )
+    scored = (
+        bi.join(model, ["u", "v"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("__l").cast("long").alias("lp_num"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("lp_num", F.lit(0)).cast("long").alias("lp_num"),
+        )
+    )

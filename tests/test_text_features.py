@@ -368,3 +368,51 @@ def test_unigram_entropy_twin(spark):
     assert got[0][1] == 0
     assert got[3] == (1, 0)
     assert got[1][1] == 5 * L(5)
+
+
+def test_bigram_logprob_twin(spark):
+    """Bigram-LM score vs a full python twin (model training + scoring
+    + Laplace smoothing), including the <2-token doc pinned to (0, 0)
+    and the repeated-bigram doc whose c(u,v)>1 exercises smoothing."""
+    import math
+
+    from news_crawler_spark.operators import text as text_ops
+
+    rows = [
+        (0, "the cat sat on the cat"),   # "the cat" twice
+        (1, "the cat ran"),
+        (2, "dog"),                      # no bigrams -> (0, 0)
+        (3, "on the cat sat"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_bigrams, r.lp_num)
+        for r in text_ops.bigram_logprob(df).collect()
+    }
+
+    def L(x):
+        return round(math.log(x) * 1_000_000)
+
+    cuv, cu, vocab = {}, {}, set()
+    for _, t in rows:
+        toks = t.split(" ")
+        vocab.update(toks)
+        for u, v in zip(toks, toks[1:]):
+            cuv[(u, v)] = cuv.get((u, v), 0) + 1
+            cu[u] = cu.get(u, 0) + 1
+    V = len(vocab)
+
+    def twin(t):
+        toks = t.split(" ")
+        bgs = list(zip(toks, toks[1:]))
+        return (
+            len(bgs),
+            sum(L(cuv[(u, v)] + 1) - L(cu[u] + V) for u, v in bgs),
+        )
+
+    for d, t in rows:
+        assert got[d] == twin(t), (d, got[d], twin(t))
+    assert got[2] == (0, 0)
+    # smoothed probabilities are < 1, so every scored doc is strictly
+    # negative in micro-nats
+    assert all(lp < 0 for n, lp in got.values() if n > 0)
