@@ -47,9 +47,10 @@ the production URL canonicalizer collapsing four woven variant
 spellings per page, x26 the SemDeDup GEMM production tier against
 x21's own oracle, x27 semantic near-dup clusters over the
 integer-exact cosine pair graph (cosine_pairs_int, expression + GEMM
-tiers bit-identical), and x28 per-doc log-prob under a
-corpus-self-trained add-one bigram LM in exact micro-nat integers —
-every one value-hash-gated against a DuckDB twin).
+tiers bit-identical), x28 per-doc log-prob under a corpus-self-trained
+add-one bigram LM in exact micro-nat integers, and s6 stream-static
+LEFT broadcast enrichment through a real two-micro-batch run — every
+one value-hash-gated against a DuckDB twin).
 """
 
 from __future__ import annotations

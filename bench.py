@@ -100,6 +100,7 @@ HEADLINE = [
     "x27_semantic_clusters",
     "s5_stream_dedup",
     "x28_bigram_logprob",
+    "s6_stream_enrich",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by
@@ -118,6 +119,7 @@ GATE_REPLAY = {
     "s1_stream_cursor_cut",
     "s4_windowed_rates",
     "s5_stream_dedup",
+    "s6_stream_enrich",
 }
 
 

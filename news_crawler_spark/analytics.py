@@ -4641,6 +4641,107 @@ FROM events
 """
 
 
+def s6_stream_enrich(spark, sf):
+    """Stream-static enrichment under the hard gate: a two-micro-batch
+    availableNow run (the s5 scaffold) through streaming.enrich_stream —
+    each batch of links LEFT-broadcast-joined to a static per-source
+    config table (priority, politeness budget, md5-derived so the twin
+    rebuilds it bit-for-bit; a deterministic quarter of the sources is
+    deliberately ABSENT from the config to exercise the left-join
+    pass-through defaults). Stateless per batch — the third streaming
+    operator kind after stateful cursors (s1) and watermarked dedup
+    (s5): a dropped unconfigured row or a config drift breaks
+    rows_match/hash outright."""
+    import os
+    import tempfile
+    import time
+
+    from . import streaming as streaming_mod
+
+    work = tempfile.mkdtemp(prefix="s6_enrich_")
+    seeds_dir = os.path.join(work, "seeds")
+    os.makedirs(seeds_dir)
+    ev = load(spark, sf, "events").select(
+        F.col("event_type").alias("source"),
+        F.concat(
+            F.lit("https://synthetic.local/e/"), F.col("event_id").cast("string")
+        ).alias("url"),
+        F.col("ts").alias("published_ts"),
+        F.lit("2024-02-01 00:00:00").cast("timestamp").alias("discovery_time"),
+        F.pmod("event_id", F.lit(2)).alias("par"),
+    )
+    now = time.time()
+    for i in (0, 1):
+        path = os.path.join(seeds_dir, f"batch{i}.parquet")
+        ev.filter(F.col("par") == i).drop("par").toPandas().to_parquet(
+            path, coerce_timestamps="us"
+        )
+        os.utime(path, (now - 200 + 100 * i, now - 200 + 100 * i))
+
+    def hx(tag):
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(tag), F.col("source"))), 1, 8), 16, 10
+        ).cast("long")
+
+    dims = (
+        load(spark, sf, "events")
+        .select(F.col("event_type").alias("source"))
+        .distinct()
+        .where(F.pmod(hx("c"), F.lit(4)) != 0)
+        .select(
+            "source",
+            F.pmod(hx("p"), F.lit(10)).cast("int").alias("priority"),
+            (F.lit(1) + F.pmod(hx("b"), F.lit(5))).cast("int").alias("budget"),
+        )
+    )
+    out_dir = os.path.join(work, "out")
+    q = (
+        streaming_mod.enrich_stream(
+            streaming_mod.read_seed_stream(spark, seeds_dir, max_files_per_trigger=1),
+            dims,
+        )
+        .select(
+            "source",
+            "url",
+            F.coalesce("priority", F.lit(-1)).cast("int").alias("priority"),
+            F.coalesce("budget", F.lit(1)).cast("int").alias("budget"),
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("s6 availableNow stream did not drain in 600s")
+    out = (
+        spark.read.parquet(out_dir)
+        .select("source", "url", "priority", "budget")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+S6_SQL = """
+WITH dims AS (
+  SELECT source,
+         (('0x' || substring(md5('p' || source), 1, 8))::BIGINT % 10)::INT
+           AS priority,
+         (1 + ('0x' || substring(md5('b' || source), 1, 8))::BIGINT % 5)::INT
+           AS budget
+  FROM (SELECT DISTINCT event_type AS source FROM events)
+  WHERE ('0x' || substring(md5('c' || source), 1, 8))::BIGINT % 4 <> 0
+)
+SELECT e.event_type AS source,
+       'https://synthetic.local/e/' || e.event_id::VARCHAR AS url,
+       coalesce(d.priority, -1)::INT AS priority,
+       coalesce(d.budget, 1)::INT AS budget
+FROM events e LEFT JOIN dims d ON e.event_type = d.source
+"""
+
+
 S1_SQL = """
 WITH seeds AS (
   SELECT event_type AS source,
@@ -4878,6 +4979,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x26_semdedup_blocked": x26_semdedup_blocked,
     "x27_semantic_clusters": x27_semantic_clusters,
     "s5_stream_dedup": s5_stream_dedup,
+    "s6_stream_enrich": s6_stream_enrich,
 }
 
 ORACLES: dict[str, str] = {
@@ -4968,4 +5070,5 @@ ORACLES: dict[str, str] = {
     "x26_semdedup_blocked": X21_SQL,
     "x27_semantic_clusters": X27_SQL,
     "s5_stream_dedup": S5_SQL,
+    "s6_stream_enrich": S6_SQL,
 }

@@ -210,6 +210,30 @@ def cursor_cut_stream(seed_stream: DataFrame) -> DataFrame:
     )
 
 
+def enrich_stream(
+    seed_stream: DataFrame, dims: DataFrame, key: str = "source"
+) -> DataFrame:
+    """Stream-static enrichment: join each micro-batch of links against
+    a static per-source config table (priority, politeness budget —
+    the reference keeps this in per-collector settings,
+    collectors/*/config usage) via a LEFT broadcast join.
+
+    Semantics worth gating: the static side is re-resolved every
+    micro-batch (a file/catalog-backed dims table picks up config
+    edits between batches without restarting the query); the join is
+    STATELESS — nothing is checkpointed, unlike cursor_cut_stream /
+    dedup_stream — and the LEFT side means a link from an unconfigured
+    source passes through with NULL config for the consumer to
+    default, never silently dropped (the inner-join-drops-batch
+    trap documented on S1_SQL).
+
+    Scale shape: broadcast keeps the stream side shuffle-free — per
+    batch the plan is scan → BroadcastHashJoin, no exchange on the
+    (unbounded) stream relation; the dims table is source-cardinality
+    sized (thousands), never the frontier."""
+    return seed_stream.join(F.broadcast(dims), key, "left")
+
+
 def dedup_stream(seed_stream: DataFrame, within: str = "40 days") -> DataFrame:
     """ST2's exactly-once surface as a NATIVE streaming operator:
     ``dropDuplicatesWithinWatermark`` on the canonical link key — the
