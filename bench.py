@@ -755,6 +755,37 @@ def semdedup_prune_probe(
     return out
 
 
+def cosine_pairs_probe(spark, sf_dir: str, reps: int = 3) -> dict:
+    """Tier A/B for x27's pair stage (cosine_pairs_int) on the REAL
+    embeddings table: the expression tier (integer dup test inside the
+    join condition, interpreted ArrayAggregate per candidate) vs the
+    blocked GEMM tier (float64 matmul, exact by the <2^53 argument,
+    boundary band re-checked in python ints). Same pair set by
+    construction — tier identity is fixture-pinned in
+    test_pipeline_ops — so this measures pure wall ratio."""
+    from news_crawler_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = emb.localCheckpoint(eager=True)
+    out: dict = {"n_vectors": emb.count()}
+    for tier in ("expression", "blocked"):
+        ts, pairs = [], 0
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            pairs = similarity.cosine_pairs_int(emb, tier=tier).count()
+            ts.append(round(time.perf_counter() - t0, 2))
+        out[tier] = {"sec": sorted(ts)[len(ts) // 2], "reps": ts, "pairs": pairs}
+    out["tier_speedup"] = round(
+        out["expression"]["sec"] / max(out["blocked"]["sec"], 1e-9), 1
+    )
+    log(
+        f"  cosine_pairs_int: expression {out['expression']['sec']}s vs "
+        f"GEMM {out['blocked']['sec']}s on {out['n_vectors']} vectors "
+        f"({out['tier_speedup']}x, {out['expression']['pairs']} pairs)"
+    )
+    return out
+
+
 def temporal_join_probe(
     spark,
     n_quotes: int = 60_000,
@@ -1182,6 +1213,8 @@ def _main() -> None:
     semdedup = semdedup_prune_probe(
         spark, 50_000 if quick else 200_000, reps=2 if quick else 3
     )
+    log("== cosine pair-tier probe (expression vs GEMM) ==")
+    cos_pairs = cosine_pairs_probe(spark, sf_dir, reps=2 if quick else 3)
     log("== temporal-join probe (naive vs window vs bucketed) ==")
     temporal = temporal_join_probe(
         spark,
@@ -1232,6 +1265,7 @@ def _main() -> None:
                 "skew": skew,
                 "ann": ann,
                 "semdedup_prune": semdedup,
+                "cosine_pairs": cos_pairs,
                 "temporal_join": temporal,
                 "d3_profile": d3_split,
                 "ingest": ingest,
