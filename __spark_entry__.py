@@ -50,7 +50,20 @@ integer-exact cosine pair graph (cosine_pairs_int, expression + GEMM
 tiers bit-identical), x28 per-doc log-prob under a corpus-self-trained
 add-one bigram LM in exact micro-nat integers, and s6 stream-static
 LEFT broadcast enrichment through a real two-micro-batch run — every
-one value-hash-gated against a DuckDB twin).
+one value-hash-gated against a DuckDB twin. The closing session adds
+the interleaved-payload training surface: m3 multimodal sequence
+packing (text spans cost tokens, media spans a fixed vision-token
+budget; per-shard running offsets, bin cuts and boundary flags — the
+MM1/Flamingo-style packing rule over the REAL extractor's span
+stream), m4 the media-reference integrity audit (span refs FULL-OUTER
+reconciled against the payload table, with deterministically woven
+loss + orphan blobs so both engines expect the same audit rows), x29
+near-dup cluster representative selection (d5's components closed to
+the keep/drop decision: longest copy survives, dup_tokens = the
+savings line), and x30 the training-shard sink round-trip — the
+corpus written as shard-partitioned parquet, read BACK, and
+manifest-checksummed, so a value-hash match proves the partitioned
+write→read round trip lost, duplicated, and mutated nothing).
 """
 
 from __future__ import annotations

@@ -101,6 +101,10 @@ HEADLINE = [
     "s5_stream_dedup",
     "x28_bigram_logprob",
     "s6_stream_enrich",
+    "m3_interleaved_pack",
+    "m4_media_integrity",
+    "x29_cluster_reps",
+    "x30_shard_manifest",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by

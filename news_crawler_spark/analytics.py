@@ -2596,7 +2596,9 @@ def d5_dup_clusters(spark, sf):
     return dedup.duplicate_clusters(_minhash_pairs_shared(spark, sf))
 
 
-D5_SQL = f"""
+# shared pair-graph closure (D5 consumes it directly; X29 extends it
+# with the representative-selection aggregate)
+_D5_GRAPH = f"""
 WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 shj AS (SELECT doc_id,
                list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
@@ -2620,8 +2622,41 @@ reach(n, m) AS (
   SELECT u, u FROM edges
   UNION
   SELECT r.n, e.v FROM reach r JOIN edges e ON e.u = r.m
-)
+)"""
+
+D5_SQL = _D5_GRAPH + """
 SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n
+"""
+
+
+def x29_cluster_reps(spark, sf):
+    """Near-dup cluster representative selection — the keep/drop step a
+    dedup pipeline ends with (operators/dedup.cluster_representatives):
+    d5's connected components joined back to the corpus, one row per
+    cluster with the survivor (most tokens, ties to smallest doc_id),
+    the member count, and the tokens the drop removes. Selection is a
+    single max_by over the composite integer order key (no window); the
+    oracle closes the same pair graph recursively and replays the same
+    arg_max."""
+    from .operators import dedup as dedup_ops
+
+    clusters = dedup_ops.duplicate_clusters(_minhash_pairs_shared(spark, sf))
+    return dedup_ops.cluster_representatives(
+        clusters, load(spark, sf, "documents")
+    ).orderBy("cluster_id")
+
+
+X29_SQL = _D5_GRAPH + """,
+clus AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n),
+tk AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+       FROM documents),
+j AS (SELECT c.cluster_id, c.doc_id, t.n_tokens,
+             t.n_tokens * 4294967296 - c.doc_id AS ordk
+      FROM clus c JOIN tk t USING (doc_id))
+SELECT cluster_id, arg_max(doc_id, ordk) AS rep_doc_id,
+       count(*)::BIGINT AS n_members,
+       (sum(n_tokens) - max(n_tokens))::BIGINT AS dup_tokens
+FROM j GROUP BY cluster_id ORDER BY cluster_id
 """
 
 
@@ -4251,6 +4286,73 @@ FROM c ORDER BY doc_id
 """
 
 
+def x30_shard_manifest(spark, sf):
+    """Training-shard sink round-trip + manifest: the corpus is WRITTEN
+    as parquet partitioned by the x8 shard assignment (the layout a
+    trainer's data loader consumes), read BACK, and summarized into the
+    shard manifest — docs, tokens, bytes, and an order-insensitive
+    content checksum (sum of md5-derived per-doc fingerprints) per
+    shard. The oracle computes the same manifest straight from the
+    table, so a hash match proves the partitioned write→read round
+    trip lost, duplicated, and mutated nothing — the sink-side gate
+    (K-family) for the corpus handoff. Scratch dir is gate scaffolding;
+    at scale the write is the job's terminal stage on object storage."""
+    import shutil
+    import tempfile
+
+    from .operators.dedup import md5_hash64
+    from .operators.sampling import sample_bucket
+    from .operators.text import token_count
+
+    work = tempfile.mkdtemp(prefix="x30_shards_")
+    try:
+        docs = load(spark, sf, "documents").select(
+            "doc_id",
+            "text",
+            (sample_bucket(F.col("doc_id"), "shard") % F.lit(8))
+            .cast("int")
+            .alias("shard"),
+        )
+        docs.write.partitionBy("shard").parquet(f"{work}/corpus")
+        back = spark.read.parquet(f"{work}/corpus")
+        fp = F.pmod(
+            md5_hash64(
+                F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))
+            ),
+            F.lit(1_000_000_000_000),
+        )
+        out = (
+            back.groupBy(F.col("shard").cast("int").alias("shard"))
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum(token_count("text")).cast("long").alias("n_tokens"),
+                F.sum(F.length("text")).cast("long").alias("n_chars"),
+                F.sum(fp).cast("long").alias("checksum"),
+            )
+            .orderBy("shard")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+X30_SQL = f"""
+WITH b AS (
+  SELECT doc_id, text,
+         ((((({_md5h_sql("'shard:' || doc_id")} % 1000000) + 1000000) % 1000000)
+           % 8))::INT AS shard,
+         (({_md5h_sql("doc_id || ':' || text")} % 1000000000000)
+          + 1000000000000) % 1000000000000 AS fp
+  FROM documents
+)
+SELECT shard, count(*)::BIGINT AS n_docs,
+       sum(len(string_split(text, ' ')))::BIGINT AS n_tokens,
+       sum(len(text))::BIGINT AS n_chars,
+       sum(fp)::BIGINT AS checksum
+FROM b GROUP BY shard ORDER BY shard
+"""
+
+
 def x9_decontamination(spark, sf):
     """Eval-set decontamination (operators/dedup.cross_contamination):
     a 5% md5-assigned eval split, then every TRAIN document sharing ≥1
@@ -4493,6 +4595,133 @@ SELECT media_ref, 'image' AS kind, n_bytes,
        (((n_bytes // 64) + 3) // 4)::INT AS n_frames,
        256::INT AS thumb_bytes
 FROM sized
+"""
+
+
+M3_BUDGET = 2048       # tokens per packed training sequence
+M3_IMG_TOKENS = 64     # fixed vision-token cost of a media span
+M3_SHARDS = 8
+
+
+def m3_interleaved_pack(spark, sf):
+    """Interleaved sequence packing under the hard gate
+    (operators/multimodal.pack_interleaved): the m1 span stream laid
+    out as the multimodal trainer's token stream — text spans cost
+    their token count, image spans a fixed 64 vision tokens, docs
+    hashed to 8 shards, per-shard running offsets, 2048-token bins,
+    and a ``crosses`` flag on every span straddling a bin boundary
+    (where a media span forces padding). The Spark rows come from the
+    REAL extractor over built markup; the oracle recomputes spans,
+    costs, shards and offsets from token arithmetic alone — any drift
+    in span order, a cost rule, the shard hash, or the cumsum breaks
+    the value hash."""
+    from .operators import multimodal
+
+    return multimodal.pack_interleaved(
+        _m1_extracted(spark, sf),
+        budget=M3_BUDGET,
+        n_shards=M3_SHARDS,
+        image_tokens=M3_IMG_TOKENS,
+    ).orderBy("doc_id", "offset")
+
+
+M3_SQL = f"""
+WITH base AS (
+  SELECT doc_id, printf('%016x', doc_id) AS hid,
+         string_split(text, ' ') AS toks,
+         CAST(ceil(len(string_split(text, ' ')) / {float(M1_PARA_TOKENS)}) AS INT)
+           AS np
+  FROM documents
+),
+spans AS (
+  SELECT hid AS doc_id, (c + c // {M1_IMG_EVERY})::INT AS "offset",
+         'text' AS kind,
+         len(toks[c*{M1_PARA_TOKENS}+1 : c*{M1_PARA_TOKENS}+{M1_PARA_TOKENS}])::BIGINT
+           AS cost
+  FROM base, unnest(generate_series(0, np - 1)) AS u(c)
+  UNION ALL
+  SELECT hid AS doc_id, ({M1_IMG_EVERY + 1}*k - 1)::INT AS "offset",
+         'image' AS kind, {M3_IMG_TOKENS}::BIGINT AS cost
+  FROM base, unnest(generate_series(1, np // {M1_IMG_EVERY})) AS g(k)
+),
+sharded AS (
+  SELECT *,
+         (((({_md5h_sql("'mshard:' || doc_id")} % 1000000) + 1000000) % 1000000)
+          % {M3_SHARDS})::INT AS shard
+  FROM spans
+),
+packed AS (
+  SELECT *,
+         (sum(cost) OVER (PARTITION BY shard ORDER BY doc_id, "offset"
+                          ROWS UNBOUNDED PRECEDING) - cost)::BIGINT AS tok_start
+  FROM sharded
+)
+SELECT doc_id, "offset", kind, cost, shard, tok_start,
+       (tok_start // {M3_BUDGET})::BIGINT AS bin_id,
+       CASE WHEN (tok_start + cost - 1) // {M3_BUDGET} != tok_start // {M3_BUDGET}
+            THEN 1 ELSE 0 END::INT AS crosses
+FROM packed ORDER BY doc_id, "offset"
+"""
+
+
+def m4_media_integrity(spark, sf):
+    """Media-reference integrity audit under the hard gate
+    (operators/multimodal.media_integrity): span-level image refs
+    reconciled against the media payload table — ``missing`` = a span
+    whose bytes were lost, ``orphan`` = stored bytes nothing
+    references. Loss is WOVEN deterministically (md5-selected ~9% of
+    refs dropped from the stored side, plus synthetic orphan blobs for
+    every 97th doc) so both engines expect the exact same audit rows;
+    the Spark side runs the real media_table payload synthesis and the
+    real full-outer reconcile."""
+    from .operators import multimodal
+    from .operators.dedup import md5_hash64
+
+    extracted = _m1_extracted(spark, sf)
+    media = multimodal.media_table(extracted)
+    lost = (
+        F.pmod(
+            md5_hash64(F.concat(F.lit("lose:"), F.col("media_ref"))), F.lit(11)
+        )
+        == 0
+    )
+    stored = media.filter(~lost).select("media_ref")
+    orphans = (
+        load(spark, sf, "documents")
+        .filter(F.col("doc_id") % 97 == 0)
+        .select(
+            F.concat(F.lit("img-x-"), F.col("doc_id").cast("string")).alias(
+                "media_ref"
+            )
+        )
+    )
+    return multimodal.media_integrity(
+        extracted, stored.unionByName(orphans)
+    ).orderBy("media_ref")
+
+
+M4_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(ceil(len(string_split(text, ' ')) / {float(M1_PARA_TOKENS)}) AS INT)
+           AS np
+  FROM documents
+),
+refs AS (
+  SELECT DISTINCT 'img-' || doc_id || '-' || k AS media_ref
+  FROM base, unnest(generate_series(1, np // {M1_IMG_EVERY})) AS g(k)
+),
+stored AS (
+  SELECT media_ref FROM refs
+  WHERE NOT ((({_md5h_sql("'lose:' || media_ref")} % 11) + 11) % 11 = 0)
+  UNION ALL
+  SELECT 'img-x-' || doc_id FROM documents WHERE doc_id % 97 = 0
+)
+SELECT media_ref,
+       CASE WHEN s.media_ref IS NULL THEN 'missing' ELSE 'orphan' END AS status
+FROM refs r FULL OUTER JOIN stored s USING (media_ref)
+WHERE r.media_ref IS NULL OR s.media_ref IS NULL
+ORDER BY media_ref
 """
 
 
@@ -4980,6 +5209,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x27_semantic_clusters": x27_semantic_clusters,
     "s5_stream_dedup": s5_stream_dedup,
     "s6_stream_enrich": s6_stream_enrich,
+    "m3_interleaved_pack": m3_interleaved_pack,
+    "m4_media_integrity": m4_media_integrity,
+    "x29_cluster_reps": x29_cluster_reps,
+    "x30_shard_manifest": x30_shard_manifest,
 }
 
 ORACLES: dict[str, str] = {
@@ -5071,4 +5304,8 @@ ORACLES: dict[str, str] = {
     "x27_semantic_clusters": X27_SQL,
     "s5_stream_dedup": S5_SQL,
     "s6_stream_enrich": S6_SQL,
+    "m3_interleaved_pack": M3_SQL,
+    "m4_media_integrity": M4_SQL,
+    "x29_cluster_reps": X29_SQL,
+    "x30_shard_manifest": X30_SQL,
 }

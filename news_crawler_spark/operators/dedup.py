@@ -1035,3 +1035,35 @@ def strip_duplicate_spans(
         (F.col("n_tokens") - F.size("__kept")).cast("long").alias("n_dup_tokens"),
         F.array_join("__kept", " ").alias("text_clean"),
     )
+
+
+def cluster_representatives(
+    clusters: DataFrame,
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dup clusters → the keep/drop decision: one row per cluster with
+    the representative document (most whitespace tokens, ties to the
+    smallest id — "keep the longest copy", the CCNet/RefinedWeb
+    survivor rule), the member count, and ``dup_tokens`` — the tokens
+    the drop decision removes from the corpus (the dedup savings line
+    every corpus report quotes).
+
+    The selection is a single ``max_by`` aggregate over the composite
+    order key ``n_tokens * 2^32 - doc_id`` (strictly monotone in
+    (n_tokens asc, doc_id desc), unique because ids are) — map-side
+    partial aggregation, one shuffle on cluster_id, no window sort."""
+    from .text import token_count
+
+    toks = docs.select(
+        F.col(key_col).alias("doc_id"),
+        token_count(text_col).cast("long").alias("n_tokens"),
+    )
+    j = clusters.join(toks, "doc_id")
+    ordk = F.col("n_tokens") * F.lit(4294967296) - F.col("doc_id")
+    return j.groupBy("cluster_id").agg(
+        F.max_by(F.col("doc_id"), ordk).alias("rep_doc_id"),
+        F.count("*").cast("long").alias("n_members"),
+        (F.sum("n_tokens") - F.max("n_tokens")).cast("long").alias("dup_tokens"),
+    )

@@ -247,3 +247,91 @@ def extract_media_features(media: DataFrame, dim: int = 16) -> DataFrame:
     return media.select("media_ref", "kind", "payload").mapInPandas(
         run, schema=FEATURES_SCHEMA
     )
+
+
+def pack_interleaved(
+    spans_docs: DataFrame,
+    budget: int = 2048,
+    n_shards: int = 8,
+    image_tokens: int = 64,
+) -> DataFrame:
+    """Interleaved (text+media) sequence packing — the multimodal analog
+    of ``sampling.pack_token_shards``: lay the span stream out as the
+    token stream a multimodal trainer consumes, where a text span costs
+    its whitespace-token count and a media span costs a fixed
+    ``image_tokens`` budget (the vision-encoder patch count — the
+    MM1/Flamingo-style interleaved packing rule). One row per span:
+    ``(doc_id, offset, kind, shard, cost, tok_start, bin_id, crosses)``.
+
+    Layout contract (same as the text packer): documents hash to
+    ``n_shards`` independent shards, spans order by (doc_id, offset)
+    within their shard, ``tok_start`` is the running offset, ``bin_id``
+    the ``budget``-token sequence the span STARTS in, and ``crosses``
+    flags a span straddling a bin boundary — text spans split there;
+    a media span cannot split, so the trainer pads to the boundary
+    (``crosses`` counts exactly the spans that decision touches).
+
+    Scale shape: one shuffle on the shard id, then a per-shard window
+    cumsum — parallelism = ``n_shards`` (size to the cluster), shards
+    reproducible independently. No global ORDER BY anywhere."""
+    from pyspark.sql import Window
+
+    from .sampling import sample_bucket
+
+    spans = spans_docs.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.offset").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.when(F.col("s.kind") == "image", F.lit(image_tokens))
+        .otherwise(F.size(F.split(F.col("s.text"), " ")))
+        .cast("long")
+        .alias("cost"),
+    )
+    sharded = spans.withColumn(
+        "shard",
+        (sample_bucket(F.col("doc_id"), "mshard") % F.lit(n_shards)).cast("int"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id", "offset")
+    return (
+        sharded.withColumn("tok_start", F.sum("cost").over(w) - F.col("cost"))
+        .withColumn("bin_id", F.floor(F.col("tok_start") / F.lit(budget)))
+        .withColumn(
+            "crosses",
+            (
+                F.floor((F.col("tok_start") + F.col("cost") - 1) / F.lit(budget))
+                != F.col("bin_id")
+            ).cast("int"),
+        )
+    )
+
+
+def media_integrity(spans_docs: DataFrame, media: DataFrame) -> DataFrame:
+    """Reconcile span-level media references against the media payload
+    table: ``missing`` = a span references bytes that aren't there (a
+    fetch/decode loss), ``orphan`` = stored bytes no document references
+    (retention waste). The audit every interleaved corpus needs before
+    training — a missing ref becomes a hole in the token stream.
+
+    Scale shape: both sides reduce to DISTINCT 8-byte-ish ref keys
+    before a single full-outer shuffle join on ``media_ref``; payload
+    columns are pruned out at the scan (never shuffled)."""
+    refs = (
+        spans_docs.select(F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "image")
+        .select(F.col("s.media_ref").alias("media_ref"))
+        .distinct()
+    )
+    have = media.select("media_ref").distinct()
+    j = refs.withColumn("referenced", F.lit(1)).join(
+        have.withColumn("stored", F.lit(1)), "media_ref", "full_outer"
+    )
+    return j.filter(
+        F.col("referenced").isNull() | F.col("stored").isNull()
+    ).select(
+        "media_ref",
+        F.when(F.col("stored").isNull(), F.lit("missing"))
+        .otherwise(F.lit("orphan"))
+        .alias("status"),
+    )

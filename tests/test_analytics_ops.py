@@ -123,4 +123,4 @@ def test_query_and_oracle_registries_stay_aligned():
     from news_crawler_spark import analytics
 
     assert set(analytics.QUERIES) == set(analytics.ORACLES)
-    assert len(analytics.QUERIES) >= 57
+    assert len(analytics.QUERIES) >= 70

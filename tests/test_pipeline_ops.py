@@ -1111,3 +1111,96 @@ def test_kmeans_assign_blocked_equals_expression(spark):
     }
     assert blocked == expr
     assert blocked[1][0] == 0  # the planted tie resolved to the smaller cell
+
+
+def test_pack_interleaved_mixed_costs(spark):
+    """Interleaved packing invariants on a hand-built span frame: text
+    spans cost their token count, image spans the fixed vision budget,
+    offsets are exact running sums in (doc_id, offset) order within a
+    shard, and the crosses flag marks exactly the boundary-straddlers."""
+    from news_crawler_spark.operators import multimodal
+
+    spans_docs = spark.createDataFrame(
+        [
+            (
+                "d1",
+                [
+                    {"kind": "text", "text": "a b c", "media_ref": None, "offset": 0},
+                    {"kind": "image", "text": None, "media_ref": "m1", "offset": 1},
+                    {"kind": "text", "text": "d", "media_ref": None, "offset": 2},
+                ],
+            ),
+            (
+                "d2",
+                [{"kind": "text", "text": "x y", "media_ref": None, "offset": 0}],
+            ),
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    out = multimodal.pack_interleaved(
+        spans_docs, budget=4, n_shards=1, image_tokens=6
+    ).collect()
+    assert len(out) == 4
+    rows = sorted(out, key=lambda r: (r.doc_id, r.offset))
+    assert [r.cost for r in rows] == [3, 6, 1, 2]
+    # one shard → global order (d1,0) (d1,1) (d1,2) (d2,0)
+    assert [r.tok_start for r in rows] == [0, 3, 9, 10]
+    assert [r.bin_id for r in rows] == [0, 0, 2, 2]
+    # the image span starts at 3 and ends at 8 → crosses the 4-token cut;
+    # d2's span (10..11) stays inside bin 2
+    assert [r.crosses for r in rows] == [0, 1, 0, 0]
+
+
+def test_media_integrity_missing_and_orphan(spark):
+    """The reconcile reports exactly the planted holes: a referenced ref
+    absent from the media side and a stored ref nothing references."""
+    from news_crawler_spark.operators import multimodal
+
+    spans_docs = spark.createDataFrame(
+        [
+            (
+                "d1",
+                [
+                    {"kind": "image", "text": None, "media_ref": "keep", "offset": 0},
+                    {"kind": "image", "text": None, "media_ref": "lost", "offset": 1},
+                    {"kind": "text", "text": "t", "media_ref": None, "offset": 2},
+                ],
+            ),
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    media = spark.createDataFrame(
+        [("keep",), ("extra",)], "media_ref string"
+    )
+    got = {
+        r.media_ref: r.status
+        for r in multimodal.media_integrity(spans_docs, media).collect()
+    }
+    assert got == {"lost": "missing", "extra": "orphan"}
+
+
+def test_cluster_representatives_survivor_rule(spark):
+    """Longest-copy-wins with ties to the smallest id, and dup_tokens =
+    member tokens minus the survivor's."""
+    from news_crawler_spark.operators import dedup as dedup_ops
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)], "doc_id long, cluster_id long"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "a b"),            # 2 tokens
+            (2, "a b c d"),        # 4 — survivor of cluster 1
+            (3, "a b c"),          # 3
+            (7, "x y z"),          # 3 — ties with 9 → smaller id wins
+            (9, "p q r"),          # 3
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.cluster_id: r
+        for r in dedup_ops.cluster_representatives(clusters, docs).collect()
+    }
+    assert got[1].rep_doc_id == 2 and got[1].n_members == 3
+    assert got[1].dup_tokens == 2 + 3
+    assert got[7].rep_doc_id == 7 and got[7].dup_tokens == 3

@@ -410,3 +410,55 @@ def test_x22_dsir_weights_join_is_broadcast(spark):
     assert "BroadcastHashJoin" in p, p
     assert "partial_sum" in p, p
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_m3_pack_one_window_no_global_sort(spark):
+    """m3: interleaved packing must be ONE per-shard window over ONE
+    shuffle on the shard id — no global Sort/Exchange anywhere above it
+    (a global ORDER BY cumsum would serialize the corpus through one
+    partition). The query's trailing orderBy is display-only and not
+    part of the operator, so assert on the operator itself."""
+    from news_crawler_spark.operators import multimodal
+
+    df = multimodal.pack_interleaved(
+        analytics._m1_extracted(spark, SF), budget=2048, n_shards=8
+    )
+    p = plan(df)
+    assert p.count("Window") == 1, p
+    # the only range-partitioning allowed is none: the window's exchange
+    # hash-partitions on shard
+    assert "rangepartitioning" not in p.lower(), p
+    assert "hashpartitioning(shard" in p, p
+
+
+def test_x29_reps_are_partial_aggregate_no_window(spark):
+    """x29: the survivor selection must be a partial (map-side) max_by
+    aggregate on cluster_id — never a per-cluster window sort."""
+    from news_crawler_spark.operators import dedup as dedup_ops
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1)], "doc_id long, cluster_id long"
+    )
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(dedup_ops.cluster_representatives(clusters, docs))
+    assert "Window" not in p, p
+    assert "partial_max_by" in p or ("max_by" in p and "partial" in p.lower()), p
+
+
+def test_m4_integrity_prunes_payload_and_reduces_before_join(spark):
+    """m4: the reconcile joins DISTINCT ref keys only — both sides
+    aggregate to distinct refs BELOW the full-outer join, and the span
+    struct's text/payload fields never reach the join."""
+    from news_crawler_spark.operators import multimodal
+
+    spans = analytics._m1_extracted(spark, SF)
+    media = spans.select(
+        F.explode("spans").alias("s")
+    ).select(F.col("s.media_ref").alias("media_ref")).limit(5)
+    df = multimodal.media_integrity(spans, media)
+    p = plan(df)
+    assert "FullOuter" in p, p
+    # distinct (HashAggregate on media_ref) on both sides of the join
+    join_pos = p.find("FullOuter")
+    below = p[join_pos:]
+    assert below.count("HashAggregate") >= 2, p
