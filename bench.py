@@ -181,6 +181,9 @@ SF1_QUERIES = [
     "g1_host_rank",
     "x21_semdedup",
     "x22_dsir_select",
+    "m3_interleaved_pack",
+    "x29_cluster_reps",
+    "x30_shard_manifest",
 ]
 
 
