@@ -74,6 +74,7 @@ HEADLINE = [
     "x11_pii_scrub",
     "x12_boilerplate",
     "v10_kmeans",
+    "v11_pq_adc_topk",
     "x13_bm25",
     "x14_corpus_build",
     "t6_asof_join",
@@ -184,6 +185,7 @@ SF1_QUERIES = [
     "m3_interleaved_pack",
     "x29_cluster_reps",
     "x30_shard_manifest",
+    "v11_pq_adc_topk",
 ]
 
 

@@ -2262,6 +2262,112 @@ ORDER BY v.vec_id
 """
 
 
+PQ_RERANK_CAND = 100
+
+
+def v11_pq_adc_topk(spark, sf):
+    """Product-quantized ANN search (Jégou et al., TPAMI 2011) under the
+    hard gate: per-subspace exact-integer codebook training (the v10
+    Lloyd recipe run independently on 8 subvector slices), a
+    literal-inlined encode scan (8 code BYTES per vector — the 32×
+    scan-size cut that makes a 10⁹-vector scan memory-resident), an ADC
+    lookup-table scan for the top-100 candidates, and the exact
+    integer-L2 re-rank of just those. Every stage is bit-deterministic,
+    so the DuckDB twin replays training, encoding, the ADC ordering,
+    AND the re-rank — one vector drifting across any code boundary
+    flips a code_word or an adc_dist and breaks the value hash."""
+    return similarity.pq_topk_rerank(
+        load(spark, sf, "embeddings"),
+        QUERY_VEC_ID,
+        k=10,
+        r_cand=PQ_RERANK_CAND,
+    )
+
+
+_PQ_SD = 64 // similarity.PQ_SUB
+_PQ_MULTS = ", ".join(
+    f"({m}, {similarity.PQ_K ** m})" for m in range(similarity.PQ_SUB)
+)
+
+V11_SQL = f"""
+WITH qv AS (
+  SELECT vec_id,
+         [floor(x::DOUBLE * {similarity.SIGNLSH_QUANT} + 0.5)::BIGINT
+          for x in embedding] AS iv
+  FROM embeddings
+),
+sv AS (
+  SELECT vec_id, m AS sub,
+         [iv[m * {_PQ_SD} + j] for j in generate_series(1, {_PQ_SD})] AS svec
+  FROM qv, unnest(generate_series(0, {similarity.PQ_SUB - 1})) AS t(m)
+),
+c0 AS (
+  SELECT sub, vec_id::INT AS code, svec AS cv FROM sv
+  WHERE vec_id < {similarity.PQ_K}
+),
+d1 AS (
+  SELECT s.vec_id, s.sub, c.code,
+         list_sum([ (s.svec[j] - c.cv[j]) * (s.svec[j] - c.cv[j])
+                    for j in generate_series(1, {_PQ_SD}) ])::BIGINT AS dist
+  FROM sv s JOIN c0 c ON s.sub = c.sub
+),
+a1 AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+    FROM d1) WHERE rn = 1
+),
+u1 AS (
+  SELECT a.sub, a.code, j,
+         floor(sum(s.svec[j])::DOUBLE / count(*))::BIGINT AS cx
+  FROM a1 a JOIN sv s USING (vec_id, sub),
+       unnest(generate_series(1, {_PQ_SD})) AS t(j)
+  GROUP BY a.sub, a.code, j
+),
+c1 AS (SELECT sub, code, list(cx ORDER BY j) AS cv FROM u1 GROUP BY sub, code),
+dE AS (
+  SELECT s.vec_id, s.sub, c.code,
+         list_sum([ (s.svec[j] - c.cv[j]) * (s.svec[j] - c.cv[j])
+                    for j in generate_series(1, {_PQ_SD}) ])::BIGINT AS dist
+  FROM sv s JOIN c1 c ON s.sub = c.sub
+),
+enc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+    FROM dE) WHERE rn = 1
+),
+wrd AS (
+  SELECT vec_id, sum(code::BIGINT * mul)::BIGINT AS code_word
+  FROM enc JOIN (VALUES {_PQ_MULTS}) AS mm(sub, mul) USING (sub)
+  GROUP BY vec_id
+),
+qs AS (SELECT sub, svec FROM sv WHERE vec_id = {QUERY_VEC_ID}),
+lut AS (
+  SELECT c.sub, c.code,
+         list_sum([ (q.svec[j] - c.cv[j]) * (q.svec[j] - c.cv[j])
+                    for j in generate_series(1, {_PQ_SD}) ])::BIGINT AS pd
+  FROM c1 c JOIN qs q USING (sub)
+),
+adc AS (
+  SELECT e.vec_id, sum(l.pd)::BIGINT AS adc_dist
+  FROM enc e JOIN lut l USING (sub, code)
+  GROUP BY e.vec_id
+),
+cand AS (
+  SELECT a.vec_id, w.code_word, a.adc_dist
+  FROM adc a JOIN wrd w USING (vec_id)
+  ORDER BY a.adc_dist, a.vec_id LIMIT {PQ_RERANK_CAND}
+),
+qq AS (SELECT iv FROM qv WHERE vec_id = {QUERY_VEC_ID})
+SELECT c.vec_id, c.code_word, c.adc_dist,
+       list_sum([ (v.iv[j] - q.iv[j]) * (v.iv[j] - q.iv[j])
+                  for j in generate_series(1, len(v.iv)) ])::BIGINT AS dist
+FROM cand c JOIN qv v USING (vec_id) CROSS JOIN qq q
+ORDER BY dist, c.vec_id LIMIT 10
+"""
+
+
 N_PROBE = 3
 
 
@@ -5164,6 +5270,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "v8_signlsh_pairs": v8_signlsh_pairs,
     "v9_ivf_partitioned": v9_ivf_partitioned,
     "v10_kmeans": v10_kmeans,
+    "v11_pq_adc_topk": v11_pq_adc_topk,
     "d1_exact_dedup": d1_exact_dedup,
     "d2_ngram_jaccard": d2_ngram_jaccard,
     "d3_minhash_lsh": d3_minhash_lsh,
@@ -5259,6 +5366,7 @@ ORACLES: dict[str, str] = {
     "v8_signlsh_pairs": V8_SQL,
     "v9_ivf_partitioned": V9_SQL,
     "v10_kmeans": V10_SQL,
+    "v11_pq_adc_topk": V11_SQL,
     "d1_exact_dedup": D1_SQL,
     "d2_ngram_jaccard": D2_SQL,
     "d3_minhash_lsh": D3_SQL,

@@ -910,3 +910,329 @@ def kmeans_assign_blocked(v: DataFrame, cents: DataFrame) -> DataFrame:
             )
 
     return v.mapInPandas(assign, "vec_id long, cell long, dist long")
+
+
+# --------------------------------------------------------------------------
+# Product quantization (Jégou/Douze/Schmid, "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011) — the COMPRESSED 10⁹-vector tier.
+# brute force scans dim·4 bytes/vector; IVF prunes cells but still reads
+# full vectors inside them; PQ reads n_sub CODE BYTES per vector (dim 64 →
+# 8 bytes, a 32× scan-size cut) and scores candidates against a query
+# lookup table with n_sub integer adds — the memory-bound regime where a
+# 10⁹-vector scan fits a node. Recall is approximate (quantization error);
+# the production recipe is PQ-scan → exact re-rank of the top slice with
+# topk_cosine, same as IVF's probe/verify split.
+#
+# Everything is bit-deterministic on the kmeans_cells recipe (quantized
+# BIGINT components, integer squared-L2, code-id tie-break, floor(sum/n)
+# centroid update, seed codebook = first k_codes vectors), so a DuckDB
+# twin replays codebook training, encoding, AND the ADC scan exactly —
+# v11 value-hashes every code word and every ADC distance.
+
+PQ_SUB = 8
+PQ_K = 16
+PQ_ITERS = 2
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    n_sub: int = PQ_SUB,
+    k_codes: int = PQ_K,
+    iters: int = PQ_ITERS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-subspace codebooks: split each quantized vector into ``n_sub``
+    contiguous subvectors (dim must divide evenly) and run exact-integer
+    Lloyd's independently per subspace. Init: code c of every subspace =
+    the subvector of vec_id c (deterministic, no RNG — the v10 seeding).
+    An emptied code drops out, identically in the SQL twin.
+
+    Shape: one posexplode (rows×n_sub subvector rows, each 1/n_sub the
+    width) + per iteration one broadcast join against ≤ n_sub·k_codes
+    codebook rows and one partial-agg groupBy — linear, no all-pairs.
+    At 100 TB train on a deterministic hash-sample (codebooks need ~10⁶
+    points); encoding (``pq_encode``) stays a full-scan map with the
+    codebook inlined as a literal.
+
+    Returns ``(sub, code, cv array<long>)``.
+    """
+    qv = embeddings.select(
+        F.col(id_col).alias("vec_id"), quantize_vec(F.col(vec_col)).alias("iv")
+    )
+    sd = (F.size("iv") / n_sub).cast("int")
+    sub_slices = F.transform(
+        F.sequence(F.lit(0), F.lit(n_sub - 1)),
+        lambda m: F.slice("iv", m.cast("int") * sd + 1, sd),
+    )
+    sv = qv.select(
+        "vec_id", F.posexplode(sub_slices).alias("sub", "svec")
+    ).localCheckpoint(eager=True)
+
+    cb = (
+        sv.filter(F.col("vec_id") < k_codes)
+        .select("sub", F.col("vec_id").cast("int").alias("code"), F.col("svec").alias("cv"))
+        .localCheckpoint(eager=True)
+    )
+
+    dist = F.aggregate(
+        F.zip_with("svec", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    for _ in range(iters - 1):
+        a = (
+            sv.join(F.broadcast(cb), "sub")
+            .withColumn("dist", dist)
+            .groupBy("vec_id", "sub")
+            .agg(F.min(F.struct("dist", "code")).alias("m"))
+            .select("vec_id", "sub", F.col("m.code").alias("code"))
+        )
+        cb = (
+            a.join(sv, ["vec_id", "sub"])
+            .select("sub", "code", F.posexplode("svec").alias("pos", "x"))
+            .groupBy("sub", "code", "pos")
+            .agg(F.floor(F.sum("x") / F.count("*")).alias("cx"))
+            .groupBy("sub", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "cx"))).alias("ps"))
+            .select("sub", "code", F.transform("ps", lambda s: s["cx"]).alias("cv"))
+            .localCheckpoint(eager=True)
+        )
+    return cb
+
+
+def _collect_codebook(codebook) -> dict[int, list[tuple[int, list[int]]]]:
+    """codebook DataFrame (or pre-collected rows) → {sub: [(code, cv)…]
+    sorted by code}. Bounded: ≤ n_sub·k_codes rows (≤ a few thousand)."""
+    rows = codebook if isinstance(codebook, list) else codebook.collect()
+    by_sub: dict[int, list[tuple[int, list[int]]]] = {}
+    for r in rows:
+        by_sub.setdefault(r["sub"], []).append((r["code"], [int(x) for x in r["cv"]]))
+    for s in by_sub:
+        by_sub[s].sort()
+    return by_sub
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebook,
+    code_base: int = PQ_K,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode every vector as its per-subspace nearest-code ids — the
+    compression scan. The codebook is inlined as array LITERALS (no join,
+    no shuffle: ONE codegen'd pass over the table, the plan a 10⁹-row
+    encode needs; plan-asserted exchange-free in test_plans).
+
+    Per subspace the argmin folds over the code list with a
+    (best_dist, best_code) struct accumulator — each candidate distance
+    is computed ONCE inside a ``let_bound`` (the PushDownPredicates /
+    lambda-recapture discipline of ``_score_at_least``), strict ``<`` so
+    the LOWEST code wins ties, matching the twin's ORDER BY dist, code.
+
+    Returns ``(vec_id, codes array<int>, code_word long)`` where
+    code_word = Σ codes[m]·code_base^m — the whole code in one BIGINT
+    (n_sub·log2(code_base) ≤ 63 bits; 32 at the 8×16 default), the
+    column an ADC scan actually reads.
+    """
+    from .text import let_bound
+
+    by_sub = _collect_codebook(codebook)
+    n_sub = len(by_sub)
+    sd = len(by_sub[0][0][1])
+    mults = [code_base**m for m in range(n_sub)]
+
+    def code_for(m: int, iv: Column) -> Column:
+        entries = by_sub[m]
+        codes_l = [c for c, _ in entries]
+        flat = [x for _, cv in entries for x in cv]
+        cbl = F.lit(flat)
+
+        def merge(acc: Column, c: Column) -> Column:
+            d = F.aggregate(
+                F.sequence(F.lit(0), F.lit(sd - 1)),
+                F.lit(0).cast("long"),
+                lambda acc2, j: acc2
+                + (
+                    F.element_at(iv, (F.lit(m * sd) + j + 1).cast("int"))
+                    - F.element_at(cbl, (c * sd + j + 1).cast("int"))
+                )
+                * (
+                    F.element_at(iv, (F.lit(m * sd) + j + 1).cast("int"))
+                    - F.element_at(cbl, (c * sd + j + 1).cast("int"))
+                ),
+            )
+            return let_bound(
+                d,
+                lambda db: F.when(
+                    db < acc["d"],
+                    F.struct(
+                        db.alias("d"),
+                        F.element_at(F.lit(codes_l), (c + 1).cast("int")).alias("c"),
+                    ),
+                ).otherwise(acc),
+            )
+
+        init = F.struct(
+            F.lit(1 << 62).cast("long").alias("d"), F.lit(-1).alias("c")
+        )
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(len(entries) - 1)), init, merge, lambda a: a["c"]
+        )
+
+    enc = let_bound(
+        quantize_vec(F.col(vec_col)),
+        lambda iv: let_bound(
+            F.array(*[code_for(m, iv) for m in range(n_sub)]),
+            lambda cds: F.struct(
+                cds.alias("codes"),
+                F.aggregate(
+                    F.zip_with(cds, F.lit(mults), lambda c, mu: c.cast("long") * mu),
+                    F.lit(0).cast("long"),
+                    lambda a, x: a + x,
+                ).alias("code_word"),
+            ),
+        ),
+    )
+    # inline-through-a-1-element-array: the Generate is a projection
+    # barrier, so the two struct fields don't each re-evaluate the whole
+    # encode expression under CollapseProject.
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"), F.inline(F.array(enc))
+    )
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    codebook,
+    query_iv: list[int],
+    k: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query stays
+    UNquantized-by-codebook; one n_sub×k_codes lookup table of exact
+    integer partial distances lut[m][c] = ‖q_m − cv_{m,c}‖² is built
+    driver-side and inlined as a literal, and every row's approximate
+    distance is n_sub table adds over its code array. No join, no
+    shuffle: a single codes-column scan into TakeOrderedAndProject
+    (plan-asserted) — the 8-bytes-per-vector scan regime.
+
+    Returns top-k ``(vec_id, code_word, adc_dist)`` by (adc_dist, vec_id)
+    — the total order that makes LIMIT deterministic in both engines.
+    """
+    by_sub = _collect_codebook(codebook)
+    n_sub = len(by_sub)
+    sd = len(by_sub[0][0][1])
+    base = 1 + max(c for entries in by_sub.values() for c, _ in entries)
+    lut = [0] * (n_sub * base)
+    for m, entries in by_sub.items():
+        q_m = query_iv[m * sd : (m + 1) * sd]
+        for c, cv in entries:
+            lut[m * base + c] = sum((a - b) * (a - b) for a, b in zip(q_m, cv))
+    lutl = F.lit(lut)
+
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_sub - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, m: acc
+        + F.element_at(
+            lutl,
+            (m * base + F.element_at("codes", (m + 1).cast("int")) + 1).cast("int"),
+        ),
+    )
+    return (
+        encoded.select("vec_id", "code_word", adc.alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(k)
+    )
+
+
+def quantize_list(vec) -> list[int]:
+    """Driver-side twin of ``quantize_vec`` for a single collected row —
+    floor(x·QUANT + 0.5) in IEEE double, the identical arithmetic."""
+    import math
+
+    return [int(math.floor(float(x) * SIGNLSH_QUANT + 0.5)) for x in vec]
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_sub: int = PQ_SUB,
+    k_codes: int = PQ_K,
+    iters: int = PQ_ITERS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Train → encode → ADC-scan, composed: the full PQ search path.
+    The codebook is collected once (bounded n_sub·k_codes rows) and
+    reused by both the encode literals and the ADC lookup table; the
+    query vector is a 1-row bounded collect."""
+    cb_rows = pq_codebooks(
+        embeddings, n_sub=n_sub, k_codes=k_codes, iters=iters,
+        vec_col=vec_col, id_col=id_col,
+    ).collect()
+    qrow = embeddings.filter(F.col(id_col) == query_id).select(vec_col).head()
+    query_iv = quantize_list(qrow[0])
+    enc = pq_encode(
+        embeddings, cb_rows, code_base=k_codes, vec_col=vec_col, id_col=id_col
+    )
+    return pq_adc_topk(enc, cb_rows, query_iv, k=k)
+
+
+def pq_topk_rerank(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    r_cand: int = 100,
+    n_sub: int = PQ_SUB,
+    k_codes: int = PQ_K,
+    iters: int = PQ_ITERS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The production PQ recipe: ADC-scan for ``r_cand`` candidates,
+    then EXACT integer-L2 re-rank of just those — quantization error
+    costs candidate-list width, not final precision (measured on the
+    synthetic embeddings: ADC-only recall@10 = 0.2 vs exact; rerank of
+    the top-100 = 0.6, top-150 = 0.8 — near-random vectors are PQ's
+    worst case, and the dial is ``r_cand``).
+
+    Scale shape: the candidate set is a bounded collect (≤ r_cand
+    rows), re-fetched via an ``isin`` filter — an In-pushdown the
+    parquet scan prunes with (the seen_filter sliver-confirm pattern),
+    so the re-rank touches ~r_cand rows of a 10⁹-row table, joined
+    broadcast back to their ADC scores. Total order (dist, vec_id) on
+    the output keeps LIMIT deterministic for the v11 twin.
+    """
+    cb_rows = pq_codebooks(
+        embeddings, n_sub=n_sub, k_codes=k_codes, iters=iters,
+        vec_col=vec_col, id_col=id_col,
+    ).collect()
+    qrow = embeddings.filter(F.col(id_col) == query_id).select(vec_col).head()
+    query_iv = quantize_list(qrow[0])
+    enc = pq_encode(
+        embeddings, cb_rows, code_base=k_codes, vec_col=vec_col, id_col=id_col
+    )
+    cand_rows = pq_adc_topk(enc, cb_rows, query_iv, k=r_cand).collect()
+    cand = embeddings.sparkSession.createDataFrame(
+        cand_rows, "vec_id long, code_word long, adc_dist long"
+    )
+    exact = F.aggregate(
+        F.zip_with(
+            quantize_vec(F.col(vec_col)), F.lit(query_iv), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    fetched = (
+        embeddings.filter(F.col(id_col).isin([r["vec_id"] for r in cand_rows]))
+        .select(F.col(id_col).alias("vec_id"), exact.alias("dist"))
+    )
+    return (
+        fetched.join(F.broadcast(cand), "vec_id")
+        .select("vec_id", "code_word", "adc_dist", "dist")
+        .orderBy("dist", "vec_id")
+        .limit(k)
+    )

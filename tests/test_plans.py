@@ -462,3 +462,24 @@ def test_m4_integrity_prunes_payload_and_reduces_before_join(spark):
     join_pos = p.find("FullOuter")
     below = p[join_pos:]
     assert below.count("HashAggregate") >= 2, p
+
+
+def test_v11_pq_encode_is_single_scan_and_adc_is_take_ordered(spark):
+    """PQ plans: the encode inlines the codebook as literals — no join,
+    no exchange, ONE scan (the 10⁹-row compression pass); the ADC scan
+    is a joinless TakeOrderedAndProject over the codes column (the
+    8-bytes-per-vector regime)."""
+    from news_crawler_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(SF + "/embeddings.parquet")
+    cb = sim.pq_codebooks(emb, n_sub=8, k_codes=16, iters=2).collect()
+    enc = sim.pq_encode(emb, cb, code_base=16)
+    p_enc = explain_formatted(enc)
+    assert "Exchange" not in p_enc, p_enc
+    assert "Join" not in p_enc, p_enc
+
+    qrow = emb.filter(F.col("vec_id") == 7).select("embedding").head()
+    top = sim.pq_adc_topk(enc, cb, sim.quantize_list(qrow[0]), k=10)
+    p_top = explain_formatted(top)
+    assert "TakeOrderedAndProject" in p_top, p_top
+    assert "Join" not in p_top, p_top
