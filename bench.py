@@ -75,6 +75,7 @@ HEADLINE = [
     "x12_boilerplate",
     "v10_kmeans",
     "v11_pq_adc_topk",
+    "v12_ivfpq_topk",
     "x13_bm25",
     "x14_corpus_build",
     "t6_asof_join",
@@ -186,6 +187,7 @@ SF1_QUERIES = [
     "x29_cluster_reps",
     "x30_shard_manifest",
     "v11_pq_adc_topk",
+    "v12_ivfpq_topk",
 ]
 
 

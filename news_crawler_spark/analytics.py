@@ -2368,6 +2368,129 @@ ORDER BY dist, c.vec_id LIMIT 10
 """
 
 
+IVFPQ_N_PROBE = 2
+
+
+def v12_ivfpq_topk(spark, sf):
+    """IVF-PQ (the FAISS index shape) under the hard gate: v10's coarse
+    k-means cells prune the scan to the 2 cells nearest the query,
+    v11's PQ quantizes the CELL RESIDUALS (finer than raw vectors at
+    the same code budget — measured recall@10 0.9 vs flat-PQ 0.6 at
+    identical 8×16 codes), ADC scores each probed cell against its own
+    residual lookup table, and the exact integer-L2 re-rank finishes.
+    The twin composes the SAME unrolled Lloyd chain v10/x21 replay
+    (_KMEANS_CTES) with the v11 PQ chain run on residuals — every
+    cell id, code word, ADC distance, and re-rank distance is
+    value-hashed."""
+    return similarity.ivfpq_topk_rerank(
+        load(spark, sf, "embeddings"),
+        QUERY_VEC_ID,
+        k=10,
+        r_cand=PQ_RERANK_CAND,
+        n_probe=IVFPQ_N_PROBE,
+        seed_ids=tuple(range(KMEANS_K)),
+        iters=KMEANS_ITERS,
+    )
+
+
+V12_SQL = f"""
+WITH {_KMEANS_CTES},
+rv AS (
+  SELECT a.vec_id, a.cell,
+         [ q.iv[j] - c.cv[j] for j in generate_series(1, len(q.iv)) ] AS riv
+  FROM aF a JOIN qv q USING (vec_id)
+       JOIN c{KMEANS_ITERS - 1} c ON a.cell = c.cell
+),
+rsv AS (
+  SELECT vec_id, cell, m AS sub,
+         [riv[m * {_PQ_SD} + j] for j in generate_series(1, {_PQ_SD})] AS svec
+  FROM rv, unnest(generate_series(0, {similarity.PQ_SUB - 1})) AS t(m)
+),
+p0 AS (
+  SELECT sub, vec_id::INT AS code, svec AS cv FROM rsv
+  WHERE vec_id < {similarity.PQ_K}
+),
+pd1 AS (
+  SELECT s.vec_id, s.sub, c.code,
+         list_sum([ (s.svec[j] - c.cv[j]) * (s.svec[j] - c.cv[j])
+                    for j in generate_series(1, {_PQ_SD}) ])::BIGINT AS dist
+  FROM rsv s JOIN p0 c ON s.sub = c.sub
+),
+pa1 AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+    FROM pd1) WHERE rn = 1
+),
+pu1 AS (
+  SELECT a.sub, a.code, j,
+         floor(sum(s.svec[j])::DOUBLE / count(*))::BIGINT AS cx
+  FROM pa1 a JOIN rsv s USING (vec_id, sub),
+       unnest(generate_series(1, {_PQ_SD})) AS t(j)
+  GROUP BY a.sub, a.code, j
+),
+pc1 AS (SELECT sub, code, list(cx ORDER BY j) AS cv FROM pu1 GROUP BY sub, code),
+pdE AS (
+  SELECT s.vec_id, s.sub, c.code,
+         list_sum([ (s.svec[j] - c.cv[j]) * (s.svec[j] - c.cv[j])
+                    for j in generate_series(1, {_PQ_SD}) ])::BIGINT AS dist
+  FROM rsv s JOIN pc1 c ON s.sub = c.sub
+),
+penc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+    FROM pdE) WHERE rn = 1
+),
+pwrd AS (
+  SELECT vec_id, sum(code::BIGINT * mul)::BIGINT AS code_word
+  FROM penc JOIN (VALUES {_PQ_MULTS}) AS mm(sub, mul) USING (sub)
+  GROUP BY vec_id
+),
+qq AS (SELECT iv FROM qv WHERE vec_id = {QUERY_VEC_ID}),
+probed AS (
+  SELECT c.cell FROM c{KMEANS_ITERS - 1} c CROSS JOIN qq q
+  ORDER BY list_sum([ (q.iv[j] - c.cv[j]) * (q.iv[j] - c.cv[j])
+                      for j in generate_series(1, len(q.iv)) ])::BIGINT, c.cell
+  LIMIT {IVFPQ_N_PROBE}
+),
+qr AS (
+  SELECT c.cell,
+         [ q.iv[j] - c.cv[j] for j in generate_series(1, len(q.iv)) ] AS qriv
+  FROM c{KMEANS_ITERS - 1} c CROSS JOIN qq q
+  WHERE c.cell IN (SELECT cell FROM probed)
+),
+qrs AS (
+  SELECT cell, m AS sub,
+         [qriv[m * {_PQ_SD} + j] for j in generate_series(1, {_PQ_SD})] AS qsv
+  FROM qr, unnest(generate_series(0, {similarity.PQ_SUB - 1})) AS t(m)
+),
+plut AS (
+  SELECT q.cell, c.sub, c.code,
+         list_sum([ (q.qsv[j] - c.cv[j]) * (q.qsv[j] - c.cv[j])
+                    for j in generate_series(1, {_PQ_SD}) ])::BIGINT AS pd
+  FROM pc1 c JOIN qrs q ON c.sub = q.sub
+),
+adcv AS (
+  SELECT e.vec_id, r.cell, sum(l.pd)::BIGINT AS adc_dist
+  FROM penc e
+       JOIN (SELECT vec_id, cell FROM rv) r USING (vec_id)
+       JOIN plut l ON l.cell = r.cell AND l.sub = e.sub AND l.code = e.code
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT a.vec_id, a.cell, w.code_word, a.adc_dist
+  FROM adcv a JOIN pwrd w USING (vec_id)
+  ORDER BY a.adc_dist, a.vec_id LIMIT {PQ_RERANK_CAND}
+)
+SELECT c.vec_id, c.cell, c.code_word, c.adc_dist,
+       list_sum([ (v.iv[j] - q.iv[j]) * (v.iv[j] - q.iv[j])
+                  for j in generate_series(1, len(v.iv)) ])::BIGINT AS dist
+FROM cand c JOIN qv v USING (vec_id) CROSS JOIN qq q
+ORDER BY dist, c.vec_id LIMIT 10
+"""
+
+
 N_PROBE = 3
 
 
@@ -5271,6 +5394,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "v9_ivf_partitioned": v9_ivf_partitioned,
     "v10_kmeans": v10_kmeans,
     "v11_pq_adc_topk": v11_pq_adc_topk,
+    "v12_ivfpq_topk": v12_ivfpq_topk,
     "d1_exact_dedup": d1_exact_dedup,
     "d2_ngram_jaccard": d2_ngram_jaccard,
     "d3_minhash_lsh": d3_minhash_lsh,
@@ -5367,6 +5491,7 @@ ORACLES: dict[str, str] = {
     "v9_ivf_partitioned": V9_SQL,
     "v10_kmeans": V10_SQL,
     "v11_pq_adc_topk": V11_SQL,
+    "v12_ivfpq_topk": V12_SQL,
     "d1_exact_dedup": D1_SQL,
     "d2_ngram_jaccard": D2_SQL,
     "d3_minhash_lsh": D3_SQL,

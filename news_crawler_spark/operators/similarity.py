@@ -241,6 +241,7 @@ def kmeans_cells(
     iters: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    return_centroids: bool = False,
 ) -> DataFrame:
     """Exact-integer Lloyd's k-means over the embedding column —
     corpus clustering for training-mixture balancing (group docs by
@@ -271,7 +272,9 @@ def kmeans_cells(
     codebook needs ~10⁶ points, not 10¹⁰) and keep the final full-scan
     assignment — same operators, one extra filter.
 
-    Returns ``(vec_id, cell, dist)`` — the final assignment.
+    Returns ``(vec_id, cell, dist)`` — the final assignment — or, with
+    ``return_centroids``, the tuple ``(assignment, centroids)`` where
+    centroids is the ``(cell, cv)`` frame the final assignment used.
     """
     vecs = embeddings.select(
         F.col(id_col).alias("vec_id"), quantize_vec(F.col(vec_col)).alias("iv")
@@ -313,6 +316,10 @@ def kmeans_cells(
             )
             .localCheckpoint(eager=True)
         )
+    if return_centroids:
+        # (assignment, the centroids that PRODUCED it) — what a
+        # residual quantizer (ivfpq_topk_rerank) needs
+        return assign(cents), cents
     return assign(cents)
 
 
@@ -960,6 +967,19 @@ def pq_codebooks(
     qv = embeddings.select(
         F.col(id_col).alias("vec_id"), quantize_vec(F.col(vec_col)).alias("iv")
     )
+    return pq_codebooks_iv(qv, n_sub=n_sub, k_codes=k_codes, iters=iters)
+
+
+def pq_codebooks_iv(
+    ivdf: DataFrame,
+    n_sub: int = PQ_SUB,
+    k_codes: int = PQ_K,
+    iters: int = PQ_ITERS,
+) -> DataFrame:
+    """``pq_codebooks`` over an already-integer ``(vec_id, iv)`` frame —
+    the entry point residual quantization (ivfpq) uses, where iv is a
+    residual rather than a quantized embedding."""
+    qv = ivdf
     sd = (F.size("iv") / n_sub).cast("int")
     sub_slices = F.transform(
         F.sequence(F.lit(0), F.lit(n_sub - 1)),
@@ -1019,6 +1039,8 @@ def pq_encode(
     code_base: int = PQ_K,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    iv_col: str | None = None,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode every vector as its per-subspace nearest-code ids — the
     compression scan. The codebook is inlined as array LITERALS (no join,
@@ -1035,6 +1057,10 @@ def pq_encode(
     code_word = Σ codes[m]·code_base^m — the whole code in one BIGINT
     (n_sub·log2(code_base) ≤ 63 bits; 32 at the 8×16 default), the
     column an ADC scan actually reads.
+
+    ``iv_col`` names an ALREADY-integer array column to encode instead
+    of quantizing ``vec_col`` (the residual path); ``extra_cols`` pass
+    through beside the codes (e.g. the coarse cell id).
     """
     from .text import let_bound
 
@@ -1082,7 +1108,7 @@ def pq_encode(
         )
 
     enc = let_bound(
-        quantize_vec(F.col(vec_col)),
+        F.col(iv_col) if iv_col is not None else quantize_vec(F.col(vec_col)),
         lambda iv: let_bound(
             F.array(*[code_for(m, iv) for m in range(n_sub)]),
             lambda cds: F.struct(
@@ -1099,7 +1125,7 @@ def pq_encode(
     # barrier, so the two struct fields don't each re-evaluate the whole
     # encode expression under CollapseProject.
     return embeddings.select(
-        F.col(id_col).alias("vec_id"), F.inline(F.array(enc))
+        F.col(id_col).alias("vec_id"), *extra_cols, F.inline(F.array(enc))
     )
 
 
@@ -1233,6 +1259,138 @@ def pq_topk_rerank(
     return (
         fetched.join(F.broadcast(cand), "vec_id")
         .select("vec_id", "code_word", "adc_dist", "dist")
+        .orderBy("dist", "vec_id")
+        .limit(k)
+    )
+
+
+def ivfpq_topk_rerank(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    r_cand: int = 100,
+    n_probe: int = 2,
+    seed_ids: tuple[int, ...] = tuple(range(8)),
+    iters: int = 3,
+    n_sub: int = PQ_SUB,
+    k_codes: int = PQ_K,
+    pq_iters: int = PQ_ITERS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ — the production composition of the two gated ANN tiers
+    (the FAISS IVFPQ index shape): coarse k-means cells PRUNE the scan
+    (only the ``n_probe`` cells nearest the query are read — written
+    partitioned-by-cell this is v9's partition pruning), PQ codes over
+    the CELL RESIDUALS compress what is read (residuals are tighter
+    than raw vectors, so the same codebook budget quantizes finer), an
+    ADC scan with one lookup table PER PROBED CELL scores candidates,
+    and the exact integer-L2 re-rank finishes. Everything reuses the
+    bit-deterministic recipes of v10 (coarse cells) and v11 (PQ), so
+    the v12 DuckDB twin replays the whole composition value-exactly.
+
+    Scale shape: coarse assignment is the v10 broadcast loop; the
+    residual is one broadcast join (k centroid rows) inside the encode
+    scan; probing is driver-side over k centroid rows (bounded); the
+    ADC scan reads only probed cells (isin → partition pruning on a
+    cell-partitioned table); the re-rank fetches ≤ r_cand rows by id.
+
+    Returns top-k ``(vec_id, cell, code_word, adc_dist, dist)`` by
+    (dist, vec_id).
+    """
+    assigned, cents = kmeans_cells(
+        embeddings, seed_ids=seed_ids, iters=iters,
+        vec_col=vec_col, id_col=id_col, return_centroids=True,
+    )
+    qv = embeddings.select(
+        F.col(id_col).alias("vec_id"), quantize_vec(F.col(vec_col)).alias("iv")
+    )
+    rv = (
+        qv.join(assigned.select("vec_id", "cell"), "vec_id")
+        .join(F.broadcast(cents), "cell")
+        .select(
+            "vec_id", "cell",
+            F.zip_with("iv", "cv", lambda a, b: a - b).alias("riv"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cb_rows = pq_codebooks_iv(
+        rv.select("vec_id", F.col("riv").alias("iv")),
+        n_sub=n_sub, k_codes=k_codes, iters=pq_iters,
+    ).collect()
+    enc = pq_encode(
+        rv, cb_rows, code_base=k_codes, id_col="vec_id",
+        iv_col="riv", extra_cols=("cell",),
+    )
+
+    # ---- driver-side probe: rank cells by integer L2 to the query ----
+    q_iv = quantize_list(
+        embeddings.filter(F.col(id_col) == query_id).select(vec_col).head()[0]
+    )
+    cent_rows = sorted((r["cell"], [int(x) for x in r["cv"]]) for r in cents.collect())
+    probed = sorted(
+        cent_rows,
+        key=lambda cc: (sum((a - b) * (a - b) for a, b in zip(q_iv, cc[1])), cc[0]),
+    )[:n_probe]
+    probed_cells = [c for c, _ in probed]
+
+    # ---- one ADC lookup table per probed cell, from its residual query ----
+    by_sub = _collect_codebook(cb_rows)
+    sd = len(by_sub[0][0][1])
+    base = 1 + max(c for entries in by_sub.values() for c, _ in entries)
+    lut = [0] * (len(probed) * n_sub * base)
+    for ci, (_cell, cv_cell) in enumerate(probed):
+        qr = [a - b for a, b in zip(q_iv, cv_cell)]
+        for m, entries in by_sub.items():
+            q_m = qr[m * sd : (m + 1) * sd]
+            for c, cv in entries:
+                lut[ci * n_sub * base + m * base + c] = sum(
+                    (a - b) * (a - b) for a, b in zip(q_m, cv)
+                )
+    lutl = F.lit(lut)
+    cell_idx = F.col("cell")
+    for ci, c in enumerate(probed_cells):
+        cell_idx = F.when(F.col("cell") == c, F.lit(ci)).otherwise(cell_idx)
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_sub - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, m: acc
+        + F.element_at(
+            lutl,
+            (
+                cell_idx * (n_sub * base)
+                + m * base
+                + F.element_at("codes", (m + 1).cast("int"))
+                + 1
+            ).cast("int"),
+        ),
+    )
+    cand_rows = (
+        enc.filter(F.col("cell").isin(probed_cells))
+        .select("vec_id", "cell", "code_word", adc.alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(r_cand)
+        .collect()
+    )
+
+    # ---- exact re-rank of the candidate slice ----
+    cand = embeddings.sparkSession.createDataFrame(
+        cand_rows, "vec_id long, cell long, code_word long, adc_dist long"
+    )
+    exact = F.aggregate(
+        F.zip_with(
+            quantize_vec(F.col(vec_col)), F.lit(q_iv), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    fetched = (
+        embeddings.filter(F.col(id_col).isin([r["vec_id"] for r in cand_rows]))
+        .select(F.col(id_col).alias("vec_id"), exact.alias("dist"))
+    )
+    return (
+        fetched.join(F.broadcast(cand), "vec_id")
+        .select("vec_id", "cell", "code_word", "adc_dist", "dist")
         .orderBy("dist", "vec_id")
         .limit(k)
     )

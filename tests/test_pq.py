@@ -140,3 +140,56 @@ def test_pq_planted_duplicate_shares_code_word(spark):
     # true distance 0, ordered by vec_id
     rer = sim.pq_topk_rerank(df, 5, k=2, r_cand=40, n_sub=4, k_codes=4, iters=2).collect()
     assert [(r["vec_id"], r["dist"]) for r in rer] == [(5, 0), (30, 0)]
+
+
+def test_ivfpq_matches_python_twin_and_beats_flat_pq_recall(emb, quantized):
+    # full composed twin: coarse Lloyd (k=8, 3 iters) → residuals →
+    # PQ(8×16, 2 iters) → probe 2 cells → per-cell ADC → exact re-rank
+    K_CELLS, ITERS, NPROBE, RCAND = 8, 3, 2, 100
+    cents = {c: quantized[c] for c in range(K_CELLS)}
+    for _ in range(ITERS - 1):
+        asg = {
+            v: min((_l2(iv, cv), c) for c, cv in cents.items())[1]
+            for v, iv in quantized.items()
+        }
+        nc = {}
+        for c in set(asg.values()):
+            mem = [quantized[v] for v, cc in asg.items() if cc == c]
+            nc[c] = [int(math.floor(sum(col) / len(mem))) for col in zip(*mem)]
+        cents = nc
+    asg = {
+        v: min((_l2(iv, cv), c) for c, cv in cents.items())[1]
+        for v, iv in quantized.items()
+    }
+    R = {v: [a - b for a, b in zip(quantized[v], cents[asg[v]])] for v in quantized}
+    cb, codes, words, sd = _twin(R, N_SUB, K, 2)
+
+    qiv = quantized[QID]
+    probed = sorted(cents, key=lambda c: (_l2(qiv, cents[c]), c))[:NPROBE]
+    adc = {}
+    for v in quantized:
+        if asg[v] not in probed:
+            continue
+        qr = [a - b for a, b in zip(qiv, cents[asg[v]])]
+        adc[v] = sum(
+            _l2(qr[m * sd : (m + 1) * sd], cb[(m, codes[v][m])]) for m in range(N_SUB)
+        )
+    cand = sorted((d, v) for v, d in adc.items())[:RCAND]
+    rer = sorted((_l2(qiv, quantized[v]), v) for _, v in cand)[:10]
+    twin = [(v, asg[v], words[v], adc[v], d) for d, v in rer]
+
+    got = sim.ivfpq_topk_rerank(
+        emb, QID, k=10, r_cand=RCAND, n_probe=NPROBE,
+        seed_ids=tuple(range(K_CELLS)), iters=ITERS,
+    ).collect()
+    assert [
+        (r["vec_id"], r["cell"], r["code_word"], r["adc_dist"], r["dist"]) for r in got
+    ] == twin
+
+    # residual quantization is finer than flat PQ at the same 8×16 code
+    # budget: measured recall@10 = 0.9 here vs 0.6 for pq_topk_rerank
+    # (deterministic on these fixed inputs; pinned with slack)
+    exact_ids = {
+        v for _, v in sorted((_l2(qiv, iv), v) for v, iv in quantized.items())[:10]
+    }
+    assert len(exact_ids & {r["vec_id"] for r in got}) / 10 >= 0.7
