@@ -63,7 +63,15 @@ the keep/drop decision: longest copy survives, dup_tokens = the
 savings line), and x30 the training-shard sink round-trip — the
 corpus written as shard-partitioned parquet, read BACK, and
 manifest-checksummed, so a value-hash match proves the partitioned
-write→read round trip lost, duplicated, and mutated nothing).
+write→read round trip lost, duplicated, and mutated nothing). The
+final session adds the compressed ANN tiers: v11 product quantization
+(exact-integer per-subspace Lloyd codebooks, a literal-inlined
+joinless encode scan, ADC lookup-table top-k, and the exact re-rank —
+the twin replays training, encoding, ADC ordering and re-rank), and
+v12 IVF-PQ, the production composition (v10's coarse cells prune the
+scan to n_probe cells, PQ runs on the CELL RESIDUALS, per-cell ADC
+tables score, the exact re-rank finishes — one twin composes the
+unrolled Lloyd chain with the PQ chain).
 """
 
 from __future__ import annotations

@@ -100,6 +100,9 @@ def test_pq_adc_topk_matches_twin_and_reranks(emb, quantized):
     enc = sim.pq_encode(emb, cb_rows, code_base=K)
     got = sim.pq_adc_topk(enc, cb_rows, qiv, k=10).collect()
     assert [(r["adc_dist"], r["vec_id"]) for r in got] == twin_top
+    # the composed entry point is the same pipeline
+    composed = sim.pq_topk(emb, QID, k=10).collect()
+    assert [(r["adc_dist"], r["vec_id"]) for r in composed] == twin_top
 
     # recall: ADC alone is the candidate generator (worst case: these
     # near-random vectors); rerank of the top-100 recovers most of the
