@@ -84,6 +84,7 @@ HEADLINE = [
     "a8_sessionization",
     "x16_countmin_heavy",
     "x17_length_quantiles",
+    "x31_quantile_sketch",
     "x18_incremental_neardup",
     "a9_rollup",
     "x19_dup_spans",

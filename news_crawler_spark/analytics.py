@@ -3795,6 +3795,127 @@ FROM r GROUP BY 1
 """
 
 
+X31_K = 256
+X31_PROBS = [("p50_est", 1, 2), ("p90_est", 9, 10), ("p99_est", 99, 100)]
+
+
+def x31_quantile_sketch(spark, sf):
+    """Hash-sample quantile sketch under the hard gate
+    (operators/sketch.qsketch_*) — the third sketch leg (KMV =
+    cardinality, count-min = frequency, this = quantiles) and x17's
+    at-scale path: per event_type, keep the k=256 events with smallest
+    md5(event_id) — a deterministic uniform row sample, a pure function
+    of the row SET (unlike KLL/t-digest, whose merge-tree order
+    dependence no SQL twin could replay) — and read p50/p90/p99 of the
+    micro-unit event value off the sample's order statistics with the
+    exact x17 rank rule. The exact quantiles ride along so the sampling
+    error is pinned, not hidden; ``merged_equal`` witnesses the
+    zero-error shard merge (4 disjoint event shards sketch
+    independently, merged ≡ direct — the oracle states TRUE). Types
+    here hold ~2k events at sf0.01 / ~20k at sf0.1 vs k=256, so the
+    sketch is genuinely approximate in the gate's regime."""
+    from .operators import sketch
+
+    e = load(spark, sf, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("v_micro"),
+    )
+    direct = sketch.qsketch_bottom_k(e, ["event_type"], "event_id", "v_micro", X31_K)
+    shards = [
+        sketch.qsketch_bottom_k(
+            e.filter(F.pmod(F.col("event_id"), F.lit(4)) == i),
+            ["event_type"], "event_id", "v_micro", X31_K,
+        )
+        for i in range(4)
+    ]
+    merged = sketch.qsketch_merge(shards, ["event_type"], X31_K).withColumnRenamed(
+        "sample", "sample_merged"
+    )
+    wo = Window.partitionBy("event_type").orderBy("v_micro", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = e.withColumn("rn", F.row_number().over(wo)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    pick = lambda num, den: F.max(  # noqa: E731 — x17's exact rank rule
+        F.when(
+            F.col("rn") == F.expr(f"({num} * n + {den - 1}) div {den}"),
+            F.col("v_micro"),
+        )
+    ).cast("long")
+    exact = r.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_events"),
+        pick(1, 2).alias("p50"),
+        pick(9, 10).alias("p90"),
+        pick(99, 100).alias("p99"),
+    )
+    return (
+        sketch.qsketch_quantiles(direct, X31_PROBS)
+        .join(merged, "event_type")
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            "sample_n",
+            "p50_est",
+            "p90_est",
+            "p99_est",
+            "p50",
+            "p90",
+            "p99",
+            (F.col("sample") == F.col("sample_merged")).alias("merged_equal"),
+        )
+    )
+
+
+X31_SQL = f"""
+WITH ev AS (
+  SELECT event_id, event_type,
+         floor(value * 1000000 + 0.5)::BIGINT AS v_micro
+  FROM events
+),
+h AS (
+  SELECT event_type, v_micro,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY ('0x' || substring(md5(event_id::VARCHAR), 1, 15))::BIGINT
+         ) AS hrn
+  FROM ev
+),
+samp AS (
+  SELECT event_type, v_micro,
+         row_number() OVER (PARTITION BY event_type ORDER BY v_micro) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS s
+  FROM h WHERE hrn <= {X31_K}
+),
+est AS (
+  SELECT event_type, max(s)::INT AS sample_n,
+         max(CASE WHEN rn = (1 * s + 1) // 2 THEN v_micro END)::BIGINT AS p50_est,
+         max(CASE WHEN rn = (9 * s + 9) // 10 THEN v_micro END)::BIGINT AS p90_est,
+         max(CASE WHEN rn = (99 * s + 99) // 100 THEN v_micro END)::BIGINT AS p99_est
+  FROM samp GROUP BY 1
+),
+rx AS (
+  SELECT event_type, v_micro,
+         row_number() OVER (PARTITION BY event_type ORDER BY v_micro, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM ev
+),
+ex AS (
+  SELECT event_type, max(n)::BIGINT AS n_events,
+         max(CASE WHEN rn = (1 * n + 1) // 2 THEN v_micro END)::BIGINT AS p50,
+         max(CASE WHEN rn = (9 * n + 9) // 10 THEN v_micro END)::BIGINT AS p90,
+         max(CASE WHEN rn = (99 * n + 99) // 100 THEN v_micro END)::BIGINT AS p99
+  FROM rx GROUP BY 1
+)
+SELECT e.event_type, x.n_events, e.sample_n, e.p50_est, e.p90_est, e.p99_est,
+       x.p50, x.p90, x.p99, TRUE AS merged_equal
+FROM est e JOIN ex x USING (event_type)
+"""
+
+
 def x18_incremental_neardup(spark, sf):
     """Incremental content dedup under the hard gate
     (operators/dedup.incremental_simhash_pairs): the corpus splits into
@@ -5418,6 +5539,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x15_kmv_vocab": x15_kmv_vocab,
     "x16_countmin_heavy": x16_countmin_heavy,
     "x17_length_quantiles": x17_length_quantiles,
+    "x31_quantile_sketch": x31_quantile_sketch,
     "x18_incremental_neardup": x18_incremental_neardup,
     "x19_dup_spans": x19_dup_spans,
     "g1_host_rank": g1_host_rank,
@@ -5515,6 +5637,7 @@ ORACLES: dict[str, str] = {
     "x15_kmv_vocab": X15_SQL,
     "x16_countmin_heavy": X16_SQL,
     "x17_length_quantiles": X17_SQL,
+    "x31_quantile_sketch": X31_SQL,
     "x18_incremental_neardup": X18_SQL,
     "x19_dup_spans": X19_SQL,
     "g1_host_rank": G1_SQL,

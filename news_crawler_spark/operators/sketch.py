@@ -40,6 +40,9 @@ __all__ = [
     "countmin_table",
     "countmin_merge",
     "countmin_estimate",
+    "qsketch_bottom_k",
+    "qsketch_merge",
+    "qsketch_quantiles",
 ]
 
 # hash space: first 15 md5 hex chars = 60 bits, always positive — chosen
@@ -196,3 +199,82 @@ def countmin_estimate(
         joined.groupBy(*group_cols, value_col)
         .agg(F.min("n").cast("long").alias(out))
     )
+
+
+# ---------------------------------------------------------------------------
+# Hash-sample quantile sketch — the third leg of the sketch trio
+# (KMV = cardinality, count-min = frequency, this = quantiles). x17's
+# exact discrete quantiles sort every group; at 100 TB the calibration
+# numbers come from a bounded sample instead. KLL/t-digest are the
+# classical answer but are ORDER-DEPENDENT (merge-tree shape changes the
+# sketch), so no SQL twin could replay them; this sketch trades their
+# worst-case bound for the property everything in this repo is built on:
+# it is a pure function of the row SET. Keep the k rows whose
+# md5(key) is smallest — a uniform without-replacement sample under the
+# md5 permutation — and read quantiles off the sample's order
+# statistics (error O(1/sqrt(k)) w.h.p.; exact whenever the group has
+# ≤ k rows, since then the sample IS the group). Deterministic,
+# zero-error mergeable (bottom-k of a union distributes, exactly like
+# KMV), bounded (≤ partitions × k pairs per group in flight).
+# Contract: ``key_col`` is unique per row (doc_id) — a duplicated key
+# would collapse two rows into one sample slot.
+
+
+def qsketch_bottom_k(
+    df: DataFrame, group_cols: list[str], key_col: str, value_col: str, k: int
+) -> DataFrame:
+    """Per group: the (hash, value) pairs of the k rows with smallest
+    md5-derived row-key hash, as a sorted struct array ``sample``.
+    Same two-phase bounded aggregation as ``kmv_bottom_k``."""
+    pair = F.struct(
+        md5_hash60(F.col(key_col).cast("string")).alias("h"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    pairs = df.select(*group_cols, pair.alias("__p"))
+    per_part = (
+        pairs.withColumn("__pid", F.spark_partition_id())
+        .groupBy(*group_cols, "__pid")
+        .agg(F.slice(F.array_sort(F.collect_list("__p")), 1, k).alias("__s"))
+    )
+    return (
+        per_part.select(*group_cols, F.explode("__s").alias("__p"))
+        .groupBy(*group_cols)
+        .agg(F.slice(F.array_sort(F.collect_list("__p")), 1, k).alias("sample"))
+    )
+
+
+def qsketch_merge(
+    sketches: list[DataFrame], group_cols: list[str], k: int
+) -> DataFrame:
+    """Union per-shard samples into one: bottom-k (by hash) of the
+    unioned pairs. Zero-error — equals the direct sketch, because the
+    hash order is global and shard keys are disjoint."""
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return (
+        u.select(*group_cols, F.explode("sample").alias("__p"))
+        .groupBy(*group_cols)
+        .agg(F.slice(F.array_sort(F.collect_list("__p")), 1, k).alias("sample"))
+    )
+
+
+def qsketch_quantiles(
+    sketch: DataFrame,
+    probs: list[tuple[str, int, int]],
+    sample: str = "sample",
+) -> DataFrame:
+    """Read quantile estimates off the sample: for each (name, num, den)
+    the sample value at rank ceil(num·s/den) in value order (s = sample
+    size) — percentile_disc semantics, pure integer arithmetic (the x17
+    rank rule), so a SQL twin reproduces every pick. Adds one column per
+    prob plus ``sample_n``."""
+    out = sketch.withColumn(
+        "__vals", F.array_sort(F.transform(sample, lambda p: p["v"]))
+    ).withColumn("sample_n", F.size(sample).cast("int"))
+    for name, num, den in probs:
+        rank = F.expr(f"({num} * size({sample}) + {den - 1}) div {den}")
+        out = out.withColumn(
+            name, F.element_at("__vals", rank.cast("int")).cast("long")
+        )
+    return out.drop("__vals")

@@ -483,3 +483,14 @@ def test_v11_pq_encode_is_single_scan_and_adc_is_take_ordered(spark):
     p_top = explain_formatted(top)
     assert "TakeOrderedAndProject" in p_top, p_top
     assert "Join" not in p_top, p_top
+
+
+def test_x31_qsketch_two_phase_bounded(spark):
+    """The quantile sketch must aggregate in the x15 two-phase bounded
+    shape (ObjectHashAggregate over per-partition slices), with no
+    nested loop anywhere and no full-table window sort feeding the
+    SAMPLE side (windows appear only in the exact-quantile rider)."""
+    p = plan(analytics.x31_quantile_sketch(spark, SF))
+    assert "ObjectHashAggregate" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p

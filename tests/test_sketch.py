@@ -167,3 +167,96 @@ class TestCountMin:
         d = {(r.g, r.r, r.c): r.n for r in direct.collect()}
         m = {(r.g, r.r, r.c): r.n for r in merged.collect()}
         assert d == m
+
+
+# --------------------------- quantile sketch ---------------------------
+
+
+@pytest.fixture(scope="module")
+def valued(spark):
+    """2 groups × 600/300 rows with unique keys and a skewed value
+    distribution (quadratic in id, so quantiles aren't linear)."""
+    return spark.range(0, 900).select(
+        F.when(F.col("id") % 3 == 0, F.lit("a")).otherwise(F.lit("b")).alias("g"),
+        F.col("id").alias("k"),
+        ((F.col("id") % 97) * (F.col("id") % 97)).cast("long").alias("v"),
+    ).localCheckpoint(eager=True)
+
+
+def _py_qsketch(rows, k):
+    """(g, key, v) rows → per group the k rows with smallest md5 hash."""
+    by_g = {}
+    for g, key, v in rows:
+        by_g.setdefault(g, []).append((_py_hash60(str(key)), v))
+    return {g: sorted(ps)[:k] for g, ps in by_g.items()}
+
+
+def _py_quantile(sample_vals, num, den):
+    vals = sorted(sample_vals)
+    s = len(vals)
+    return vals[(num * s + den - 1) // den - 1]
+
+
+def test_qsketch_sample_matches_python(spark, valued):
+    rows = [(r["g"], r["k"], r["v"]) for r in valued.collect()]
+    want = _py_qsketch(rows, 64)
+    got = {
+        r["g"]: [(p["h"], p["v"]) for p in r["sample"]]
+        for r in sketch.qsketch_bottom_k(valued, ["g"], "k", "v", 64).collect()
+    }
+    assert got == want
+
+
+def test_qsketch_quantiles_exact_when_group_fits(spark, valued):
+    # k ≥ group size ⇒ the sample IS the group ⇒ estimates are the exact
+    # discrete quantiles
+    sk = sketch.qsketch_bottom_k(valued, ["g"], "k", "v", 1000)
+    out = {
+        r["g"]: (r["sample_n"], r["p50"], r["p90"], r["p99"])
+        for r in sketch.qsketch_quantiles(
+            sk, [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)]
+        ).collect()
+    }
+    rows = [(r["g"], r["k"], r["v"]) for r in valued.collect()]
+    for g in ("a", "b"):
+        vals = [v for gg, _, v in rows if gg == g]
+        assert out[g] == (
+            len(vals),
+            _py_quantile(vals, 1, 2),
+            _py_quantile(vals, 9, 10),
+            _py_quantile(vals, 99, 100),
+        )
+
+
+@pytest.mark.parametrize("n_shards", [2, 4])
+def test_qsketch_merge_is_zero_error(spark, valued, n_shards):
+    direct = {
+        r["g"]: [(p["h"], p["v"]) for p in r["sample"]]
+        for r in sketch.qsketch_bottom_k(valued, ["g"], "k", "v", 48).collect()
+    }
+    shards = [
+        sketch.qsketch_bottom_k(
+            valued.filter(F.pmod(F.col("k"), F.lit(n_shards)) == i),
+            ["g"], "k", "v", 48,
+        )
+        for i in range(n_shards)
+    ]
+    merged = {
+        r["g"]: [(p["h"], p["v"]) for p in r["sample"]]
+        for r in sketch.qsketch_merge(shards, ["g"], 48).collect()
+    }
+    assert merged == direct
+
+
+def test_qsketch_estimates_bounded_and_ordered(spark, valued):
+    # estimates from a genuinely-approximate sample stay within the value
+    # range and respect quantile monotonicity
+    sk = sketch.qsketch_bottom_k(valued, ["g"], "k", "v", 32)
+    out = sketch.qsketch_quantiles(
+        sk, [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)]
+    ).collect()
+    rows = [(r["g"], r["v"]) for r in valued.select("g", "v").collect()]
+    for r in out:
+        vals = [v for g, v in rows if g == r["g"]]
+        assert r["sample_n"] == 32
+        assert min(vals) <= r["p50"] <= r["p90"] <= r["p99"] <= max(vals)
