@@ -494,3 +494,31 @@ def test_x31_qsketch_two_phase_bounded(spark):
     assert "ObjectHashAggregate" in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_bucketed_id_join_colocates_no_exchange(spark, tmp_path):
+    """The docstring claim behind payload_filtered_topk / the embed
+    reconcile — 'at scale both sides are bucketed by id so the join
+    co-locates' — demonstrated: both tables written bucketBy(8, vec_id),
+    the id join plans a SortMergeJoin with ZERO Exchange on either side
+    (Bucketed: true, all buckets selected). The shuffle a 10⁹-row
+    vectors⋈payload join would otherwise pay disappears at the layout
+    level."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bdemo LOCATION '{tmp_path}/wh'")
+    try:
+        emb = spark.read.parquet(SF + "/embeddings.parquet")
+        emb.write.bucketBy(8, "vec_id").sortBy("vec_id").mode(
+            "overwrite"
+        ).saveAsTable("bdemo.vecs")
+        emb.select("vec_id", "label").write.bucketBy(8, "vec_id").sortBy(
+            "vec_id"
+        ).mode("overwrite").saveAsTable("bdemo.payload")
+        j = spark.table("bdemo.vecs").hint("merge").join(
+            spark.table("bdemo.payload"), "vec_id"
+        )
+        p = explain_formatted(j)
+        assert "SortMergeJoin" in p, p
+        assert "Exchange" not in p, p
+        assert "Bucketed: true" in p, p
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bdemo CASCADE")
