@@ -5321,6 +5321,117 @@ FROM events e LEFT JOIN dims d ON e.event_type = d.source
 """
 
 
+def s7_stream_stream_join(spark, sf):
+    """The audit join (J6) as a true STREAM-STREAM inner join under the
+    hard gate (streaming.fetch_audit_join_stream) — the fourth streaming
+    operator kind after stateful cursors (s1), watermarked dedup (s5)
+    and stream-static enrichment (s6): both the discovery topic and the
+    fetch-outcome topic are unbounded, and the two-file-per-side
+    availableNow staging interleaves them so that HALF the matches pair
+    a batch-0 row with a batch-1 row from the other stream — a join that
+    failed to buffer either side in state drops those matches and breaks
+    rows_match outright.
+
+    Outcomes are md5-derived from the link itself (fetch delay in
+    [0, 90) minutes, status 80/20), so the DuckDB twin rebuilds both
+    streams bit-for-bit; the 1-hour event-time horizon in the join
+    condition then filters exactly the outcomes slower than the audit
+    window (2/3 survive, deterministically). Watermarks (90 days ≫ the
+    30-day event span) are the state-eviction knob: generous here so the
+    gate is late-free, production-sized in a real deployment."""
+    import os
+    import tempfile
+    import time
+
+    from . import streaming as streaming_mod
+
+    work = tempfile.mkdtemp(prefix="s7_ssjoin_")
+    links_dir = os.path.join(work, "links")
+    outs_dir = os.path.join(work, "outcomes")
+    os.makedirs(links_dir)
+    os.makedirs(outs_dir)
+
+    def hx(tag):
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(tag), F.col("url"))), 1, 8), 16, 10
+        ).cast("long")
+
+    links = load(spark, sf, "events").select(
+        F.col("event_type").alias("source"),
+        F.concat(
+            F.lit("https://synthetic.local/e/"), F.col("event_id").cast("string")
+        ).alias("url"),
+        F.col("ts").alias("published_ts"),
+        F.lit("2024-02-01 00:00:00").cast("timestamp").alias("discovery_time"),
+        F.pmod("event_id", F.lit(2)).alias("par"),
+    )
+    outcomes = links.select(
+        "url",
+        F.timestamp_add(
+            "SECOND", F.pmod(hx("d"), F.lit(5400)).cast("int"), F.col("published_ts")
+        ).alias("fetch_ts"),
+        F.when(F.pmod(hx("s"), F.lit(10)) < 8, F.lit("completed"))
+        .otherwise(F.lit("failed"))
+        .alias("status"),
+        # batch split deliberately DIFFERENT from the link split (mod 3 vs
+        # mod 2) so outcome arrival order crosses link arrival order
+        F.when(F.pmod(hx("d"), F.lit(3)) == 0, F.lit(0)).otherwise(F.lit(1)).alias("par"),
+    )
+    now = time.time()
+    for d, frame in ((links_dir, links), (outs_dir, outcomes)):
+        for i in (0, 1):
+            path = os.path.join(d, f"batch{i}.parquet")
+            frame.filter(F.col("par") == i).drop("par").toPandas().to_parquet(
+                path, coerce_timestamps="us"
+            )
+            os.utime(path, (now - 200 + 100 * i, now - 200 + 100 * i))
+    out_dir = os.path.join(work, "out")
+    q = (
+        streaming_mod.fetch_audit_join_stream(
+            streaming_mod.read_seed_stream(spark, links_dir, max_files_per_trigger=1),
+            streaming_mod.read_outcome_stream(spark, outs_dir, max_files_per_trigger=1),
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("s7 availableNow stream did not drain in 600s")
+    out = (
+        spark.read.parquet(out_dir)
+        .select("source", "url", "published_ts", "fetch_ts", "status")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+S7_SQL = """
+WITH l AS (
+  SELECT event_type AS source,
+         'https://synthetic.local/e/' || event_id::VARCHAR AS url,
+         ts AS published_ts
+  FROM events
+),
+o AS (
+  SELECT url,
+         published_ts
+           + (('0x' || substring(md5('d' || url), 1, 8))::BIGINT % 5400)
+             * INTERVAL 1 SECOND AS fetch_ts,
+         CASE WHEN ('0x' || substring(md5('s' || url), 1, 8))::BIGINT % 10 < 8
+              THEN 'completed' ELSE 'failed' END AS status
+  FROM l
+)
+SELECT l.source, l.url, l.published_ts, o.fetch_ts, o.status
+FROM l JOIN o ON l.url = o.url
+ AND o.fetch_ts >= l.published_ts
+ AND o.fetch_ts < l.published_ts + INTERVAL 1 HOUR
+"""
+
+
 S1_SQL = """
 WITH seeds AS (
   SELECT event_type AS source,
@@ -5562,6 +5673,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x27_semantic_clusters": x27_semantic_clusters,
     "s5_stream_dedup": s5_stream_dedup,
     "s6_stream_enrich": s6_stream_enrich,
+    "s7_stream_stream_join": s7_stream_stream_join,
     "m3_interleaved_pack": m3_interleaved_pack,
     "m4_media_integrity": m4_media_integrity,
     "x29_cluster_reps": x29_cluster_reps,
@@ -5660,6 +5772,7 @@ ORACLES: dict[str, str] = {
     "x27_semantic_clusters": X27_SQL,
     "s5_stream_dedup": S5_SQL,
     "s6_stream_enrich": S6_SQL,
+    "s7_stream_stream_join": S7_SQL,
     "m3_interleaved_pack": M3_SQL,
     "m4_media_integrity": M4_SQL,
     "x29_cluster_reps": X29_SQL,

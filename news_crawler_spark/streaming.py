@@ -234,6 +234,65 @@ def enrich_stream(
     return seed_stream.join(F.broadcast(dims), key, "left")
 
 
+def read_outcome_stream(
+    spark, directory: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stand-in for the fetch-outcome topic (the worker →
+    coordinator completion records; schema = schemas.FETCH_OUTCOME)."""
+    reader = spark.readStream.schema(schemas.FETCH_OUTCOME)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(directory)
+
+
+def fetch_audit_join_stream(
+    links: DataFrame,
+    outcomes: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "90 days",
+) -> DataFrame:
+    """The audit join (J6) as a STREAM-STREAM inner join — the fourth
+    streaming operator kind after stateful cursors (cursor_cut_stream),
+    watermarked dedup (dedup_stream) and stream-static enrichment
+    (enrich_stream): BOTH sides are unbounded, so Spark must buffer each
+    side in state and match arrivals in either order (a link discovered
+    in micro-batch 0 joins an outcome that only arrives in batch 1, and
+    vice versa).
+
+    The reference runs this reconciliation as a batch SQL join over its
+    links/news tables (the J6 audit); in a streaming deployment the
+    discovery topic and the fetch-completion topic are separate Kafka
+    streams and this operator is the live version of the same check.
+
+    Semantics worth pinning: the join condition carries an EVENT-TIME
+    range (``fetch_ts ∈ [published_ts, published_ts + horizon)``) — an
+    outcome slower than ``horizon`` does not audit-match its link (it is
+    a recrawl candidate, not a fresh fetch). Together with the
+    watermarks on both sides this bounds the join state: a buffered link
+    can be evicted once the outcome-side watermark passes
+    ``published_ts + horizon``, a buffered outcome once the link-side
+    watermark passes ``fetch_ts`` (Spark derives both eviction rules
+    from the range condition). State is therefore O(arrival rate ×
+    (watermark + horizon)), never O(history).
+
+    Scale shape: per micro-batch the plan is a symmetric hash join keyed
+    on url — each side shuffles once on the join key and probes the
+    other side's keyed state store; no broadcast, no nested loop, and
+    the range predicate is evaluated inside the keyed match (url equality
+    is the partitioning key), so a hot horizon never fans out."""
+    l = links.withWatermark("published_ts", watermark).alias("l")
+    o = outcomes.withWatermark("fetch_ts", watermark).alias("o")
+    return l.join(
+        o,
+        F.expr(
+            "l.url = o.url"
+            " AND o.fetch_ts >= l.published_ts"
+            f" AND o.fetch_ts < l.published_ts + INTERVAL {horizon}"
+        ),
+        "inner",
+    ).select("l.source", "l.url", "l.published_ts", "o.fetch_ts", "o.status")
+
+
 def dedup_stream(seed_stream: DataFrame, within: str = "40 days") -> DataFrame:
     """ST2's exactly-once surface as a NATIVE streaming operator:
     ``dropDuplicatesWithinWatermark`` on the canonical link key — the

@@ -165,3 +165,66 @@ def test_discovery_rates_watermark(spark, tmp_path):
     assert ("10:03", 1) in got          # in-watermark late row counted
     assert ("10:05", 1) in got
     assert not any(w == "10:10" for w, _ in got)  # never finalized
+
+
+def test_fetch_audit_join_stream_buffers_both_sides(spark, tmp_path):
+    """Stream-stream inner join: a link whose outcome only arrives in the
+    NEXT micro-batch (and an outcome whose link arrives later) must still
+    match — both sides buffer in state — while an outcome slower than the
+    1-hour horizon never matches."""
+    import time as _time
+    from datetime import datetime
+
+    links_dir = tmp_path / "l"
+    outs_dir = tmp_path / "o"
+    links_dir.mkdir()
+    outs_dir.mkdir()
+    t = datetime(2024, 6, 1, 10, 0, 0)
+    dt = datetime(2024, 6, 1, 0, 0, 0)
+
+    def write(d, name, rows, schema, mtime):
+        p = str(d / name)
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p)
+        os.utime(p, (mtime, mtime))
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (mtime, mtime))
+
+    lsch = "source string, url string, published_ts timestamp, discovery_time timestamp"
+    osch = "url string, fetch_ts timestamp, status string"
+    t0 = _time.time()
+    # batch 0: link A (outcome comes later); outcome B (link comes later)
+    write(links_dir, "b0", [("s", "https://h/a", t, dt)], lsch, t0)
+    write(outs_dir, "b0",
+          [("https://h/b", datetime(2024, 6, 1, 10, 30, 0), "completed")],
+          osch, t0)
+    # batch 1: outcome A (in horizon), link B, link C whose outcome is
+    # 2h late (outside the horizon) and link D with no outcome at all
+    write(links_dir, "b1",
+          [("s", "https://h/b", t, dt), ("s", "https://h/c", t, dt),
+           ("s", "https://h/d", t, dt)], lsch, t0 + 10)
+    write(outs_dir, "b1",
+          [("https://h/a", datetime(2024, 6, 1, 10, 59, 59), "completed"),
+           ("https://h/c", datetime(2024, 6, 1, 12, 0, 0), "failed")],
+          osch, t0 + 10)
+
+    out_dir = str(tmp_path / "out")
+    q = (
+        streaming.fetch_audit_join_stream(
+            # each batch is a subdirectory → glob, as in the rates test
+            streaming.read_seed_stream(spark, str(links_dir) + "/*", max_files_per_trigger=1),
+            streaming.read_outcome_stream(spark, str(outs_dir) + "/*", max_files_per_trigger=1),
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = {(r.url, r.status) for r in spark.read.parquet(out_dir).collect()}
+    # A matched across batches (link b0 → outcome b1), B matched in the
+    # other direction (outcome b0 → link b1); C's outcome missed the
+    # horizon, D never completed — inner join emits neither.
+    assert got == {("https://h/a", "completed"), ("https://h/b", "completed")}
