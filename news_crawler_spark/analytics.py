@@ -4388,6 +4388,144 @@ ORDER BY doc_id
 """
 
 
+def x32_bpe_pair_counts(spark, sf):
+    """The pair-count step of BPE tokenizer training (Sennrich'16,
+    text.bpe_adjacent_pairs) under the hard gate: seed the vocabulary
+    with the BPE-ish regex tokens (X3's inference regex), split each
+    distinct word into character symbols, and count adjacent symbol
+    pairs weighted by corpus word frequency — the statistic every merge
+    iteration ranks on. Top-200 pairs, total-ordered by (n DESC, a, b)
+    so the LIMIT set is deterministic.
+
+    Scale shape: the ONLY corpus-scale stage is the word-frequency
+    groupBy (one shuffle on the token string, map-side combined); the
+    pair explode and the final aggregate run on the vocab-sized
+    word-frequency table, so a 100 TB corpus pays one aggregation pass
+    and the rest is kilobytes."""
+    seg = text.bpe_init_segmentation(load(spark, sf, "documents"))
+    return (
+        text.bpe_adjacent_pairs(seg)
+        .select(F.concat_ws(" ", "a", "b").alias("pair"), "n")
+        .orderBy(F.desc("n"), "pair")
+        .limit(200)
+    )
+
+
+X32_SQL = f"""
+WITH words AS (
+  SELECT w, count(*)::BIGINT AS wc
+  FROM (SELECT unnest(regexp_extract_all(text, '{text.BPE_TOKEN_RE}')) AS w
+        FROM documents)
+  GROUP BY 1
+),
+pairs AS (
+  SELECT chars[t.i] || ' ' || chars[t.i + 1] AS pair, wc
+  FROM (SELECT wc, regexp_extract_all(w, '.') AS chars FROM words
+        WHERE len(w) >= 2),
+       unnest(range(1, len(chars))) AS t(i)
+)
+SELECT pair, sum(wc)::BIGINT AS n
+FROM pairs GROUP BY 1
+ORDER BY n DESC, pair LIMIT 200
+"""
+
+
+# Number of unrolled BPE merge iterations in the x33 gate (shared between
+# the Spark loop and the generated DuckDB twin).
+BPE_MERGES = 6
+
+
+def x33_bpe_merges(spark, sf):
+    """The full BPE merge LOOP under the hard gate: 6 training
+    iterations (text.bpe_train) over the corpus word-frequency table,
+    returning every word's final segmentation — so the value hash pins
+    each iteration's argmax pair (count DESC, lexicographic tie-break)
+    AND the greedy left-to-right merge semantics inside every word
+    (overlapping candidates in equal-symbol runs resolve first-wins:
+    'aaaa' → 'aa aa', never 'a aa a').
+
+    The DuckDB twin unrolls the same 6 iterations (the f1/v10
+    discipline) with the merge expressed relationally: candidate
+    positions → consecutive-run islands (pos − row_number) → odd ranks
+    within each island are the greedily selected merges — provably the
+    fold's choice, because overlap is only possible between consecutive
+    candidates, i.e. inside equal-symbol runs.
+
+    Scale shape: iteration cost is O(vocabulary), not O(corpus) — the
+    corpus is touched once to build word frequencies (x32's stage); the
+    loop then shuffles only the (word, count, symbols) table, exactly
+    how subword-nmt/HF trainers scale."""
+    seg = text.bpe_train(
+        text.bpe_init_segmentation(load(spark, sf, "documents")), BPE_MERGES
+    )
+    return seg.select(
+        "w", "wc", F.array_join("syms", " ").alias("seg")
+    ).orderBy("w")
+
+
+def _bpe_iter_sql(i: int) -> str:
+    """One unrolled BPE merge iteration: pair counts pc{i} from seg{i-1},
+    argmax best{i}, candidate starts → island parity selection sel{i},
+    then the rebuilt segmentation seg{i} (selected start emits the merged
+    symbol, the following position is dropped, positions renumber)."""
+    p = i - 1
+    # MATERIALIZED everywhere: seg{p} is referenced three times per
+    # iteration and best{i}/sel{i} two-three times — DuckDB inlines
+    # plain CTEs, so without materialization the unrolled query grows
+    # 3^BPE_MERGES copies of the corpus scan (observed as an
+    # fd-exhaustion failure before it even got slow).
+    return f"""
+pc{i} AS MATERIALIZED (
+  SELECT a, b, sum(wc)::BIGINT AS n FROM (
+    SELECT w, wc, s AS a, lead(s) OVER (PARTITION BY w ORDER BY pos) AS b
+    FROM seg{p})
+  WHERE b IS NOT NULL GROUP BY 1, 2
+),
+best{i} AS MATERIALIZED (SELECT a, b FROM pc{i} ORDER BY n DESC, a, b LIMIT 1),
+cand{i} AS MATERIALIZED (
+  SELECT w, pos, row_number() OVER (PARTITION BY w ORDER BY pos) AS rn FROM (
+    SELECT g.w, g.pos, g.s, lead(g.s) OVER (PARTITION BY g.w ORDER BY g.pos) AS nx
+    FROM seg{p} g) x, best{i}
+  WHERE x.s = best{i}.a AND x.nx = best{i}.b
+),
+sel{i} AS MATERIALIZED (
+  SELECT w, pos FROM (
+    SELECT w, pos, row_number() OVER (PARTITION BY w, pos - rn ORDER BY pos) AS k
+    FROM cand{i}) WHERE k % 2 = 1
+),
+seg{i} AS MATERIALIZED (
+  SELECT g.w, g.wc,
+         row_number() OVER (PARTITION BY g.w ORDER BY g.pos) AS pos,
+         CASE WHEN m.pos IS NOT NULL THEN (SELECT a || b FROM best{i})
+              ELSE g.s END AS s
+  FROM seg{p} g
+  LEFT JOIN sel{i} m ON g.w = m.w AND g.pos = m.pos
+  LEFT JOIN sel{i} k ON g.w = k.w AND g.pos = k.pos + 1
+  WHERE k.pos IS NULL
+)"""
+
+
+X33_SQL = (
+    f"""
+WITH words AS (
+  SELECT w, count(*)::BIGINT AS wc
+  FROM (SELECT unnest(regexp_extract_all(text, '{text.BPE_TOKEN_RE}')) AS w
+        FROM documents)
+  GROUP BY 1
+),
+seg0 AS MATERIALIZED (
+  SELECT w, wc, t.i AS pos, chars[t.i] AS s
+  FROM (SELECT w, wc, regexp_extract_all(w, '.') AS chars FROM words),
+       unnest(range(1, len(chars) + 1)) AS t(i)
+),"""
+    + ",".join(_bpe_iter_sql(i) for i in range(1, BPE_MERGES + 1))
+    + f"""
+SELECT w, wc, string_agg(s, ' ' ORDER BY pos) AS seg
+FROM seg{BPE_MERGES} GROUP BY w, wc ORDER BY w
+"""
+)
+
+
 def x24_gopher_rules(spark, sf):
     """Gopher rule-based quality gate (text.gopher_flags) under the hard
     gate: per-doc supporting counts and per-rule flags, every rule a
@@ -5669,6 +5807,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p12_canonical_collapse": p12_canonical_collapse,
     "x25_unigram_entropy": x25_unigram_entropy,
     "x28_bigram_logprob": x28_bigram_logprob,
+    "x32_bpe_pair_counts": x32_bpe_pair_counts,
+    "x33_bpe_merges": x33_bpe_merges,
     "x26_semdedup_blocked": x26_semdedup_blocked,
     "x27_semantic_clusters": x27_semantic_clusters,
     "s5_stream_dedup": s5_stream_dedup,
@@ -5768,6 +5908,8 @@ ORACLES: dict[str, str] = {
     "p12_canonical_collapse": P12_SQL,
     "x25_unigram_entropy": X25_SQL,
     "x28_bigram_logprob": X28_SQL,
+    "x32_bpe_pair_counts": X32_SQL,
+    "x33_bpe_merges": X33_SQL,
     "x26_semdedup_blocked": X21_SQL,
     "x27_semantic_clusters": X27_SQL,
     "s5_stream_dedup": S5_SQL,

@@ -543,3 +543,125 @@ def bigram_logprob(
             F.coalesce("lp_num", F.lit(0)).cast("long").alias("lp_num"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (the byte-pair-encoding merge loop, Sennrich'16) —
+# the tokenizer-TRAINING side of the pipeline whose inference side is
+# bpe_ish_token_count (X3). The reference tokenizes with a fixed regex
+# (its collectors never train a vocabulary); a training-data engine needs
+# the trainer itself, and its two stages have very different scale shapes:
+#
+#   1. the WORD-FREQUENCY table — the only corpus-scale pass (one shuffle
+#      on the token string, map-side combined);
+#   2. the MERGE LOOP — every iteration touches only the vocab-sized
+#      (word, count, symbols) table: count adjacent symbol pairs weighted
+#      by word count, pick the argmax pair (count DESC, then lexicographic
+#      — fully deterministic), greedily merge it left-to-right inside
+#      every word. This is exactly how production BPE trainers
+#      (subword-nmt, HuggingFace tokenizers) structure the work; at 100 TB
+#      the corpus pass dominates and the loop stays cheap because its
+#      input is the vocabulary, never the corpus.
+#
+# The greedy merge is a pure Catalyst fold (F.aggregate with a
+# (emitted-prefix, pending-symbol) struct accumulator) — JVM-side, no
+# Python. The argmax pair is LEFT-joined in as a broadcast 1-row frame
+# (never collected), so the whole loop is declarative; localCheckpoint
+# per iteration truncates the growing lineage (the d5/v10 pattern).
+
+
+def bpe_init_segmentation(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Corpus → (w, wc, syms): the word-frequency table with each word
+    split into single-character symbols. The ONE corpus-scale stage."""
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(text_col, F.lit(BPE_TOKEN_RE), F.lit(0))
+        ).alias("w")
+    )
+    return (
+        toks.groupBy("w")
+        .agg(F.count("*").cast("long").alias("wc"))
+        .withColumn("syms", F.split("w", ""))
+    )
+
+
+def bpe_adjacent_pairs(seg: DataFrame) -> DataFrame:
+    """(a, b, n): adjacent-symbol pair counts weighted by word count.
+    Words with a single symbol have no pairs and are filtered before the
+    explode (sequence(1, 0) would generate a DESCENDING range)."""
+    return (
+        seg.where(F.size("syms") >= 2)
+        .select(
+            "wc",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms)-1), i -> struct("
+                    "element_at(syms, i) AS a, element_at(syms, i+1) AS b))"
+                )
+            ).alias("p"),
+        )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("wc").cast("long").alias("n"))
+    )
+
+
+def _bpe_merge_fold(syms: Column, a: Column, b: Column) -> Column:
+    """Greedy left-to-right merge of adjacent (a, b) into a||b as a
+    Catalyst fold: the accumulator carries the emitted prefix plus one
+    pending symbol; a pending `a` followed by `b` emits the merged
+    symbol and clears the carry (so overlapping candidates — only
+    possible in equal-symbol runs — resolve exactly like subword-nmt's
+    left-to-right scan: 'a a a' → 'aa a'). NULL a/b (no pair left to
+    merge anywhere in the vocab) is the identity: the first WHEN catches
+    the carry handoff and `carry == a` is never true."""
+
+    def emit(out, carry):
+        return F.struct(out.alias("out"), carry.alias("carry"))
+
+    null_s = F.lit(None).cast("string")
+    return F.aggregate(
+        syms,
+        emit(F.array().cast("array<string>"), null_s),
+        lambda acc, x: F.when(acc["carry"].isNull(), emit(acc["out"], x))
+        .when(
+            (acc["carry"] == a) & (x == b),
+            emit(F.concat(acc["out"], F.array(F.concat(a, b))), null_s),
+        )
+        .otherwise(emit(F.concat(acc["out"], F.array(acc["carry"])), x)),
+        lambda acc: F.when(acc["carry"].isNull(), acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["carry"]))
+        ),
+    )
+
+
+def bpe_train(seg: DataFrame, num_merges: int) -> DataFrame:
+    """Run ``num_merges`` BPE merge iterations over a (w, wc, syms)
+    segmentation and return the final segmentation. Deterministic: the
+    merged pair per iteration is argmax by (count DESC, a ASC, b ASC).
+
+    Each iteration is one vocab-sized shuffle (the pair count) plus a
+    broadcast of the single winning pair LEFT-joined onto the
+    segmentation (join on TRUE: an empty winner — nothing left to merge
+    — passes every word through the fold identity instead of wiping the
+    frame, and the loop becomes a no-op from there on)."""
+    for _ in range(num_merges):
+        best = (
+            bpe_adjacent_pairs(seg)
+            .orderBy(F.desc("n"), "a", "b")
+            .limit(1)
+            .select(F.col("a").alias("_ba"), F.col("b").alias("_bb"))
+        )
+        seg = (
+            seg.join(F.broadcast(best), F.lit(True), "left")
+            .select(
+                "w",
+                "wc",
+                _bpe_merge_fold(
+                    F.col("syms"), F.col("_ba"), F.col("_bb")
+                ).alias("syms"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return seg

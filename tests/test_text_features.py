@@ -416,3 +416,59 @@ def test_bigram_logprob_twin(spark):
     # smoothed probabilities are < 1, so every scored doc is strictly
     # negative in micro-nats
     assert all(lp < 0 for n, lp in got.values() if n > 0)
+
+
+def test_bpe_train_matches_python_twin(spark):
+    """bpe_train vs a literal pure-python BPE trainer (subword-nmt
+    semantics: argmax pair by (count, lexicographic), greedy
+    left-to-right merge) on a corpus engineered for the traps:
+    equal-symbol runs ('aaaa': overlapping candidates must resolve
+    first-wins), ties (argmax must break lexicographically), and a
+    single-symbol word (no pairs, must survive every iteration)."""
+    from news_crawler_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "abab abab xaaa xaaa xaaa aaaa b"),
+            ("d2", "low lower lowest low low newest newest"),
+        ],
+        "doc_id string, text string",
+    )
+    n_merges = 8
+    got = {
+        r.w: (r.wc, tuple(r.syms))
+        for r in text_ops.bpe_train(
+            text_ops.bpe_init_segmentation(docs), n_merges
+        ).collect()
+    }
+
+    # pure-python twin over the same regex tokens
+    import re
+
+    toks = []
+    for _, t in docs.collect():
+        toks += re.findall("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]", t)
+    freq = {}
+    for w in toks:
+        freq[w] = freq.get(w, 0) + 1
+    seg = {w: list(w) for w in freq}
+    for _ in range(n_merges):
+        counts = {}
+        for w, syms in seg.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + freq[w]
+        if not counts:
+            break
+        (a, b) = min(counts, key=lambda p: (-counts[p], p))
+        for w, syms in seg.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seg[w] = out
+
+    assert got == {w: (freq[w], tuple(seg[w])) for w in freq}
