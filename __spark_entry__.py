@@ -71,7 +71,17 @@ the twin replays training, encoding, ADC ordering and re-rank), and
 v12 IVF-PQ, the production composition (v10's coarse cells prune the
 scan to n_probe cells, PQ runs on the CELL RESIDUALS, per-cell ADC
 tables score, the exact re-rank finishes — one twin composes the
-unrolled Lloyd chain with the PQ chain).
+unrolled Lloyd chain with the PQ chain). It closes with s7 — the audit
+reconciliation as a true STREAM-STREAM inner join (both topics
+unbounded, each side buffered in keyed state, an event-time horizon in
+the join condition bounding that state; the gate's crossed batch
+splits force half the matches across micro-batch boundaries) — and the
+BPE tokenizer trainer: x32 gates the pair-count statistic (one
+corpus-scale shuffle, everything after vocab-sized) and x33 the full
+6-iteration merge loop (greedy left-to-right merge as a Catalyst fold,
+argmax pair broadcast-joined, nothing collected), whose DuckDB twin
+unrolls the same iterations relationally via consecutive-run island
+parity.
 """
 
 from __future__ import annotations

@@ -108,6 +108,9 @@ HEADLINE = [
     "m4_media_integrity",
     "x29_cluster_reps",
     "x30_shard_manifest",
+    "s7_stream_stream_join",
+    "x32_bpe_pair_counts",
+    "x33_bpe_merges",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by
@@ -127,6 +130,7 @@ GATE_REPLAY = {
     "s4_windowed_rates",
     "s5_stream_dedup",
     "s6_stream_enrich",
+    "s7_stream_stream_join",
 }
 
 
@@ -189,6 +193,13 @@ SF1_QUERIES = [
     "x30_shard_manifest",
     "v11_pq_adc_topk",
     "v12_ivfpq_topk",
+    # the BPE pair: x32 is the corpus-scale stage (should scale ~10×),
+    # x33 adds the vocab-sized merge loop on top — the x33−x32 gap
+    # should be nearly flat across the 10× slice (loop cost is
+    # O(|vocab|), and the suffixed shard tokens only grow the vocab ~10×
+    # while the corpus grows 10× in rows too)
+    "x32_bpe_pair_counts",
+    "x33_bpe_merges",
 ]
 
 
