@@ -522,3 +522,45 @@ def test_bucketed_id_join_colocates_no_exchange(spark, tmp_path):
         assert "Bucketed: true" in p, p
     finally:
         spark.sql("DROP DATABASE IF EXISTS bdemo CASCADE")
+
+
+def test_x32_bpe_pairs_two_exchanges_topk(spark):
+    """The BPE pair-count plan: exactly two exchanges (corpus word
+    count, vocab pair sum — both map-side combined HashAggregates) and
+    the top-200 as TakeOrderedAndProject, never a global Sort."""
+    df = analytics.x32_bpe_pair_counts(spark, SF)
+    p = explain_formatted(df)
+    # count detail headers "(N) Exchange" — the tree section repeats
+    # every operator, so a bare substring count double-counts
+    assert p.count(") Exchange") == 2, p
+    assert "TakeOrderedAndProject" in p
+    assert "Sort " not in p.split("TakeOrderedAndProject")[0]
+
+
+def test_x33_bpe_merge_iteration_shape(spark):
+    """One merge iteration of bpe_train: the argmax pair enters as a
+    broadcast join (never collected), the merge fold is a pure Catalyst
+    expression (no BatchEvalPython / ArrowEvalPython anywhere), and the
+    left join on TRUE plans as BroadcastNestedLoopJoin over a 1-row
+    side — constant work per word."""
+    from news_crawler_spark.operators import text as text_ops
+
+    seg = text_ops.bpe_init_segmentation(
+        spark.read.parquet(f"{SF}/documents.parquet")
+    )
+    best = (
+        text_ops.bpe_adjacent_pairs(seg)
+        .orderBy(F.desc("n"), "a", "b")
+        .limit(1)
+        .select(F.col("a").alias("_ba"), F.col("b").alias("_bb"))
+    )
+    one_iter = seg.join(F.broadcast(best), F.lit(True), "left").select(
+        "w",
+        "wc",
+        text_ops._bpe_merge_fold(
+            F.col("syms"), F.col("_ba"), F.col("_bb")
+        ).alias("syms"),
+    )
+    p = explain_formatted(one_iter)
+    assert "BroadcastNestedLoopJoin" in p
+    assert "EvalPython" not in p  # fold is JVM-side, no Python stage
