@@ -472,3 +472,48 @@ def test_bpe_train_matches_python_twin(spark):
             seg[w] = out
 
     assert got == {w: (freq[w], tuple(seg[w])) for w in freq}
+
+
+def test_bpe_merge_fold_exhaustive_two_symbol_space(spark):
+    """The greedy-merge fold, proven over the COMPLETE space where
+    overlap traps live: every sequence over {a,b} of length 1..6 (126
+    words), merged under both (a,a) — the equal-symbol overlapping
+    case — and (a,b). One Spark job per pair vs the literal python
+    left-to-right scan."""
+    from itertools import product
+
+    from news_crawler_spark.operators import text as text_ops
+    from pyspark.sql import functions as F
+
+    words = [
+        "".join(p)
+        for n in range(1, 7)
+        for p in product("ab", repeat=n)
+    ]
+
+    def py_merge(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    df = spark.createDataFrame(
+        [(w, list(w)) for w in words], "w string, syms array<string>"
+    )
+    for a, b in (("a", "a"), ("a", "b")):
+        got = {
+            r.w: tuple(r.m)
+            for r in df.select(
+                "w",
+                text_ops._bpe_merge_fold(
+                    F.col("syms"), F.lit(a), F.lit(b)
+                ).alias("m"),
+            ).collect()
+        }
+        want = {w: tuple(py_merge(list(w), a, b)) for w in words}
+        assert got == want, (a, b)
