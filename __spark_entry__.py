@@ -81,7 +81,9 @@ corpus-scale shuffle, everything after vocab-sized) and x33 the full
 6-iteration merge loop (greedy left-to-right merge as a Catalyst fold,
 argmax pair broadcast-joined, nothing collected), whose DuckDB twin
 unrolls the same iterations relationally via consecutive-run island
-parity.
+parity — and x34 the corpus ENCODE with the trained vocabulary
+(tokenize → broadcast segmentation map → in-order per-doc reassembly,
+pinned by an md5 over every document's full segmentation).
 """
 
 from __future__ import annotations

@@ -111,6 +111,7 @@ HEADLINE = [
     "s7_stream_stream_join",
     "x32_bpe_pair_counts",
     "x33_bpe_merges",
+    "x34_bpe_encode",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by
@@ -200,6 +201,9 @@ SF1_QUERIES = [
     # while the corpus grows 10× in rows too)
     "x32_bpe_pair_counts",
     "x33_bpe_merges",
+    # the encode pass is corpus-scale (tokenize + broadcast vocab probe +
+    # doc_id reassembly shuffle) — should track the 10× row growth
+    "x34_bpe_encode",
 ]
 
 

@@ -4505,7 +4505,10 @@ seg{i} AS MATERIALIZED (
 )"""
 
 
-X33_SQL = (
+# The shared training chain: words → seg0 → BPE_MERGES unrolled merge
+# iterations. X33 reads the final segmentation off it; X34 composes the
+# corpus encode on top.
+_BPE_CHAIN_SQL = (
     f"""
 WITH words AS (
   SELECT w, count(*)::BIGINT AS wc
@@ -4519,9 +4522,102 @@ seg0 AS MATERIALIZED (
        unnest(range(1, len(chars) + 1)) AS t(i)
 ),"""
     + ",".join(_bpe_iter_sql(i) for i in range(1, BPE_MERGES + 1))
+)
+
+X33_SQL = (
+    _BPE_CHAIN_SQL
     + f"""
 SELECT w, wc, string_agg(s, ' ' ORDER BY pos) AS seg
 FROM seg{BPE_MERGES} GROUP BY w, wc ORDER BY w
+"""
+)
+
+
+def x34_bpe_encode(spark, sf):
+    """The production side of the trainer: ENCODE the corpus with the
+    learned vocabulary. You never re-run merges per token occurrence —
+    the trained table already holds every distinct word's final
+    segmentation, so corpus encoding is tokenize → broadcast-join the
+    vocab-sized segmentation map → per-doc order-sensitive reassembly.
+    At 100 TB that is one scan over the corpus with a map-side join
+    (the vocabulary broadcasts; zipfian token skew is irrelevant to a
+    broadcast probe) and one shuffle on doc_id to reassemble.
+
+    Output pins the encoding end-to-end per document: word count, BPE
+    token count, and an md5 over the full in-order segmentation string
+    — one symbol out of place anywhere in any document breaks the
+    value hash. Empty-token docs pass through with md5('').
+
+    posexplode_outer (not posexplode) keeps a null-word row for docs
+    whose token array is empty, so the doc_id aggregate covers every
+    document and no join-back to `docs` — which would be a second
+    corpus-side shuffle — is needed. The vocab probe is then a LEFT
+    broadcast join: the null word misses the map and contributes
+    count(w)=0, sum(size)=null→0, concat_ws('')→md5('')."""
+    docs = load(spark, sf, "documents")
+    vocab = text.bpe_train(text.bpe_init_segmentation(docs), BPE_MERGES)
+    toks = docs.select(
+        "doc_id",
+        F.posexplode_outer(
+            F.regexp_extract_all("text", F.lit(text.BPE_TOKEN_RE), F.lit(0))
+        ).alias("pos", "w"),
+    )
+    return (
+        toks.join(F.broadcast(vocab.select("w", "syms")), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("w").cast("long").alias("n_words"),
+            F.coalesce(F.sum(F.size("syms")), F.lit(0))
+            .cast("long")
+            .alias("n_bpe_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    "pos",
+                                    F.concat_ws(" ", "syms").alias("s"),
+                                )
+                            )
+                        ),
+                        lambda x: x["s"],
+                    ),
+                )
+            ).alias("seg_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+X34_SQL = (
+    _BPE_CHAIN_SQL
+    + f""",
+segmap AS MATERIALIZED (
+  SELECT w, count(*)::BIGINT AS n_syms, string_agg(s, ' ' ORDER BY pos) AS sw
+  FROM seg{BPE_MERGES} GROUP BY w
+),
+dtoks AS (
+  SELECT doc_id, tk[t.i] AS w, t.i AS pos
+  FROM (SELECT doc_id, regexp_extract_all(text, '{text.BPE_TOKEN_RE}') AS tk
+        FROM documents),
+       unnest(range(1, len(tk) + 1)) AS t(i)
+),
+enc AS (
+  SELECT d.doc_id,
+         count(*)::BIGINT AS n_words,
+         sum(m.n_syms)::BIGINT AS n_bpe_tokens,
+         md5(string_agg(m.sw, ' ' ORDER BY d.pos)) AS seg_md5
+  FROM dtoks d JOIN segmap m USING (w)
+  GROUP BY 1
+)
+SELECT doc_id,
+       coalesce(e.n_words, 0)::BIGINT AS n_words,
+       coalesce(e.n_bpe_tokens, 0)::BIGINT AS n_bpe_tokens,
+       coalesce(e.seg_md5, md5('')) AS seg_md5
+FROM documents LEFT JOIN enc e USING (doc_id)
+ORDER BY doc_id
 """
 )
 
@@ -5809,6 +5905,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x28_bigram_logprob": x28_bigram_logprob,
     "x32_bpe_pair_counts": x32_bpe_pair_counts,
     "x33_bpe_merges": x33_bpe_merges,
+    "x34_bpe_encode": x34_bpe_encode,
     "x26_semdedup_blocked": x26_semdedup_blocked,
     "x27_semantic_clusters": x27_semantic_clusters,
     "s5_stream_dedup": s5_stream_dedup,
@@ -5910,6 +6007,7 @@ ORACLES: dict[str, str] = {
     "x28_bigram_logprob": X28_SQL,
     "x32_bpe_pair_counts": X32_SQL,
     "x33_bpe_merges": X33_SQL,
+    "x34_bpe_encode": X34_SQL,
     "x26_semdedup_blocked": X21_SQL,
     "x27_semantic_clusters": X27_SQL,
     "s5_stream_dedup": S5_SQL,

@@ -564,3 +564,13 @@ def test_x33_bpe_merge_iteration_shape(spark):
     p = explain_formatted(one_iter)
     assert "BroadcastNestedLoopJoin" in p
     assert "EvalPython" not in p  # fold is JVM-side, no Python stage
+
+
+def test_x34_encode_vocab_broadcasts(spark):
+    """The corpus encode probes the trained vocabulary via a broadcast
+    hash join — no sort-merge join, no corpus-side exchange below the
+    doc_id reassembly aggregate."""
+    df = analytics.x34_bpe_encode(spark, SF)
+    p = explain_formatted(df)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
