@@ -112,6 +112,7 @@ HEADLINE = [
     "x32_bpe_pair_counts",
     "x33_bpe_merges",
     "x34_bpe_encode",
+    "g3_redirect_resolve",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by

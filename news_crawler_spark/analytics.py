@@ -4258,6 +4258,65 @@ ORDER BY host
 )
 
 
+def g3_redirect_resolve(spark, sf):
+    """Redirect-chain collapse (operators/graph.resolve_redirects) under
+    the hard gate: 301/canonical chains must resolve to their TERMINAL
+    url-hash before the seen-set insert — otherwise every alias
+    spelling of a moved page re-enters the frontier and is re-fetched
+    once per hop (the reference meets the same chains via
+    requests/Playwright auto-follow; here resolution is an explicit
+    set-at-a-time operator). Input BY CONSTRUCTION from event ids:
+    1 250 eight-node chains (event_id div 8 groups; p<7 edges to the
+    successor id), every 10th group closed into an 8-cycle — so the
+    operator must report exact terminals + hop counts for 1 125 chains
+    and flag all 8×125 loop members cyclic with NULLed terminals. The
+    Spark side is POINTER JUMPING (3 doubling self-joins for the 7-hop
+    cap, not 7 walks); the DuckDB twin is a generic WITH RECURSIVE
+    walker over the same edge map, so the value hash pins terminal
+    identity, exact hop arithmetic through the path composition, and
+    the cycle flag for every src at once."""
+    from .operators import graph
+
+    e = load(spark, sf, "events")
+    p = F.col("event_id") % 8
+    g = F.expr("event_id div 8")
+    edges = e.where((p < 7) | (g % 10 == 0)).select(
+        F.col("event_id").alias("src"),
+        F.when(p < 7, F.col("event_id") + 1).otherwise(g * 8).alias("dst"),
+    )
+    return graph.resolve_redirects(edges, max_hops=8).orderBy("src")
+
+
+G3_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT event_id AS src,
+         CASE WHEN event_id % 8 < 7 THEN event_id + 1
+              ELSE (event_id // 8) * 8 END AS dst
+  FROM events
+  WHERE event_id % 8 < 7 OR (event_id // 8) % 10 = 0
+),
+walk(src, cur, hops) AS (
+  SELECT src, dst, 1::BIGINT FROM edges
+  UNION ALL
+  SELECT w.src, e.dst, w.hops + 1
+  FROM walk w JOIN edges e ON e.src = w.cur
+  WHERE w.hops < 16
+),
+term AS (
+  SELECT w.src, w.cur AS terminal, w.hops
+  FROM walk w LEFT JOIN edges e ON e.src = w.cur
+  WHERE e.src IS NULL
+)
+SELECT s.src,
+       t.terminal,
+       t.hops,
+       (t.src IS NULL) AS cyclic
+FROM (SELECT DISTINCT src FROM edges) s
+LEFT JOIN term t USING (src)
+ORDER BY src
+"""
+
+
 def p12_canonical_collapse(spark, sf):
     """F6-F7 under the hard gate: the PRODUCTION URL canonicalizer (the
     Arrow-batched pandas UDF, functions/urls.py — RFC-3986 normalize the
@@ -5906,6 +5965,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x32_bpe_pair_counts": x32_bpe_pair_counts,
     "x33_bpe_merges": x33_bpe_merges,
     "x34_bpe_encode": x34_bpe_encode,
+    "g3_redirect_resolve": g3_redirect_resolve,
     "x26_semdedup_blocked": x26_semdedup_blocked,
     "x27_semantic_clusters": x27_semantic_clusters,
     "s5_stream_dedup": s5_stream_dedup,
@@ -6008,6 +6068,7 @@ ORACLES: dict[str, str] = {
     "x32_bpe_pair_counts": X32_SQL,
     "x33_bpe_merges": X33_SQL,
     "x34_bpe_encode": X34_SQL,
+    "g3_redirect_resolve": G3_SQL,
     "x26_semdedup_blocked": X21_SQL,
     "x27_semantic_clusters": X27_SQL,
     "s5_stream_dedup": S5_SQL,

@@ -1204,3 +1204,57 @@ def test_cluster_representatives_survivor_rule(spark):
     assert got[1].rep_doc_id == 2 and got[1].n_members == 3
     assert got[1].dup_tokens == 2 + 3
     assert got[7].rep_doc_id == 7 and got[7].dup_tokens == 3
+
+
+def py_resolve_redirects(edges, max_hops=32):
+    """Straight-line python twin of graph.resolve_redirects, with the
+    SAME documented cap: chains longer than 2^ceil(log2(max_hops)) are
+    reported cyclic."""
+    from news_crawler_spark.operators.graph import _doubling_iters
+
+    cap = 1 << _doubling_iters(max_hops)
+    nxt = dict(edges)
+    out = {}
+    for s in nxt:
+        cur, hops = s, 0
+        while cur in nxt and hops < cap:
+            cur, hops = nxt[cur], hops + 1
+        if cur in nxt:  # still redirecting: loop or over-cap chain
+            out[s] = (None, None, True)
+        else:
+            out[s] = (cur, hops, False)
+    return out
+
+
+def test_resolve_redirects_chains_cycles_and_cap(spark):
+    """Every structural case at once: a 3-hop chain (+ a branch
+    converging into it), a self-loop, a 2-cycle, a chain INTO that
+    cycle, and a 9-hop chain under max_hops=8 — whose head must be
+    flagged cyclic by the documented power-of-two cap while its second
+    node (exactly 8 hops from the terminal) still resolves."""
+    from news_crawler_spark.operators import graph
+
+    edges = (
+        [(1, 2), (2, 3), (3, 4), (10, 3)]
+        + [(20, 20), (30, 31), (31, 30), (40, 30)]
+        + [(50 + i, 51 + i) for i in range(9)]
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = graph.resolve_redirects(df, max_hops=8).collect()
+    got = {r.src: (r.terminal, r.hops, r.cyclic) for r in rows}
+    assert got == py_resolve_redirects(edges, max_hops=8)
+    assert got[1] == (4, 3, False)
+    assert got[50] == (None, None, True)  # 9 hops > cap 8
+    assert got[51] == (59, 8, False)  # exactly at the cap
+    assert got[40] == (None, None, True)  # feeds a loop
+
+
+def test_resolve_redirects_join_count_is_logarithmic():
+    """The scale claim: 32-hop resolution is 5 doubling joins, not 32
+    walks (and the cap never needs more than one join)."""
+    from news_crawler_spark.operators.graph import _doubling_iters
+
+    assert _doubling_iters(32) == 5
+    assert _doubling_iters(8) == 3
+    assert _doubling_iters(2) == 1
+    assert _doubling_iters(1) == 1
