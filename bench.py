@@ -113,6 +113,7 @@ HEADLINE = [
     "x33_bpe_merges",
     "x34_bpe_encode",
     "g3_redirect_resolve",
+    "d7_mirror_hosts",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by

@@ -4317,6 +4317,110 @@ ORDER BY src
 """
 
 
+def d7_mirror_hosts(spark, sf):
+    """Mirror-site detection (operators/dedup.mirror_hosts) under the
+    hard gate: host pairs sharing most of their distinct content are
+    mirrors — the crawl collapses their politeness budgets onto one
+    (the reference's fixed 5-source list can't meet mirrors; a
+    web-scale frontier meets them constantly). Input BY CONSTRUCTION:
+    every doc lands on one of 40 md5-derived hosts keyed by
+    md5(text); every 4th doc is ALSO re-hosted on a +40 mirror host,
+    every 8th-plus-1 doc plants UNIQUE junk on that mirror host (so
+    the containment ratio genuinely varies across pairs and the
+    is_mirror flag discriminates), and a 'boilerplate-chrome' key sits
+    on ALL 40 base hosts — hosted in more places than df_cap=20, it
+    must be dropped by the inverted-index cap or 780 spurious pairs
+    (and every n) shift the value hash. Exact-integer containment
+    (10·shared ≥ 8·min(n_a,n_b)); twin replays the same relational
+    pipeline over the identically-constructed pages."""
+    from .operators import dedup
+
+    d = load(spark, sf, "documents")
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mh"), F.col("doc_id").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 40
+    )
+    ck = F.substring(F.md5("text"), 1, 16)
+    pages = (
+        d.select(h.alias("host"), ck.alias("content_key"))
+        .unionByName(
+            d.where(F.col("doc_id") % 4 == 0).select(
+                (h + 40).alias("host"), ck.alias("content_key")
+            )
+        )
+        .unionByName(
+            d.select(
+                h.alias("host"), F.lit("boilerplate-chrome").alias("content_key")
+            )
+        )
+        .unionByName(
+            d.where(F.col("doc_id") % 8 == 1).select(
+                (h + 40).alias("host"),
+                F.substring(
+                    F.md5(F.concat(F.lit("u"), F.col("doc_id").cast("string"))),
+                    1,
+                    16,
+                ).alias("content_key"),
+            )
+        )
+    )
+    return dedup.mirror_hosts(pages, min_shared=2, df_cap=20).orderBy(
+        "host_a", "host_b"
+    )
+
+
+D7_SQL = """
+WITH pages AS (
+  SELECT ('0x' || substring(md5('mh' || doc_id::VARCHAR), 1, 4))::BIGINT % 40
+           AS host,
+         substring(md5(text), 1, 16) AS content_key
+  FROM documents
+  UNION ALL
+  SELECT ('0x' || substring(md5('mh' || doc_id::VARCHAR), 1, 4))::BIGINT % 40
+           + 40,
+         substring(md5(text), 1, 16)
+  FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT ('0x' || substring(md5('mh' || doc_id::VARCHAR), 1, 4))::BIGINT % 40,
+         'boilerplate-chrome'
+  FROM documents
+  UNION ALL
+  SELECT ('0x' || substring(md5('mh' || doc_id::VARCHAR), 1, 4))::BIGINT % 40
+           + 40,
+         substring(md5('u' || doc_id::VARCHAR), 1, 16)
+  FROM documents WHERE doc_id % 8 = 1
+),
+p AS (SELECT DISTINCT host, content_key FROM pages),
+pc AS (
+  SELECT host, content_key FROM p
+  WHERE content_key IN (
+    SELECT content_key FROM p GROUP BY 1 HAVING count(*) <= 20)
+),
+sizes AS (SELECT host, count(*)::BIGINT AS n FROM pc GROUP BY 1),
+pairs AS (
+  SELECT a.host AS host_a, b.host AS host_b, count(*)::BIGINT AS shared
+  FROM pc a JOIN pc b USING (content_key)
+  WHERE a.host < b.host
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+)
+SELECT host_a, host_b, shared, sa.n AS n_a, sb.n AS n_b,
+       (10 * shared >= 8 * least(sa.n, sb.n)) AS is_mirror
+FROM pairs
+JOIN sizes sa ON sa.host = pairs.host_a
+JOIN sizes sb ON sb.host = pairs.host_b
+ORDER BY host_a, host_b
+"""
+
+
 def p12_canonical_collapse(spark, sf):
     """F6-F7 under the hard gate: the PRODUCTION URL canonicalizer (the
     Arrow-batched pandas UDF, functions/urls.py — RFC-3986 normalize the
@@ -5966,6 +6070,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x33_bpe_merges": x33_bpe_merges,
     "x34_bpe_encode": x34_bpe_encode,
     "g3_redirect_resolve": g3_redirect_resolve,
+    "d7_mirror_hosts": d7_mirror_hosts,
     "x26_semdedup_blocked": x26_semdedup_blocked,
     "x27_semantic_clusters": x27_semantic_clusters,
     "s5_stream_dedup": s5_stream_dedup,
@@ -6069,6 +6174,7 @@ ORACLES: dict[str, str] = {
     "x33_bpe_merges": X33_SQL,
     "x34_bpe_encode": X34_SQL,
     "g3_redirect_resolve": G3_SQL,
+    "d7_mirror_hosts": D7_SQL,
     "x26_semdedup_blocked": X21_SQL,
     "x27_semantic_clusters": X27_SQL,
     "s5_stream_dedup": S5_SQL,

@@ -1067,3 +1067,68 @@ def cluster_representatives(
         F.count("*").cast("long").alias("n_members"),
         (F.sum("n_tokens") - F.max("n_tokens")).cast("long").alias("dup_tokens"),
     )
+
+
+def mirror_hosts(
+    pages: DataFrame,
+    min_shared: int = 2,
+    ratio_num: int = 8,
+    ratio_den: int = 10,
+    df_cap: int = 1000,
+) -> DataFrame:
+    """Mirror-site detection over ``(host, content_key)`` pages: host
+    pairs whose content sets overlap heavily are mirrors (CDN clones,
+    scraper re-posts, www/no-www splits the canonicalizer can't see) —
+    the crawl should collapse their politeness budgets and frontier
+    priority onto one of them instead of fetching everything twice.
+
+    Returns one row per co-occurring host pair (host_a < host_b):
+    ``shared`` distinct content keys, each side's distinct content size
+    ``n_a``/``n_b``, and ``is_mirror`` — shared ≥ min_shared AND
+    ratio_den·shared ≥ ratio_num·min(n_a, n_b), the containment ratio
+    in EXACT integers (no float ever materializes, the d2/x23
+    determinism contract).
+
+    Scale shape: the pair generation is a self-join on content_key —
+    the same inverted-index discipline as the shingle tiers, so
+    ``df_cap`` first drops keys hosted in more than df_cap places
+    (site-chrome boilerplate shared by thousands of hosts would
+    otherwise contribute k²/2 join rows each; a content key on k ≤
+    df_cap hosts contributes at most df_cap·|keys| pairs). Host sizes
+    are counted AFTER the cap so the ratio is consistent with the
+    pair counts. One shuffle for the distinct, one for the join, one
+    partial-agg groupBy on the pair; the size join broadcasts (one row
+    per HOST). Never all-pairs over hosts, nothing driver-side."""
+    p = pages.select("host", "content_key").distinct()
+    if df_cap is not None:
+        freq = p.groupBy("content_key").agg(F.count(F.lit(1)).alias("__hf"))
+        p = p.join(
+            freq.filter(F.col("__hf") <= df_cap), "content_key", "left_semi"
+        )
+    sizes = p.groupBy("host").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = p.select(F.col("host").alias("host_a"), "content_key")
+    b = p.select(F.col("host").alias("host_b"), "content_key")
+    pairs = (
+        a.join(b, "content_key")
+        .where(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+    na = F.broadcast(sizes.select(F.col("host").alias("host_a"), F.col("n").alias("n_a")))
+    nb = F.broadcast(sizes.select(F.col("host").alias("host_b"), F.col("n").alias("n_b")))
+    return (
+        pairs.join(na, "host_a")
+        .join(nb, "host_b")
+        .select(
+            "host_a",
+            "host_b",
+            "shared",
+            "n_a",
+            "n_b",
+            (
+                F.lit(ratio_den) * F.col("shared")
+                >= F.lit(ratio_num) * F.least("n_a", "n_b")
+            ).alias("is_mirror"),
+        )
+    )

@@ -1258,3 +1258,62 @@ def test_resolve_redirects_join_count_is_logarithmic():
     assert _doubling_iters(8) == 3
     assert _doubling_iters(2) == 1
     assert _doubling_iters(1) == 1
+
+
+def py_mirror_hosts(rows, min_shared=2, num=8, den=10, df_cap=1000):
+    """Straight-line python twin of dedup.mirror_hosts (exact ints)."""
+    p = set(rows)
+    hf = {}
+    for _, c in p:
+        hf[c] = hf.get(c, 0) + 1
+    pc = {(h, c) for h, c in p if hf[c] <= df_cap}
+    n = {}
+    for h, _ in pc:
+        n[h] = n.get(h, 0) + 1
+    byc = {}
+    for h, c in pc:
+        byc.setdefault(c, []).append(h)
+    shared = {}
+    for hs in byc.values():
+        for a in hs:
+            for b in hs:
+                if a < b:
+                    shared[(a, b)] = shared.get((a, b), 0) + 1
+    return {
+        (a, b): (s, n[a], n[b], den * s >= num * min(n[a], n[b]))
+        for (a, b), s in shared.items()
+        if s >= min_shared
+    }
+
+
+def test_mirror_hosts_ratio_cap_and_threshold(spark):
+    """A full mirror (flag true), a partial mirror diluted below the
+    80% containment bar (flag false), a sub-min_shared pair (dropped),
+    and a boilerplate key on every host that df_cap must drop before
+    it fabricates pairs — all vs the python twin."""
+    from news_crawler_spark.operators import dedup
+
+    rows = (
+        # hosts 1/2: full mirror (3 shared, n=3 each)
+        [(1, f"c{i}") for i in range(3)]
+        + [(2, f"c{i}") for i in range(3)]
+        # hosts 3/4: 2 shared, the SMALLER side diluted to n=3 ->
+        # 10*2 < 8*min(3,5): containment fails on both sides, false
+        + [(3, f"d{i}") for i in range(2)]
+        + [(3, "own3")]
+        + [(4, f"d{i}") for i in range(2)]
+        + [(4, f"junk{i}") for i in range(3)]
+        # hosts 5/6: only 1 shared -> below min_shared, no row
+        + [(5, "e0"), (6, "e0")]
+        # boilerplate on every host, df_cap=4 < 6 hosts -> dropped
+        + [(h, "boiler") for h in range(1, 7)]
+    )
+    df = spark.createDataFrame(rows, "host long, content_key string")
+    got = {
+        (r.host_a, r.host_b): (r.shared, r.n_a, r.n_b, r.is_mirror)
+        for r in dedup.mirror_hosts(df, min_shared=2, df_cap=4).collect()
+    }
+    assert got == py_mirror_hosts(rows, min_shared=2, df_cap=4)
+    assert got[(1, 2)] == (3, 3, 3, True)
+    assert got[(3, 4)] == (2, 3, 5, False)
+    assert (5, 6) not in got
