@@ -114,6 +114,7 @@ HEADLINE = [
     "x34_bpe_encode",
     "g3_redirect_resolve",
     "d7_mirror_hosts",
+    "c1_crawl_delay",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by

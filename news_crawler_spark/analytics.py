@@ -4421,6 +4421,94 @@ ORDER BY host_a, host_b
 """
 
 
+def c1_crawl_delay(spark, sf):
+    """Robots Crawl-delay → politeness rates (frontier.
+    crawl_delay_tokens) under the hard gate — the seam between the
+    robots surface (p9) and the token buckets (j11): parse raw
+    robots.txt bodies and size each host's per-round token refill from
+    the effective crawl-delay (agent section beats *, else default;
+    tokens = min(cap, round div delay)). The reference sleeps a
+    hard-coded interval between fetches
+    (collectors' fixed time.sleep loops); at web scale the politeness
+    rate is host-specific and comes from this directive. Input BY
+    CONSTRUCTION: 30 hosts whose bodies vary over every parse path —
+    mixed-case directives (case-insensitivity pinned), a *-section
+    delay omitted on every 4th host (default fallback), a NewsBot
+    section on every 3rd (precedence), junk Disallow lines throughout
+    — so the value hash pins sectionization (running user-agent
+    count), case folding, the precedence max_by, the integer div and
+    the cap at once; the twin replays the same relational parse."""
+    from .operators import frontier as frontier_ops
+
+    e = load(spark, sf, "events").where(F.col("event_id") < 30)
+    eid = F.col("event_id")
+    star = F.when(
+        eid % 4 != 1,
+        F.concat(F.lit("Crawl-Delay: "), (eid % 7 + 1).cast("string")),
+    ).otherwise(F.lit("# crawl-delay omitted"))
+    bot = F.when(
+        eid % 3 == 0,
+        F.concat(
+            F.lit("\nUser-Agent: NewsBot\nCrawl-delay: "),
+            (eid % 5 + 1).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    robots = e.select(
+        F.concat(F.lit("h"), eid.cast("string")).alias("host"),
+        F.concat(F.lit("User-agent: *\nDisallow: /private\n"), star, bot).alias(
+            "robots_txt"
+        ),
+    )
+    return frontier_ops.crawl_delay_tokens(
+        robots, agent="newsbot", default_delay=2, round_seconds=30, cap=10
+    ).orderBy("host")
+
+
+C1_SQL = """
+WITH r AS (
+  SELECT 'h' || event_id::VARCHAR AS host,
+         'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10) ||
+         CASE WHEN event_id % 4 <> 1
+              THEN 'Crawl-Delay: ' || (event_id % 7 + 1)::VARCHAR
+              ELSE '# crawl-delay omitted' END ||
+         CASE WHEN event_id % 3 = 0
+              THEN chr(10) || 'User-Agent: NewsBot' || chr(10) ||
+                   'Crawl-delay: ' || (event_id % 5 + 1)::VARCHAR
+              ELSE '' END AS robots_txt
+  FROM events WHERE event_id < 30
+),
+lines AS (
+  SELECT host, t.i AS pos, lower(trim(parts[t.i])) AS line
+  FROM (SELECT host, string_split(robots_txt, chr(10)) AS parts FROM r),
+       unnest(range(1, len(parts) + 1)) AS t(i)
+),
+l AS (
+  SELECT host, pos, line,
+         sum(CASE WHEN line LIKE 'user-agent:%' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY host ORDER BY pos) AS sec
+  FROM lines
+),
+uas AS (SELECT host, sec, trim(split_part(line, ':', 2)) AS ua
+        FROM l WHERE line LIKE 'user-agent:%'),
+delays AS (SELECT host, sec,
+                  TRY_CAST(trim(split_part(line, ':', 2)) AS BIGINT) AS delay
+           FROM l WHERE line LIKE 'crawl-delay:%'),
+cand AS (
+  SELECT d.host, d.delay,
+         CASE WHEN u.ua = 'newsbot' THEN 2 ELSE 1 END AS prec
+  FROM delays d JOIN uas u USING (host, sec)
+  WHERE u.ua IN ('newsbot', '*') AND d.delay IS NOT NULL
+),
+eff AS (SELECT host, arg_max(delay, prec * 1000000 - delay) AS delay
+        FROM cand GROUP BY host)
+SELECT r.host,
+       coalesce(e.delay, 2)::BIGINT AS delay,
+       least(10, 30 // coalesce(e.delay, 2))::BIGINT AS tokens
+FROM r LEFT JOIN eff e USING (host)
+ORDER BY host
+"""
+
+
 def p12_canonical_collapse(spark, sf):
     """F6-F7 under the hard gate: the PRODUCTION URL canonicalizer (the
     Arrow-batched pandas UDF, functions/urls.py — RFC-3986 normalize the
@@ -6071,6 +6159,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x34_bpe_encode": x34_bpe_encode,
     "g3_redirect_resolve": g3_redirect_resolve,
     "d7_mirror_hosts": d7_mirror_hosts,
+    "c1_crawl_delay": c1_crawl_delay,
     "x26_semdedup_blocked": x26_semdedup_blocked,
     "x27_semantic_clusters": x27_semantic_clusters,
     "s5_stream_dedup": s5_stream_dedup,
@@ -6175,6 +6264,7 @@ ORACLES: dict[str, str] = {
     "x34_bpe_encode": X34_SQL,
     "g3_redirect_resolve": G3_SQL,
     "d7_mirror_hosts": D7_SQL,
+    "c1_crawl_delay": C1_SQL,
     "x26_semdedup_blocked": X21_SQL,
     "x27_semantic_clusters": X27_SQL,
     "s5_stream_dedup": S5_SQL,

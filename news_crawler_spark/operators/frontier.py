@@ -306,3 +306,89 @@ def apportion_budget(
         "host",
         (F.col("quota") + F.coalesce("__plus", F.lit(0))).cast("long").alias("budget"),
     )
+
+
+def crawl_delay_tokens(
+    robots_txt: DataFrame,
+    agent: str = "newsbot",
+    default_delay: int = 2,
+    round_seconds: int = 30,
+    cap: int = 10,
+) -> DataFrame:
+    """Parse raw robots.txt bodies into per-host politeness rates —
+    the seam between the robots surface and the token buckets: the
+    reference hard-codes its per-host sleep; a web-scale crawler reads
+    Crawl-delay and sizes each host's per-round token refill from it.
+
+    Input ``(host, robots_txt)``; output ``(host, delay, tokens)`` with
+    ``delay`` the effective crawl-delay in seconds — the ``agent``
+    section's value if one exists, else the ``*`` section's, else
+    ``default_delay`` (most-specific-group-wins, the REP rule) — and
+    ``tokens = min(cap, round_seconds div delay)``, the refill
+    ``TokenBucket``/``pop_round`` consumes. Within the winning
+    precedence the SMALLEST delay wins (conservative, deterministic).
+
+    Parsing is set-at-a-time, all JVM-side: split body into lines and
+    posexplode; lowercase+trim; sectionize with a running count of
+    ``user-agent:`` markers (one window sum per host — robots bodies
+    are one row per HOST, ~10^7 rows at web scale, nothing
+    corpus-sized); join each ``crawl-delay:`` line to its section's
+    agent; pick the winner with one exact-integer ``max_by``
+    (prec·10^6 − delay). Simplification, documented: each user-agent
+    line opens its own section (consecutive UA lines sharing one
+    group — legal REP — attach directives to the last of them).
+    Non-integer delays are dropped by the cast (NULL), never crash."""
+    lines = robots_txt.select(
+        "host",
+        F.posexplode(F.split("robots_txt", "\n")).alias("pos", "line"),
+    ).withColumn("line", F.lower(F.trim("line")))
+    sec = F.sum(
+        F.col("line").startswith("user-agent:").cast("int")
+    ).over(
+        Window.partitionBy("host")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    l = lines.withColumn("sec", sec)
+    val = F.trim(F.substring_index("line", ":", -1))
+    uas = l.where(F.col("line").startswith("user-agent:")).select(
+        "host", "sec", val.alias("ua")
+    )
+    # try_cast, not cast: the session runs ANSI mode (Spark 4 default),
+    # where a malformed delay value would fail the job instead of
+    # falling through to the default
+    delays = l.where(F.col("line").startswith("crawl-delay:")).select(
+        "host", "sec", val.try_cast("long").alias("delay")
+    )
+    cand = (
+        delays.join(uas, ["host", "sec"])
+        .where(F.col("ua").isin(agent, "*") & F.col("delay").isNotNull())
+        .select(
+            "host",
+            "delay",
+            F.when(F.col("ua") == agent, F.lit(2)).otherwise(F.lit(1)).alias("__prec"),
+        )
+    )
+    eff = cand.groupBy("host").agg(
+        F.max_by(
+            F.col("delay"), F.col("__prec") * F.lit(1_000_000) - F.col("delay")
+        ).alias("delay")
+    )
+    return (
+        robots_txt.select("host")
+        .join(eff, "host", "left")
+        .select(
+            "host",
+            F.coalesce(F.col("delay"), F.lit(default_delay))
+            .cast("long")
+            .alias("delay"),
+        )
+        .select(
+            "host",
+            "delay",
+            F.least(
+                F.lit(cap).cast("long"),
+                F.expr(f"cast({round_seconds} as bigint) div delay"),
+            ).alias("tokens"),
+        )
+    )
