@@ -115,6 +115,7 @@ HEADLINE = [
     "g3_redirect_resolve",
     "d7_mirror_hosts",
     "c1_crawl_delay",
+    "c2_rendezvous_shards",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by

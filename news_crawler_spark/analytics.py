@@ -4509,6 +4509,45 @@ ORDER BY host
 """
 
 
+def c2_rendezvous_shards(spark, sf):
+    """Rendezvous (highest-random-weight) host→fetcher-shard assignment
+    (frontier.rendezvous_assign) under the hard gate. Politeness makes
+    host affinity mandatory — one token bucket per host must live in
+    one place — and hash-mod assignment reshuffles nearly every host's
+    affinity on a fleet resize; rendezvous moves only the keys the new
+    shard wins (the property that makes the north rule's N→4N resize a
+    warm-cache event, pinned separately in test_crawl_engine). The
+    assignment itself is a PURE PROJECTION (sequence → transform →
+    array_max, no shuffle/join/state — plan-asserted). 200 md5-named
+    hosts over 8 shards; the twin recomputes every per-shard 60-bit
+    weight and takes the same lexicographic argmax via a HUGEINT
+    composite key, so the value hash pins the weight derivation and
+    the tie order for all 1600 (host, shard) weights at once."""
+    from .operators import frontier as frontier_ops
+
+    e = load(spark, sf, "events").where(F.col("event_id") < 200)
+    hosts = e.select(
+        F.concat(F.lit("h"), F.col("event_id").cast("string")).alias("host")
+    )
+    return frontier_ops.rendezvous_assign(hosts, n_shards=8).orderBy("host")
+
+
+C2_SQL = """
+WITH hosts AS (
+  SELECT 'h' || event_id::VARCHAR AS host FROM events WHERE event_id < 200
+),
+w AS (
+  SELECT host, s.s AS shard,
+         ('0x' || substring(md5(host || '#' || s.s::VARCHAR || 'rv'), 1, 15))
+           ::BIGINT AS wt
+  FROM hosts, (SELECT unnest(range(0, 8)) AS s) s
+)
+SELECT host,
+       arg_max(shard, wt::HUGEINT * 8 + shard)::INT AS shard
+FROM w GROUP BY host ORDER BY host
+"""
+
+
 def p12_canonical_collapse(spark, sf):
     """F6-F7 under the hard gate: the PRODUCTION URL canonicalizer (the
     Arrow-batched pandas UDF, functions/urls.py — RFC-3986 normalize the
@@ -6160,6 +6199,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g3_redirect_resolve": g3_redirect_resolve,
     "d7_mirror_hosts": d7_mirror_hosts,
     "c1_crawl_delay": c1_crawl_delay,
+    "c2_rendezvous_shards": c2_rendezvous_shards,
     "x26_semdedup_blocked": x26_semdedup_blocked,
     "x27_semantic_clusters": x27_semantic_clusters,
     "s5_stream_dedup": s5_stream_dedup,
@@ -6265,6 +6305,7 @@ ORACLES: dict[str, str] = {
     "g3_redirect_resolve": G3_SQL,
     "d7_mirror_hosts": D7_SQL,
     "c1_crawl_delay": C1_SQL,
+    "c2_rendezvous_shards": C2_SQL,
     "x26_semdedup_blocked": X21_SQL,
     "x27_semantic_clusters": X27_SQL,
     "s5_stream_dedup": S5_SQL,

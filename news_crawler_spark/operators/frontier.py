@@ -392,3 +392,48 @@ def crawl_delay_tokens(
             ).alias("tokens"),
         )
     )
+
+
+def rendezvous_assign(
+    df: DataFrame,
+    key_col: str = "host",
+    n_shards: int = 8,
+    salt_tag: str = "rv",
+) -> DataFrame:
+    """Highest-random-weight (rendezvous) shard assignment — which
+    fetcher shard OWNS each host. Politeness makes host affinity
+    mandatory (one token bucket per host must live in one place);
+    hash-mod assignment reshuffles ~every host's affinity when the
+    fleet resizes, rendezvous moves ONLY the keys the new shard wins
+    (≈1/(N+1) of them, and they move nowhere else) — the property that
+    makes an N→4N executor resize a warm-cache event instead of a
+    full frontier re-shard.
+
+    Adds ``shard`` = argmax over s∈[0,n_shards) of the 60-bit integer
+    md5(key ∥ '#' ∥ s ∥ salt_tag) — a PURE PROJECTION (sequence →
+    transform → array_max inside whole-stage codegen): no shuffle, no
+    join, no state; ties (2^-60) break to the larger shard id via the
+    (weight, shard) struct order, deterministic in any engine."""
+    key = F.col(key_col).cast("string")
+    weights = F.transform(
+        F.sequence(F.lit(0), F.lit(n_shards - 1)),
+        lambda s: F.struct(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            key, F.lit("#"), s.cast("string"), F.lit(salt_tag)
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("w"),
+            s.cast("int").alias("shard"),
+        ),
+    )
+    return df.withColumn("shard", F.array_max(weights)["shard"])

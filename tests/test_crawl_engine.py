@@ -392,3 +392,26 @@ def test_crawl_delay_tokens_precedence_and_edges(spark):
         "e": (1, 10),
         "f": (2, 10),
     }
+
+
+def test_rendezvous_resize_moves_only_to_the_new_shard(spark):
+    """The property hash-mod lacks and rendezvous guarantees: growing
+    the fleet 8→9 moves ONLY the hosts the new shard wins — every
+    moved host moves TO shard 8, nobody relocates between old shards —
+    and the moved fraction is ≈1/9 of the keys. Assignment must also
+    be perfectly stable across recomputation (pure function)."""
+    from news_crawler_spark.operators import frontier as fops
+
+    hosts = spark.createDataFrame(
+        [(f"host-{i}.example",) for i in range(500)], "host string"
+    )
+    s8 = {r.host: r.shard for r in fops.rendezvous_assign(hosts, n_shards=8).collect()}
+    s8b = {r.host: r.shard for r in fops.rendezvous_assign(hosts, n_shards=8).collect()}
+    s9 = {r.host: r.shard for r in fops.rendezvous_assign(hosts, n_shards=9).collect()}
+    assert s8 == s8b
+    moved = {h for h in s8 if s8[h] != s9[h]}
+    assert moved and all(s9[h] == 8 for h in moved)
+    # E[moved] = 500/9 ≈ 56; generous determinstic-band check
+    assert 25 <= len(moved) <= 95
+    # balance: every shard owns someone in the 8-world
+    assert set(s8.values()) == set(range(8))

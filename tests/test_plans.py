@@ -574,3 +574,17 @@ def test_x34_encode_vocab_broadcasts(spark):
     p = explain_formatted(df)
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_c2_rendezvous_is_a_pure_projection(spark):
+    """Shard assignment adds no exchange, no join, no python stage —
+    it must stay inside the scan's whole-stage-codegen projection."""
+    from news_crawler_spark.operators import frontier as fops
+
+    hosts = spark.range(100).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("host")
+    )
+    p = explain_formatted(fops.rendezvous_assign(hosts, n_shards=8))
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert "EvalPython" not in p
