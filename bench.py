@@ -116,6 +116,7 @@ HEADLINE = [
     "d7_mirror_hosts",
     "c1_crawl_delay",
     "c2_rendezvous_shards",
+    "t9_change_rate_recrawl",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by

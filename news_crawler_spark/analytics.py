@@ -4548,6 +4548,69 @@ FROM w GROUP BY host ORDER BY host
 """
 
 
+def t9_change_rate_recrawl(spark, sf):
+    """Per-page adaptive recrawl (sources.change_rate_schedule) under
+    the hard gate — the Cho & Garcia-Molina Poisson change-rate
+    estimator, page-granular where t8 is source-granular: λ̂·I =
+    −ln((n−X+½)/(n+½)) from n polls with X observed changes, next
+    visit clamped to [I, 30I]. Exact integers throughout: doubling
+    clears the ½-corrections so lam_micro = L(2n+1) − L(2(n−X)+1)
+    with L(x)=round(ln(x)·10⁶) (the x25 micro-nat discipline), and
+    the interval is one integer division with the X=0 never-changed
+    case taking the max branch explicitly (ANSI-safe). Input BY
+    CONSTRUCTION: 100 pages whose per-poll change flag fires when an
+    md5 draw mod 100 falls below the page id — page 0 never changes
+    (pins the zero branch + max clamp), high pages change almost
+    every poll (pins the min clamp), the middle sweeps the whole
+    estimator curve; twin replays counts, both micro-nat roundings,
+    the division and both clamps."""
+    from . import sources as src
+
+    e = load(spark, sf, "events")
+    eid = F.col("event_id")
+    draw = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("cg"), eid.cast("string"))), 1, 4),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    polls = e.select(
+        (eid % 100).alias("page_id"), (draw < eid % 100).alias("changed")
+    )
+    return src.change_rate_schedule(polls, interval_s=3600, max_factor=30).orderBy(
+        "page_id"
+    )
+
+
+T9_SQL = """
+WITH polls AS (
+  SELECT event_id % 100 AS page_id,
+         (('0x' || substring(md5('cg' || event_id::VARCHAR), 1, 4))::BIGINT
+            % 100) < (event_id % 100) AS changed
+  FROM events
+),
+agg AS (
+  SELECT page_id, count(*)::BIGINT AS n_polls,
+         sum(CASE WHEN changed THEN 1 ELSE 0 END)::BIGINT AS n_changed
+  FROM polls GROUP BY 1
+),
+lam AS (
+  SELECT page_id, n_polls, n_changed,
+         (round(ln(2 * n_polls + 1) * 1000000)
+          - round(ln(2 * (n_polls - n_changed) + 1) * 1000000))::BIGINT
+           AS lam_micro
+  FROM agg
+)
+SELECT page_id, n_polls, n_changed, lam_micro,
+       (CASE WHEN lam_micro > 0
+             THEN least(108000, greatest(3600, 3600000000 // lam_micro))
+             ELSE 108000 END)::BIGINT AS next_interval_s
+FROM lam ORDER BY page_id
+"""
+
+
 def p12_canonical_collapse(spark, sf):
     """F6-F7 under the hard gate: the PRODUCTION URL canonicalizer (the
     Arrow-batched pandas UDF, functions/urls.py — RFC-3986 normalize the
@@ -6200,6 +6263,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d7_mirror_hosts": d7_mirror_hosts,
     "c1_crawl_delay": c1_crawl_delay,
     "c2_rendezvous_shards": c2_rendezvous_shards,
+    "t9_change_rate_recrawl": t9_change_rate_recrawl,
     "x26_semdedup_blocked": x26_semdedup_blocked,
     "x27_semantic_clusters": x27_semantic_clusters,
     "s5_stream_dedup": s5_stream_dedup,
@@ -6306,6 +6370,7 @@ ORACLES: dict[str, str] = {
     "d7_mirror_hosts": D7_SQL,
     "c1_crawl_delay": C1_SQL,
     "c2_rendezvous_shards": C2_SQL,
+    "t9_change_rate_recrawl": T9_SQL,
     "x26_semdedup_blocked": X21_SQL,
     "x27_semantic_clusters": X27_SQL,
     "s5_stream_dedup": S5_SQL,

@@ -292,3 +292,61 @@ def recrawl_schedule(
         ),
     )
     return n.select("source", "n_recent", delay.alias("next_poll_s"))
+
+
+def change_rate_schedule(
+    polls: DataFrame,
+    interval_s: int = 3600,
+    max_factor: int = 30,
+) -> DataFrame:
+    """Per-PAGE adaptive recrawl from observed change rates — the
+    Cho & Garcia-Molina Poisson estimator (the page-granular
+    counterpart of :func:`recrawl_schedule`'s per-source rate loop):
+    a page polled ``n`` times at interval I that showed a change on
+    ``X`` of them has estimated change rate
+    λ̂·I = −ln((n−X+½)/(n+½)), and the next visit is scheduled at
+    ≈1/λ̂, clamped to [I, max_factor·I].
+
+    Exact-integer formulation (the x25 micro-nat discipline): doubling
+    clears the ½-corrections, so with L(x) = round(ln(x)·10⁶),
+    ``lam_micro = L(2n+1) − L(2(n−X)+1)`` is λ̂·I in integer micro-nats
+    and ``next_interval_s = clamp(I·10⁶ div lam_micro)`` is one integer
+    division — no float ratio ever materializes, and a never-changed
+    page (X=0 ⇒ lam_micro=0) takes the max-interval branch explicitly
+    instead of dividing by zero (which ANSI mode would fail).
+
+    Input ``(page_id, changed)`` — one row per poll; output
+    ``(page_id, n_polls, n_changed, lam_micro, next_interval_s)``.
+    Scale shape: one partial-agg groupBy(page_id) over the poll log,
+    then a pure projection; the poll log is the big table and it is
+    touched exactly once."""
+    lmicro = lambda c: F.round(  # noqa: E731
+        F.log(c.cast("double")) * F.lit(1_000_000.0)
+    ).cast("long")
+    agg = polls.groupBy("page_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_polls"),
+        F.sum(F.col("changed").cast("long")).cast("long").alias("n_changed"),
+    )
+    lam = agg.select(
+        "page_id",
+        "n_polls",
+        "n_changed",
+        (
+            lmicro(F.lit(2) * F.col("n_polls") + 1)
+            - lmicro(F.lit(2) * (F.col("n_polls") - F.col("n_changed")) + 1)
+        ).alias("lam_micro"),
+    )
+    lo, hi = interval_s, interval_s * max_factor
+    nxt = F.when(
+        F.col("lam_micro") > 0,
+        F.least(
+            F.lit(hi).cast("long"),
+            F.greatest(
+                F.lit(lo).cast("long"),
+                F.expr(f"cast({interval_s} as bigint) * 1000000 div lam_micro"),
+            ),
+        ),
+    ).otherwise(F.lit(hi).cast("long"))
+    return lam.select(
+        "page_id", "n_polls", "n_changed", "lam_micro", nxt.alias("next_interval_s")
+    )

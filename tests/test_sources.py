@@ -183,3 +183,41 @@ def test_recrawl_schedule_clamps_and_ceil(spark):
         "cold": (1, 7200),
         "firehose": (4000, 60),
     }, got
+
+
+def test_change_rate_schedule_estimator_edges(spark):
+    """The CGM estimator's branch structure: a never-changed page takes
+    the explicit max branch (lam_micro == 0, no division), an
+    every-poll changer clamps to the minimum interval, and a middling
+    page matches the closed-form integer arithmetic exactly."""
+    import math
+
+    from news_crawler_spark import sources as src
+
+    rows = (
+        [("never", False)] * 10
+        + [("always", True)] * 10
+        + [("some", True)] * 2
+        + [("some", False)] * 8
+        + [("once", True)]
+    )
+    df = spark.createDataFrame(rows, "page_id string, changed boolean")
+    got = {
+        r.page_id: (r.n_polls, r.n_changed, r.lam_micro, r.next_interval_s)
+        for r in src.change_rate_schedule(df, interval_s=3600, max_factor=30).collect()
+    }
+    L = lambda x: round(math.log(x) * 1_000_000)  # noqa: E731
+
+    def expect(n, x):
+        lam = L(2 * n + 1) - L(2 * (n - x) + 1)
+        nxt = 108000 if lam == 0 else min(108000, max(3600, 3600 * 1_000_000 // lam))
+        return (n, x, lam, nxt)
+
+    assert got == {
+        "never": expect(10, 0),
+        "always": expect(10, 10),
+        "some": expect(10, 2),
+        "once": expect(1, 1),
+    }
+    assert got["never"][2] == 0 and got["never"][3] == 108000
+    assert got["always"][3] == 3600  # min clamp: lam >> 10^6
