@@ -84,6 +84,17 @@ unrolls the same iterations relationally via consecutive-run island
 parity — and x34 the corpus ENCODE with the trained vocabulary
 (tokenize → broadcast segmentation map → in-order per-doc reassembly,
 pinned by an md5 over every document's full segmentation).
+
+The closing session completes the web-crawl operator surface itself:
+g3 redirect-chain collapse (pointer jumping — log₂(max_hops) doubling
+self-joins, cycle members flagged as traps, twin a generic WITH
+RECURSIVE walker), d7 mirror-host detection (capped content-key
+inverted index, exact-integer containment flag), c1 robots Crawl-delay
+parsing into per-host token refills (sectionized line parse, agent
+beats *, try_cast under ANSI), c2 rendezvous host→shard ownership (a
+pure zero-shuffle projection whose N→N+1 resize moves only the new
+shard's keys), and t9 per-page adaptive recrawl via the
+Cho–Garcia-Molina change-rate estimator in exact integer micro-nats.
 """
 
 from __future__ import annotations

@@ -117,6 +117,7 @@ HEADLINE = [
     "c1_crawl_delay",
     "c2_rendezvous_shards",
     "t9_change_rate_recrawl",
+    "v13_sq8_topk",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by
@@ -209,6 +210,10 @@ SF1_QUERIES = [
     # the encode pass is corpus-scale (tokenize + broadcast vocab probe +
     # doc_id reassembly shuffle) — should track the 10× row growth
     "x34_bpe_encode",
+    # mirror detection: hosts stay fixed (40+40) while each host's
+    # content set grows 10× — the content-key self-join must grow
+    # linearly (keys stay ≤2-hosted; the df_cap guard bounds fanout)
+    "d7_mirror_hosts",
 ]
 
 

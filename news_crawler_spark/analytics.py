@@ -2491,6 +2491,65 @@ ORDER BY dist, c.vec_id LIMIT 10
 """
 
 
+def v13_sq8_topk(spark, sf):
+    """INT8 scalar-quantized ANN (similarity.sq8_topk_rerank) under the
+    hard gate — the remaining member of the quantized-search family
+    (sign-LSH 1 bit / SQ8 8 bits / PQ 4 bits-per-subspace): per-dim
+    symmetric int8 codes trained by ONE single-row max|component|
+    aggregate, encoded as a pure projection whose +m offset keeps every
+    division operand non-negative (so Spark's truncating `div` and
+    DuckDB's flooring `//` agree by construction instead of by
+    special-case), scanned for the top-100 by integer int8 dot product
+    (TakeOrderedAndProject — never a global sort), and re-ranked
+    exactly on the micro-quantized components. Both scores ride along,
+    so the value hash pins the trained scales, every code, the
+    candidate ordering and the re-rank at once."""
+    return similarity.sq8_topk_rerank(
+        load(spark, sf, "embeddings"),
+        QUERY_VEC_ID,
+        k=10,
+        r_cand=PQ_RERANK_CAND,
+    )
+
+
+V13_SQL = f"""
+WITH qv AS (
+  SELECT vec_id,
+         [floor(x::DOUBLE * {similarity.SIGNLSH_QUANT} + 0.5)::BIGINT
+          for x in embedding] AS iv
+  FROM embeddings
+),
+mx AS (
+  SELECT j, greatest(max(abs(iv[j])), 1)::BIGINT AS m
+  FROM qv, unnest(generate_series(1, 64)) AS t(j)
+  GROUP BY j
+),
+ma AS (SELECT list(m ORDER BY j) AS ml FROM mx),
+enc AS (
+  SELECT vec_id, iv,
+         [ ((iv[j] + ml[j]) * 127) // ml[j] - 127
+           for j in generate_series(1, 64) ] AS q8
+  FROM qv, ma
+),
+q AS (SELECT q8 AS qq8, iv AS qiv FROM enc WHERE vec_id = {{qid}}),
+scored AS (
+  SELECT e.vec_id,
+         list_sum([ e.q8[j] * q.qq8[j]
+                    for j in generate_series(1, 64) ])::BIGINT AS q8_dot,
+         e.iv, q.qiv
+  FROM enc e, q WHERE e.vec_id <> {{qid}}
+),
+cand AS (
+  SELECT * FROM scored ORDER BY q8_dot DESC, vec_id LIMIT {PQ_RERANK_CAND}
+)
+SELECT vec_id, q8_dot,
+       list_sum([ iv[j] * qiv[j]
+                  for j in generate_series(1, 64) ])::BIGINT AS exact_dot
+FROM cand
+ORDER BY exact_dot DESC, vec_id LIMIT 10
+""".replace("{qid}", str(QUERY_VEC_ID))
+
+
 N_PROBE = 3
 
 
@@ -6264,6 +6323,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c1_crawl_delay": c1_crawl_delay,
     "c2_rendezvous_shards": c2_rendezvous_shards,
     "t9_change_rate_recrawl": t9_change_rate_recrawl,
+    "v13_sq8_topk": v13_sq8_topk,
     "x26_semdedup_blocked": x26_semdedup_blocked,
     "x27_semantic_clusters": x27_semantic_clusters,
     "s5_stream_dedup": s5_stream_dedup,
@@ -6371,6 +6431,7 @@ ORACLES: dict[str, str] = {
     "c1_crawl_delay": C1_SQL,
     "c2_rendezvous_shards": C2_SQL,
     "t9_change_rate_recrawl": T9_SQL,
+    "v13_sq8_topk": V13_SQL,
     "x26_semdedup_blocked": X21_SQL,
     "x27_semantic_clusters": X27_SQL,
     "s5_stream_dedup": S5_SQL,

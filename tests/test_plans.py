@@ -588,3 +588,13 @@ def test_c2_rendezvous_is_a_pure_projection(spark):
     assert "Exchange" not in p
     assert "Join" not in p
     assert "EvalPython" not in p
+
+
+def test_v13_sq8_scan_is_takeordered(spark):
+    """The SQ8 candidate cut is a TakeOrderedAndProject over the code
+    scan — per-partition top-k with a k-row driver merge, never a
+    global Sort, and no python stage anywhere."""
+    df = analytics.v13_sq8_topk(spark, SF)
+    p = explain_formatted(df)
+    assert "TakeOrderedAndProject" in p
+    assert "EvalPython" not in p

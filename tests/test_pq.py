@@ -196,3 +196,46 @@ def test_ivfpq_matches_python_twin_and_beats_flat_pq_recall(emb, quantized):
         v for _, v in sorted((_l2(qiv, iv), v) for v, iv in quantized.items())[:10]
     }
     assert len(exact_ids & {r["vec_id"] for r in got}) / 10 >= 0.7
+
+
+def test_sq8_encode_range_scales_and_determinism(spark):
+    """SQ8 codes land exactly in [-127, 127] with the extremes hit by
+    the per-dim max components (q8 = +127 at iv = +m, 0-centered), the
+    trained scale is per-dimension (a small dim-1 value still spans the
+    full code range), and encoding is recomputation-stable."""
+    from news_crawler_spark.operators import similarity as sim
+
+    rows = [
+        (0, [1.0, 0.001]),
+        (1, [-1.0, -0.001]),
+        (2, [0.5, 0.0005]),
+        (3, [0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: list(r.q8) for r in sim.sq8_encode(df, dim=2).collect()}
+    got2 = {r.vec_id: list(r.q8) for r in sim.sq8_encode(df, dim=2).collect()}
+    assert got == got2
+    assert got[0] == [127, 127]  # both dims at their own max
+    assert got[1] == [-127, -127]
+    assert got[3] == [0, 0]
+    # half-scale: ((m/2 + m)*127) div m - 127 = 63 (floor), per dim
+    assert got[2] == [63, 63]
+    assert all(-127 <= c <= 127 for cs in got.values() for c in cs)
+
+
+def test_sq8_topk_finds_planted_neighbors(spark):
+    """The quantized scan must surface the exact-dot winners: vectors
+    colinear with the query rank by magnitude, orthogonal ones fall
+    out, and q8_dot / exact_dot agree on the ordering for the planted
+    geometry (scores ride along for the gate's value hash)."""
+    from news_crawler_spark.operators import similarity as sim
+
+    dim = 4
+    rows = [(0, [1.0, 0.0, 0.0, 0.0])]  # query
+    rows += [(i, [1.0 / i, 0.0, 0.0, 0.0]) for i in range(1, 6)]  # colinear
+    rows += [(10 + i, [0.0, 1.0, 0.5, 0.25]) for i in range(3)]  # orthogonal
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sim.sq8_topk_rerank(df, query_id=0, k=3, r_cand=5, dim=dim).collect()
+    assert [r.vec_id for r in out] == [1, 2, 3]
+    assert out[0].exact_dot > out[1].exact_dot > out[2].exact_dot
+    assert out[0].q8_dot >= out[1].q8_dot >= out[2].q8_dot
