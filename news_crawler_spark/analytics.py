@@ -4376,6 +4376,63 @@ ORDER BY src
 """
 
 
+def g4_anchor_summary(spark, sf):
+    """In-link anchor-text profile (operators/graph.anchor_summary)
+    under the hard gate: for every target page the top-3 anchor texts
+    by in-link count, with total in-links and distinct-anchor counts
+    riding along — the classic web-corpus target-description signal
+    (anchor text describes the TARGET; quality/search pipelines
+    aggregate it per URL before indexing). Input BY CONSTRUCTION from
+    event ids with g1's hub skew (every 4th link lands on a 10-host
+    hub set, so hot targets see ~20× the in-links of the tail) and a
+    16-word md5-derived anchor vocabulary so counts genuinely collide
+    and the rank tie-break (count desc, anchor asc) is exercised. The
+    Spark plan aggregates on (dst, anchor) FIRST — map-side partial
+    aggregation absorbs the hub skew before any shuffle — and only
+    then ranks over the ≤16 pre-aggregated rows per target; the twin
+    replays the same two-level pipeline, so the value hash pins the
+    counts, both window totals, and every tie-break."""
+    from .operators import graph
+
+    ev = load(spark, sf, "events")
+    h = lambda tag: F.conv(
+        F.substring(F.md5(F.concat(F.lit(tag), F.col("event_id").cast("string"))), 1, 4),
+        16,
+        10,
+    ).cast("long")
+    links = ev.select(
+        F.when(F.col("event_id") % 4 == 0, h("gd") % 10)
+        .otherwise(h("gd") % 200)
+        .alias("dst"),
+        F.concat(F.lit("a"), (h("ga") % 16).cast("string")).alias("anchor"),
+    )
+    return graph.anchor_summary(links, k=3).orderBy("dst", "rank")
+
+
+G4_SQL = """
+WITH links AS (
+  SELECT
+    CASE WHEN event_id % 4 = 0
+         THEN ('0x' || substring(md5('gd' || event_id::VARCHAR), 1, 4))::BIGINT % 10
+         ELSE ('0x' || substring(md5('gd' || event_id::VARCHAR), 1, 4))::BIGINT % 200
+    END AS dst,
+    'a' || (('0x' || substring(md5('ga' || event_id::VARCHAR), 1, 4))::BIGINT % 16)::VARCHAR
+      AS anchor
+  FROM events
+),
+pa AS (SELECT dst, anchor, count(*)::BIGINT AS cnt FROM links GROUP BY dst, anchor),
+r AS (
+  SELECT dst, anchor, cnt,
+         row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, anchor)::BIGINT AS rank,
+         sum(cnt) OVER (PARTITION BY dst)::BIGINT AS n_inlinks,
+         count(*) OVER (PARTITION BY dst)::BIGINT AS n_anchors
+  FROM pa
+)
+SELECT dst, anchor, cnt, rank, n_inlinks, n_anchors
+FROM r WHERE rank <= 3 ORDER BY dst, rank
+"""
+
+
 def d7_mirror_hosts(spark, sf):
     """Mirror-site detection (operators/dedup.mirror_hosts) under the
     hard gate: host pairs sharing most of their distinct content are
@@ -6319,6 +6376,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x33_bpe_merges": x33_bpe_merges,
     "x34_bpe_encode": x34_bpe_encode,
     "g3_redirect_resolve": g3_redirect_resolve,
+    "g4_anchor_summary": g4_anchor_summary,
     "d7_mirror_hosts": d7_mirror_hosts,
     "c1_crawl_delay": c1_crawl_delay,
     "c2_rendezvous_shards": c2_rendezvous_shards,
@@ -6427,6 +6485,7 @@ ORACLES: dict[str, str] = {
     "x33_bpe_merges": X33_SQL,
     "x34_bpe_encode": X34_SQL,
     "g3_redirect_resolve": G3_SQL,
+    "g4_anchor_summary": G4_SQL,
     "d7_mirror_hosts": D7_SQL,
     "c1_crawl_delay": C1_SQL,
     "c2_rendezvous_shards": C2_SQL,

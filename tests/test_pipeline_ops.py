@@ -1260,6 +1260,46 @@ def test_resolve_redirects_join_count_is_logarithmic():
     assert _doubling_iters(1) == 1
 
 
+def py_anchor_summary(links, k=3):
+    """Straight-line python twin of graph.anchor_summary."""
+    cnt = {}
+    for dst, a in links:
+        cnt[(dst, a)] = cnt.get((dst, a), 0) + 1
+    out = {}
+    for dst in {d for d, _ in cnt}:
+        per = sorted(
+            ((a, c) for (d, a), c in cnt.items() if d == dst),
+            key=lambda t: (-t[1], t[0]),
+        )
+        n_in = sum(c for _, c in per)
+        for rank, (a, c) in enumerate(per[:k], start=1):
+            out[(dst, a)] = (c, rank, n_in, len(per))
+    return out
+
+
+def test_anchor_summary_ranks_ties_and_totals(spark):
+    """Top-k anchors per target: count-desc rank with anchor-asc
+    tie-break, totals over ALL anchors (not just the kept top-k), a
+    >k target whose tail anchor is cut, and a single-link target."""
+    from news_crawler_spark.operators import graph
+
+    links = (
+        [(1, "home")] * 5
+        + [(1, "news")] * 3
+        + [(1, "blog")] * 3  # ties with news → blog ranks first
+        + [(1, "misc")]  # rank 4 → cut at k=3, but counted in totals
+        + [(2, "solo")]
+    )
+    df = spark.createDataFrame(links, "dst long, anchor string")
+    rows = graph.anchor_summary(df, k=3).collect()
+    got = {(r.dst, r.anchor): (r.cnt, r["rank"], r.n_inlinks, r.n_anchors) for r in rows}
+    assert got == py_anchor_summary(links, k=3)
+    assert got[(1, "blog")] == (3, 2, 12, 4)
+    assert got[(1, "news")] == (3, 3, 12, 4)
+    assert (1, "misc") not in got
+    assert got[(2, "solo")] == (1, 1, 1, 1)
+
+
 def py_mirror_hosts(rows, min_shared=2, num=8, den=10, df_cap=1000):
     """Straight-line python twin of dedup.mirror_hosts (exact ints)."""
     p = set(rows)
