@@ -118,6 +118,8 @@ HEADLINE = [
     "c2_rendezvous_shards",
     "t9_change_rate_recrawl",
     "v13_sq8_topk",
+    "g4_anchor_summary",
+    "p13_trap_templates",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by

@@ -1581,6 +1581,117 @@ GROUP BY 1, 2
 """
 
 
+def p13_trap_templates(spark, sf):
+    """P13: BEHAVIORAL crawler-trap detection under the hard gate
+    (frontier.trap_templates) — p11 rejects URLs whose SHAPE is
+    suspicious pre-fetch; this catches the traps whose shape looks
+    legitimate by comparing, per (host, URL template), how many
+    DISTINCT URLs were fetched vs how many DISTINCT contents came back
+    (calendar grids and faceted search mint unbounded URL spaces over
+    near-constant content). Input BY CONSTRUCTION sweeps the whole
+    decision surface: two pure-trap hosts (one boilerplate content
+    under /cal/{d}/page-{d}), exact-hex-template hosts with all-unique
+    content, and a /tag/{d} family whose content granularity steps
+    n/2 → n/4 → n/8 → n/16 across hosts so the 1/4 threshold is
+    crossed in both directions INCLUDING the exact boundary
+    (cross-multiplied integers, no float ratio) — plus a single-URL
+    path per host that the min_urls=20 guard must exempt no matter how
+    diverse its content. The twin replays template canonicalization
+    with regexp_replace(...,'g') (Spark replaces all matches by
+    default) and the same distinct-aggregation, so the value hash pins
+    the hex-before-digit template rule, both distinct counts, the
+    integer threshold, and the min_urls guard."""
+    from .operators import frontier as frontier_ops
+
+    e = load(spark, sf, "events")
+    eid = F.col("event_id")
+    hid = eid % 8
+    host = F.concat(F.lit("h"), hid.cast("string"))
+    sid = lambda n: F.expr(f"event_id div {n}").cast("string")
+    path = (
+        F.when(
+            hid.isin(0, 1),
+            F.concat(F.lit("/cal/"), sid(100), F.lit("/page-"), eid.cast("string")),
+        )
+        .when(
+            hid == 2,
+            F.concat(
+                F.lit("/article/"),
+                F.substring(F.md5(F.concat(F.lit("tp"), eid.cast("string"))), 1, 16),
+                F.lit("-"),
+                eid.cast("string"),
+            ),
+        )
+        .when(hid == 3, F.concat(F.lit("/article/"), eid.cast("string")))
+        .otherwise(F.concat(F.lit("/tag/"), eid.cast("string")))
+    )
+    content = (
+        F.when(hid.isin(0, 1), F.concat(F.lit("boiler-h"), hid.cast("string")))
+        .when(hid.isin(2, 3), F.concat(F.lit("c"), eid.cast("string")))
+        .when(hid == 4, F.concat(F.lit("c"), sid(16)))
+        .when(hid == 5, F.concat(F.lit("c"), sid(32)))
+        .when(hid == 6, F.concat(F.lit("c"), sid(64)))
+        .otherwise(F.concat(F.lit("c"), sid(128)))
+    )
+    pages = e.select(
+        host.alias("host"), path.alias("path"), content.alias("content_key")
+    ).unionAll(
+        e.select(
+            host.alias("host"),
+            F.lit("/static/about").alias("path"),
+            F.concat(F.lit("k"), eid.cast("string")).alias("content_key"),
+        )
+    )
+    return frontier_ops.trap_templates(pages, min_urls=20, num=1, den=4).orderBy(
+        "host", "template"
+    )
+
+
+P13_SQL = """
+WITH pages AS (
+  SELECT
+    'h' || (event_id % 8)::VARCHAR AS host,
+    CASE
+      WHEN event_id % 8 IN (0, 1)
+        THEN '/cal/' || (event_id // 100)::VARCHAR || '/page-' || event_id::VARCHAR
+      WHEN event_id % 8 = 2
+        THEN '/article/' || substring(md5('tp' || event_id::VARCHAR), 1, 16)
+             || '-' || event_id::VARCHAR
+      WHEN event_id % 8 = 3 THEN '/article/' || event_id::VARCHAR
+      ELSE '/tag/' || event_id::VARCHAR
+    END AS path,
+    CASE
+      WHEN event_id % 8 IN (0, 1) THEN 'boiler-h' || (event_id % 8)::VARCHAR
+      WHEN event_id % 8 IN (2, 3) THEN 'c' || event_id::VARCHAR
+      WHEN event_id % 8 = 4 THEN 'c' || (event_id // 16)::VARCHAR
+      WHEN event_id % 8 = 5 THEN 'c' || (event_id // 32)::VARCHAR
+      WHEN event_id % 8 = 6 THEN 'c' || (event_id // 64)::VARCHAR
+      ELSE 'c' || (event_id // 128)::VARCHAR
+    END AS content_key
+  FROM events
+  UNION ALL
+  SELECT 'h' || (event_id % 8)::VARCHAR, '/static/about', 'k' || event_id::VARCHAR
+  FROM events
+),
+t AS (
+  SELECT host,
+         regexp_replace(regexp_replace(path, '[0-9a-f]{16,}', '{h}', 'g'),
+                        '[0-9]+', '{d}', 'g') AS template,
+         path, content_key
+  FROM pages
+),
+agg AS (
+  SELECT host, template,
+         count(DISTINCT path)::BIGINT AS n_urls,
+         count(DISTINCT content_key)::BIGINT AS n_content
+  FROM t GROUP BY host, template
+)
+SELECT host, template, n_urls, n_content,
+       (n_urls >= 20 AND n_content * 4 <= n_urls * 1) AS is_trap
+FROM agg ORDER BY host, template
+"""
+
+
 # ===========================================================================
 # T — frontier ordering / top-k / cursors
 
@@ -6377,6 +6488,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x34_bpe_encode": x34_bpe_encode,
     "g3_redirect_resolve": g3_redirect_resolve,
     "g4_anchor_summary": g4_anchor_summary,
+    "p13_trap_templates": p13_trap_templates,
     "d7_mirror_hosts": d7_mirror_hosts,
     "c1_crawl_delay": c1_crawl_delay,
     "c2_rendezvous_shards": c2_rendezvous_shards,
@@ -6486,6 +6598,7 @@ ORACLES: dict[str, str] = {
     "x34_bpe_encode": X34_SQL,
     "g3_redirect_resolve": G3_SQL,
     "g4_anchor_summary": G4_SQL,
+    "p13_trap_templates": P13_SQL,
     "d7_mirror_hosts": D7_SQL,
     "c1_crawl_delay": C1_SQL,
     "c2_rendezvous_shards": C2_SQL,

@@ -118,3 +118,18 @@ def with_url_columns(df: DataFrame, url_col: str = "url") -> DataFrame:
     return out.withColumn("host", host_col("canonical_url")).withColumn(
         "url_hash", url_hash_col("canonical_url")
     )
+
+
+def url_template_col(path: Column | str) -> Column:
+    """URL-template canonicalization for crawler-trap detection: long
+    hex runs (session ids, content hashes; >=16 chars) -> ``{h}``, then
+    digit runs (dates, page numbers, item ids) -> ``{d}`` — so
+    ``/cal/2026/08/page-3`` and ``/cal/1999/01/page-7`` collapse to the
+    same template. Two JVM-side regexp_replace calls (codegen'd, replace
+    ALL matches — same semantics as DuckDB's 'g' flag, which the oracle
+    twin must pass explicitly). The hex rule runs FIRST so a 16+-char
+    hex token becomes one ``{h}``, not a mix of ``{d}`` and letters."""
+    p = F.col(path) if isinstance(path, str) else path
+    return F.regexp_replace(
+        F.regexp_replace(p, "[0-9a-f]{16,}", "{h}"), "[0-9]+", "{d}"
+    )

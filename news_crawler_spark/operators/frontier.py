@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .. import schemas
+from ..functions import urls as url_fns
 
 # Columns that define the deterministic pop order within a host.
 POP_ORDER = ("priority", "published_ts", "url_hash")
@@ -437,3 +438,54 @@ def rendezvous_assign(
         ),
     )
     return df.withColumn("shard", F.array_max(weights)["shard"])
+
+
+def trap_templates(
+    pages: DataFrame,
+    min_urls: int = 20,
+    num: int = 1,
+    den: int = 4,
+) -> DataFrame:
+    """Crawler-trap detection: per (host, URL template) compare how many
+    DISTINCT URLs the template spawned against how many DISTINCT
+    contents they returned. Calendar pages, faceted search, and session
+    ids mint unbounded URL spaces over near-constant content — the
+    classic trap an open-web frontier must stop feeding (the reference's
+    fixed five-source list never meets one; a 10^10-URL frontier meets
+    them constantly). Complementary to ``url_trap_flags`` (p11): that
+    one rejects URLs whose SHAPE is suspicious before any fetch; this
+    one catches traps whose shape looks legitimate by measuring what
+    fetches actually returned. A (host, template) is a trap when it has
+    at least
+    ``min_urls`` distinct URLs and content diversity at or below
+    ``num/den`` of the URL count — exact integer cross-multiplication,
+    no float ratio.
+
+    Input ``(host, path, content_key)`` — one row per fetched page,
+    content_key = any exact content fingerprint (md5, xxh64). Output one
+    row per (host, template) with ``n_urls``, ``n_content``,
+    ``is_trap``.
+
+    Scale shape: ONE grouped distinct-aggregation on (host, template) —
+    partial aggregation collapses the per-template URL explosion
+    map-side (the trap host's millions of calendar URLs reduce before
+    the shuffle), and the template string itself is bounded (paths are
+    short), so the shuffle carries (host, template, path-dedup) keys,
+    never raw page bodies. Downstream the trap rows broadcast back
+    against the frontier as a discard filter (the robots/budget
+    broadcast pattern)."""
+    t = pages.select(
+        "host",
+        url_fns.url_template_col(F.col("path")).alias("template"),
+        "path",
+        "content_key",
+    )
+    agg = t.groupBy("host", "template").agg(
+        F.countDistinct("path").cast("long").alias("n_urls"),
+        F.countDistinct("content_key").cast("long").alias("n_content"),
+    )
+    return agg.withColumn(
+        "is_trap",
+        (F.col("n_urls") >= min_urls)
+        & (F.col("n_content") * den <= F.col("n_urls") * num),
+    )

@@ -127,3 +127,68 @@ def test_url_trap_flags_plan_is_map_side(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+# P13 behavioral trap templates (frontier.trap_templates)
+
+TEMPLATE_CASES = [
+    ("/cal/2026/08/page-3", "/cal/{d}/{d}/page-{d}"),
+    ("/article/0123456789abcdef-42", "/article/{h}-{d}"),      # hex run first
+    ("/article/0123456789abcde-42", "/article/{d}abcde-{d}"),  # 15 hex chars: too short
+    ("/static/about", "/static/about"),                          # no runs → identity
+    ("/a1b2/x", "/a{d}b{d}/x"),                                  # short hex stays digits
+]
+
+
+def test_url_template_col_golden(spark):
+    from news_crawler_spark.functions.urls import url_template_col
+
+    df = spark.createDataFrame([(p,) for p, _ in TEMPLATE_CASES], "path string")
+    got = {r.path: r.t for r in df.select("path", url_template_col("path").alias("t")).collect()}
+    assert got == {p: want for p, want in TEMPLATE_CASES}
+
+
+def py_trap_templates(rows, min_urls=3, num=1, den=4):
+    """Straight-line python twin of frontier.trap_templates (on
+    pre-templated paths: the template rule is pinned separately above)."""
+    import re
+
+    tpl = lambda p: re.sub(r"[0-9]+", "{d}", re.sub(r"[0-9a-f]{16,}", "{h}", p))
+    urls, content = {}, {}
+    for h, p, c in rows:
+        k = (h, tpl(p))
+        urls.setdefault(k, set()).add(p)
+        content.setdefault(k, set()).add(c)
+    return {
+        k: (
+            len(urls[k]),
+            len(content[k]),
+            len(urls[k]) >= min_urls and len(content[k]) * den <= len(urls[k]) * num,
+        )
+        for k in urls
+    }
+
+
+def test_trap_templates_thresholds(spark):
+    """Trap / boundary / legit / min-urls-guard in one frame: a 4-URL
+    1-content calendar (trap), a 4-URL 1-content pair below min_urls=3
+    ... exactly-at-boundary content (4 urls, 1 content, num/den=1/4 →
+    4*1 <= 4*1 trap), and an all-unique-content template (legit)."""
+    from news_crawler_spark.operators.frontier import trap_templates
+
+    rows = (
+        [("t", f"/cal/{i}/p", "same") for i in range(4)]          # 4 urls, 1 content → trap
+        + [("t", f"/art/{i}", f"c{i}") for i in range(4)]         # unique content → legit
+        + [("b", f"/tag/{i}", f"c{i % 1}") for i in range(2)]     # 2 urls < min_urls → exempt
+        + [("e", f"/x/{i}", f"c{i % 2}") for i in range(8)]       # 8 urls, 2 content = exactly 1/4 → trap
+        + [("e2", f"/x/{i}", f"c{i % 3}") for i in range(8)]      # 3/8 > 1/4 → legit
+    )
+    df = spark.createDataFrame(rows, "host string, path string, content_key string")
+    out = trap_templates(df, min_urls=3, num=1, den=4).collect()
+    got = {(r.host, r.template): (r.n_urls, r.n_content, r.is_trap) for r in out}
+    assert got == py_trap_templates(rows, min_urls=3)
+    assert got[("t", "/cal/{d}/p")] == (4, 1, True)
+    assert got[("t", "/art/{d}")] == (4, 4, False)
+    assert got[("b", "/tag/{d}")] == (2, 1, False)
+    assert got[("e", "/x/{d}")] == (8, 2, True)
+    assert got[("e2", "/x/{d}")] == (8, 3, False)
