@@ -120,6 +120,7 @@ HEADLINE = [
     "v13_sq8_topk",
     "g4_anchor_summary",
     "p13_trap_templates",
+    "m5_image_neardup",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by

@@ -5892,6 +5892,104 @@ ORDER BY media_ref
 # ===========================================================================
 # S — Structured Streaming under the hard gate
 #
+def m5_image_neardup(spark, sf):
+    """Perceptual IMAGE near-dup under the hard gate
+    (multimodal.image_ahash64 + image_neardup_pairs): re-encodes /
+    recompressions / watermark stamps of the same picture land within a
+    few bits of each other's 64-bit average-hash, and the training
+    pipeline dedups them through the SAME banded-pigeonhole machinery
+    as near-dup text (dedup._banded64, verify-before-distinct). Input
+    BY CONSTRUCTION: one 64-cell bi-level thumbnail per document —
+    groups of 5 doc_ids share an md5-derived base image, variant v
+    flips v%5 md5-chosen cells (flip PARITY, so colliding flip
+    positions cancel exactly as a real double-edit would) — and
+    because cells are bi-level around the mean, hash hamming ==
+    exact cell symmetric-difference: pairwise distances sweep 0..8
+    across the radius-3 cut, so the gate pins complete recall at the
+    radius, the exact hamming arithmetic, the bit-63 two's-complement
+    packing, AND rejection above the radius. The DuckDB twin rebuilds
+    cells → mean bits → packed hash (sign bit via -2^63 summand) →
+    4×16-bit bands → band join → bit_count(xor) verify, all relational."""
+    from .operators import multimodal
+
+    d = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    g = F.expr("doc_id div 5")
+    nflips = (did % 5).cast("int")
+    h4 = lambda s: F.conv(F.substring(F.md5(s), 1, 4), 16, 10).cast("long")
+    fpos = F.when(nflips == 0, F.array().cast("array<long>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), nflips),
+            lambda j: h4(
+                F.concat(F.lit("fp"), did.cast("string"), F.lit("-"), j.cast("string"))
+            )
+            % 64,
+        )
+    )
+    base = lambda i: (
+        h4(F.concat(F.lit("im"), g.cast("string"), F.lit("-"), i.cast("string"))) % 2
+    ) * 255
+    thumbs = d.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: F.when(
+                F.size(F.filter(fpos, lambda p: p == i.cast("long"))) % 2 == 1,
+                F.lit(255) - base(i),
+            ).otherwise(base(i)),
+        ).alias("cells"),
+    )
+    return multimodal.image_neardup_pairs(
+        thumbs, cells_col="cells", id_col="doc_id", max_hamming=3
+    ).orderBy("id_a", "id_b")
+
+
+M5_SQL = """
+WITH docs AS (
+  SELECT doc_id, doc_id // 5 AS g, (doc_id % 5)::INT AS f FROM documents
+),
+fpos AS (
+  SELECT doc_id,
+         ('0x' || substring(md5('fp' || doc_id::VARCHAR || '-' || j::VARCHAR), 1, 4))::BIGINT % 64 AS p
+  FROM docs, unnest(generate_series(1, f)) AS t(j)
+),
+flips AS (SELECT doc_id, p, count(*)::BIGINT AS cnt FROM fpos GROUP BY 1, 2),
+cells AS (
+  SELECT d.doc_id, s.i,
+         CASE WHEN COALESCE(fl.cnt, 0) % 2 = 1 THEN 255 - b.v ELSE b.v END AS cell
+  FROM docs d
+  CROSS JOIN unnest(generate_series(0, 63)) AS s(i)
+  LEFT JOIN flips fl ON fl.doc_id = d.doc_id AND fl.p = s.i
+  JOIN LATERAL (
+    SELECT (('0x' || substring(md5('im' || d.g::VARCHAR || '-' || s.i::VARCHAR), 1, 4))::BIGINT % 2) * 255 AS v
+  ) b ON TRUE
+),
+bits AS (
+  SELECT doc_id, i,
+         CASE WHEN cell * 64 > sum(cell) OVER (PARTITION BY doc_id) THEN 1 ELSE 0 END AS bit
+  FROM cells
+),
+hashes AS (
+  SELECT doc_id,
+         sum(CASE WHEN bit = 0 THEN 0
+                  WHEN i = 63 THEN -9223372036854775808
+                  ELSE 1::BIGINT << i::INT END)::BIGINT AS h
+  FROM bits GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, h, b.band, (h >> (b.band * 16)) & 65535 AS chunk
+  FROM hashes, unnest(generate_series(0, 3)) AS b(band)
+),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+         bit_count(xor(x.h, y.h))::BIGINT AS hamming
+  FROM banded x JOIN banded y ON x.band = y.band AND x.chunk = y.chunk
+  WHERE x.doc_id < y.doc_id AND bit_count(xor(x.h, y.h)) <= 3
+)
+SELECT id_a, id_b, hamming FROM pairs ORDER BY id_a, id_b
+"""
+
+
 # The stateful streaming cursor (ST3, streaming.cursor_cut_stream —
 # applyInPandasWithState, the reference's last-link JSON cache as true
 # streaming state) normally gets only fixture checks; here it runs as a
@@ -6501,6 +6599,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s7_stream_stream_join": s7_stream_stream_join,
     "m3_interleaved_pack": m3_interleaved_pack,
     "m4_media_integrity": m4_media_integrity,
+    "m5_image_neardup": m5_image_neardup,
     "x29_cluster_reps": x29_cluster_reps,
     "x30_shard_manifest": x30_shard_manifest,
 }
@@ -6611,6 +6710,7 @@ ORACLES: dict[str, str] = {
     "s7_stream_stream_join": S7_SQL,
     "m3_interleaved_pack": M3_SQL,
     "m4_media_integrity": M4_SQL,
+    "m5_image_neardup": M5_SQL,
     "x29_cluster_reps": X29_SQL,
     "x30_shard_manifest": X30_SQL,
 }

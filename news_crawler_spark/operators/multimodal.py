@@ -335,3 +335,88 @@ def media_integrity(spans_docs: DataFrame, media: DataFrame) -> DataFrame:
         .otherwise(F.lit("orphan"))
         .alias("status"),
     )
+
+
+def image_ahash64(
+    thumbs: DataFrame,
+    cells_col: str = "cells",
+    id_col: str = "media_ref",
+    n_cells: int = 64,
+) -> DataFrame:
+    """64-bit average-hash (aHash) over a decoded thumbnail's cell
+    intensities — the classic perceptual image fingerprint: bit i is set
+    when cell i is brighter than the image mean. The mean test is EXACT
+    integer cross-multiplication (cell·n > Σcells, no float division),
+    and the packed hash is a sum of disjoint per-bit constants (bit 63's
+    constant is -2^63, the two's-complement sign bit — the only packing
+    DuckDB's overflow-checked ``<<`` can replay), so any engine
+    recomputes it bit-identically.
+
+    Input: one row per image with ``cells_col`` = array of ``n_cells``
+    integer intensities (the output shape of ``resize_image``'s decoded
+    thumbnail; in this sandbox the decode is the documented fake, but
+    the hash contract only needs integers). Output ``(doc_id, simhash)``
+    — named to feed straight into dedup's banded-pigeonhole machinery.
+
+    Scale shape: a pure projection (whole-stage codegen, no UDF, no
+    shuffle) — 10^9 images cost one map pass."""
+    if n_cells != 64:
+        raise ValueError("image_ahash64 packs exactly 64 bits")
+    c = F.col(cells_col)
+    total = F.aggregate(
+        c, F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+    )
+    packed = None
+    for i in range(64):
+        const = (1 << i) if i < 63 else -(1 << 63)
+        bit = F.when(
+            F.element_at(c, i + 1).cast("long") * 64 > total,
+            F.lit(const).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        packed = bit if packed is None else packed + bit
+    return thumbs.select(F.col(id_col).alias("doc_id"), packed.alias("simhash"))
+
+
+def image_neardup_pairs(
+    thumbs: DataFrame,
+    cells_col: str = "cells",
+    id_col: str = "media_ref",
+    max_hamming: int = 3,
+    n_bands: int | None = None,
+) -> DataFrame:
+    """Near-duplicate IMAGES across the corpus: all pairs whose 64-bit
+    perceptual hashes differ in at most ``max_hamming`` bits — resized
+    re-encodes, recompressions, and watermark stamps of the same picture
+    hash within a few bits of each other, and a training pipeline dedups
+    them exactly like near-dup text. Reuses the text-side SimHash
+    banding (dedup._banded64: n_bands = max_hamming+1 pigeonhole →
+    complete recall at the radius) and its verify-BEFORE-distinct order:
+    the exact bit_count(xor) filter is a per-row expression on the raw
+    banded join output, so the dedup shuffle only ever sees true pairs,
+    never the n²/2^chunk candidate stream (the measured 10× trap
+    documented at dedup.simhash_pairs). Output (id_a, id_b, hamming),
+    hamming exact."""
+    from . import dedup
+
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    sh = image_ahash64(thumbs, cells_col=cells_col, id_col=id_col)
+    banded = dedup._banded64(sh, n_bands)
+    return (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "chunk"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+            ).cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("x.doc_id").alias("id_a"),
+            F.col("y.doc_id").alias("id_b"),
+            "hamming",
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -349,6 +349,69 @@ def test_m1_span_equality_all_dialects(spark, tmp_path):
         assert r.thumb_bytes == 256
 
 
+def py_ahash64(cells):
+    """Straight-line python twin of multimodal.image_ahash64 (two's
+    complement 64-bit int, bit i set when cell_i*64 > sum)."""
+    total = sum(cells)
+    h = 0
+    for i, c in enumerate(cells):
+        if c * 64 > total:
+            h += (1 << i) if i < 63 else -(1 << 63)
+    return h
+
+
+def test_image_ahash64_packing_and_mean(spark):
+    """Bit placement (incl. bit 63 = the two's-complement sign bit),
+    the exact integer mean test (a cell EQUAL to the mean is NOT set),
+    and the all-equal image (no bit set, hash 0)."""
+    a = [255] + [0] * 63                       # only bit 0
+    b = [0] * 63 + [255]                       # only bit 63 → negative hash
+    c = [7] * 64                               # all == mean → 0
+    d = [4, 8] * 32                            # alternating above/below mean
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (4, d)], "media_ref long, cells array<int>"
+    )
+    got = {
+        r.doc_id: r.simhash
+        for r in multimodal.image_ahash64(df, id_col="media_ref").collect()
+    }
+    assert got == {k: py_ahash64(v) for k, v in [(1, a), (2, b), (3, c), (4, d)]}
+    assert got[1] == 1
+    assert got[2] == -(1 << 63)
+    assert got[3] == 0
+
+
+def test_image_neardup_pairs_radius(spark):
+    """Complete recall at the radius and rejection above it: bi-level
+    images where hash hamming == cell symmetric-difference. Base vs
+    1/3/4-flip variants → pairs at hamming 1, 3, 4 (4 rejected at
+    max_hamming=3); the 1-flip vs 3-flip pair differs in 4 cells
+    (disjoint flips) and must be rejected too."""
+    base = [255 if i % 2 == 0 else 0 for i in range(64)]
+
+    def flip(cells, positions):
+        out = list(cells)
+        for p in positions:
+            out[p] = 255 - out[p]
+        return out
+
+    imgs = [
+        (0, base),
+        (1, flip(base, [5])),            # hamming(0,1) = 1
+        (2, flip(base, [10, 20, 30])),   # hamming(0,2) = 3
+        (3, flip(base, [1, 2, 3, 4])),   # hamming(0,3) = 4 → rejected
+    ]
+    df = spark.createDataFrame(imgs, "media_ref long, cells array<int>")
+    rows = multimodal.image_neardup_pairs(df, id_col="media_ref", max_hamming=3).collect()
+    got = {(r.id_a, r.id_b): r.hamming for r in rows}
+    assert got[(0, 1)] == 1
+    assert got[(0, 2)] == 3
+    assert (0, 3) not in got
+    assert (1, 2) not in got  # disjoint flips: 1+3 = 4 > radius
+    assert (1, 3) not in got  # 5 cells apart
+    assert set(got) == {(0, 1), (0, 2)}
+
+
 # -- fetch/extract path parity -----------------------------------------------
 
 def test_fused_fetch_extract_matches_two_stage(spark):
