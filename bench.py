@@ -121,6 +121,7 @@ HEADLINE = [
     "g4_anchor_summary",
     "p13_trap_templates",
     "m5_image_neardup",
+    "p14_robots_wildcards",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by

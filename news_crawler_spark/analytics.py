@@ -1692,6 +1692,123 @@ FROM agg ORDER BY host, template
 """
 
 
+# Shared by p14's Spark query and its DuckDB twin: the full RFC 9309
+# grammar in one rule set — prefix wildcard, longer-allow override,
+# wildcard+anchor, plain prefix, an exact-length allow/deny tie, a
+# two-wildcard pattern, and an anchored exact match.
+P14_RULES = [
+    ("/private*", "deny"),
+    ("/private/public*", "allow"),
+    ("/*.pdf$", "deny"),
+    ("/search", "deny"),
+    ("/a*c", "deny"),
+    ("/ab*", "allow"),
+    ("/cal/*/page-*", "deny"),
+    ("/doc/$", "deny"),
+]
+
+
+def p14_robots_wildcards(spark, sf):
+    """P14: RFC 9309 wildcard robots under the hard gate
+    (frontier.allowed_by_robots_wildcards) — the full grammar big sites
+    ship ('*' any-run incl. empty, trailing '$' end-anchor), evaluated
+    as a greedy segment fold in pure codegen string ops (locate/
+    startswith/endswith — no regex compilation, no UDF) against a
+    broadcast per-host rule set: zero shuffle on the frontier side.
+    Twelve URL shapes sweep every decision: unmatched default-allow,
+    deny-prefix, LONGER allow overriding a deny, '$' rejecting a
+    longer suffix ('.pdfx' survives '/*.pdf$'), an equal-length
+    allow/deny tie (allow wins), a two-wildcard in-order match and its
+    out-of-order non-match, and an anchored exact '/doc/$' that denies
+    '/doc/' but nothing under it. The DuckDB twin evaluates the SAME
+    rules through an independent formulation — pattern→regex
+    conversion (dot-escaped, '*'→'.*', '^'/'$' anchors) + longest-
+    match-wins window — so the value hash pins the two implementations
+    of the grammar against each other on every row."""
+    from .operators import frontier as frontier_ops
+
+    e = load(spark, sf, "events")
+    eid = F.col("event_id")
+    ids = eid.cast("string")
+    k = eid % 12
+    host = F.concat(F.lit("h"), (eid % 5).cast("string"), F.lit(".example"))
+    path = (
+        F.when(k == 0, F.concat(F.lit("/news/"), ids))
+        .when(k == 1, F.concat(F.lit("/private/p"), ids))
+        .when(k == 2, F.concat(F.lit("/private/public/"), ids))
+        .when(k == 3, F.concat(F.lit("/doc/"), ids, F.lit(".pdf")))
+        .when(k == 4, F.concat(F.lit("/doc/"), ids, F.lit(".pdfx")))
+        .when(k == 5, F.concat(F.lit("/search/q"), ids))
+        .when(k == 6, F.concat(F.lit("/abc"), ids))
+        .when(k == 7, F.concat(F.lit("/ax"), ids, F.lit("c")))
+        .when(k == 8, F.concat(F.lit("/cal/"), ids, F.lit("/page-"), ids))
+        .when(k == 9, F.concat(F.lit("/cal/"), ids, F.lit("/index")))
+        .when(k == 10, F.lit("/doc/"))
+        .otherwise(F.lit("/private/public"))
+    )
+    fr = e.select(
+        host.alias("host"),
+        F.concat(F.lit("https://"), host, path).alias("canonical_url"),
+    )
+    rules = spark.createDataFrame(
+        [(f"h{i}.example", pat, kind) for i in range(5) for pat, kind in P14_RULES],
+        "host string, pattern string, rule_kind string",
+    )
+    return (
+        frontier_ops.allowed_by_robots_wildcards(fr, rules)
+        .select("host", "canonical_url")
+        .orderBy("canonical_url")
+    )
+
+
+P14_SQL = """
+WITH urls AS (
+  SELECT event_id,
+         'h' || (event_id % 5)::VARCHAR || '.example' AS host,
+         CASE event_id % 12
+           WHEN 0 THEN '/news/' || event_id::VARCHAR
+           WHEN 1 THEN '/private/p' || event_id::VARCHAR
+           WHEN 2 THEN '/private/public/' || event_id::VARCHAR
+           WHEN 3 THEN '/doc/' || event_id::VARCHAR || '.pdf'
+           WHEN 4 THEN '/doc/' || event_id::VARCHAR || '.pdfx'
+           WHEN 5 THEN '/search/q' || event_id::VARCHAR
+           WHEN 6 THEN '/abc' || event_id::VARCHAR
+           WHEN 7 THEN '/ax' || event_id::VARCHAR || 'c'
+           WHEN 8 THEN '/cal/' || event_id::VARCHAR || '/page-' || event_id::VARCHAR
+           WHEN 9 THEN '/cal/' || event_id::VARCHAR || '/index'
+           WHEN 10 THEN '/doc/'
+           ELSE '/private/public'
+         END AS path
+  FROM events
+),
+rules(pattern, rule_kind) AS (VALUES
+  ('/private*', 'deny'), ('/private/public*', 'allow'), ('/*.pdf$', 'deny'),
+  ('/search', 'deny'), ('/a*c', 'deny'), ('/ab*', 'allow'),
+  ('/cal/*/page-*', 'deny'), ('/doc/$', 'deny')
+),
+m AS (
+  SELECT u.event_id, r.rule_kind,
+         row_number() OVER (
+           PARTITION BY u.event_id
+           ORDER BY length(r.pattern) DESC, (r.rule_kind = 'allow') DESC
+         ) AS rn
+  FROM urls u JOIN rules r ON regexp_matches(
+    u.path,
+    '^' || replace(replace(
+             CASE WHEN r.pattern LIKE '%$'
+                  THEN left(r.pattern, length(r.pattern) - 1)
+                  ELSE r.pattern END,
+             '.', '[.]'), '*', '.*')
+        || CASE WHEN r.pattern LIKE '%$' THEN '$' ELSE '' END)
+),
+best AS (SELECT event_id, rule_kind FROM m WHERE rn = 1)
+SELECT u.host, 'https://' || u.host || u.path AS canonical_url
+FROM urls u LEFT JOIN best b USING (event_id)
+WHERE b.rule_kind IS NULL OR b.rule_kind = 'allow'
+ORDER BY canonical_url
+"""
+
+
 # ===========================================================================
 # T — frontier ordering / top-k / cursors
 
@@ -6587,6 +6704,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g3_redirect_resolve": g3_redirect_resolve,
     "g4_anchor_summary": g4_anchor_summary,
     "p13_trap_templates": p13_trap_templates,
+    "p14_robots_wildcards": p14_robots_wildcards,
     "d7_mirror_hosts": d7_mirror_hosts,
     "c1_crawl_delay": c1_crawl_delay,
     "c2_rendezvous_shards": c2_rendezvous_shards,
@@ -6698,6 +6816,7 @@ ORACLES: dict[str, str] = {
     "g3_redirect_resolve": G3_SQL,
     "g4_anchor_summary": G4_SQL,
     "p13_trap_templates": P13_SQL,
+    "p14_robots_wildcards": P14_SQL,
     "d7_mirror_hosts": D7_SQL,
     "c1_crawl_delay": C1_SQL,
     "c2_rendezvous_shards": C2_SQL,

@@ -489,3 +489,96 @@ def trap_templates(
         (F.col("n_urls") >= min_urls)
         & (F.col("n_content") * den <= F.col("n_urls") * num),
     )
+
+
+def _robots_pattern_match(p, pat):
+    """One RFC 9309 path-pattern test, pure codegen string ops (no regex,
+    no UDF): '*' matches any run (greedy in-order segment search — the
+    classic correctness result for prefix*seg*...*seg patterns), a
+    trailing '$' anchors the end. Literal otherwise (a '.' in a pattern
+    is a dot, unlike regex twins, which must escape it)."""
+    anchored = pat.endswith("$")
+    core = F.when(anchored, F.substr(pat, F.lit(1), F.length(pat) - 1)).otherwise(pat)
+    segs = F.split(core, "[*]", -1)
+    n = F.size(segs)
+    first = F.element_at(segs, 1)
+    last = F.element_at(segs, n)
+    mids = F.slice(
+        segs,
+        2,
+        F.greatest(F.when(anchored, n - 2).otherwise(n - 1), F.lit(0)),
+    )
+    acc0 = F.struct(
+        (F.length(first) + 1).cast("long").alias("pos"),
+        p.startswith(first).alias("ok"),
+    )
+
+    def step(acc, seg):
+        # empty segment ('**', trailing '*'): '*' already matches any
+        # run, so consume nothing — also guards Spark's locate('',s,pos)
+        # returning 1 regardless of pos, which would rewind the cursor
+        idx = F.call_function("locate", seg, p, acc["pos"]).cast("long")
+        return F.when(seg == "", acc).otherwise(
+            F.struct(
+                (idx + F.length(seg)).alias("pos"),
+                (acc["ok"] & (idx > 0)).alias("ok"),
+            )
+        )
+
+    folded = F.aggregate(mids, acc0, step)
+    return F.when(
+        anchored,
+        F.when(n == 1, p == core).otherwise(
+            folded["ok"]
+            & p.endswith(last)
+            & (folded["pos"] <= F.length(p) - F.length(last) + 1)
+        ),
+    ).otherwise(folded["ok"])
+
+
+def allowed_by_robots_wildcards(frontier: DataFrame, robots: DataFrame) -> DataFrame:
+    """RFC 9309 robots evaluation — ``allowed_by_robots`` upgraded from
+    plain prefixes to the full wildcard grammar big sites actually ship
+    ('*' any-run, trailing '$' end-anchor: 'Disallow: /*.pdf$',
+    'Allow: /private/public*'). Most-specific rule wins, specificity =
+    raw pattern length (the Google-parser convention, '$'/'*' octets
+    included); equal-length tie → allow. No matching rule ⇒ allow.
+
+    Same scale shape as the prefix version: rules grouped per host
+    (tiny), broadcast, and evaluated as pure higher-order expressions
+    inside whole-stage codegen — ZERO shuffle on the 10^10-row frontier
+    side, no per-row regex compilation (the greedy segment fold is
+    locate/startswith/endswith only). The URL path is let_bound so the
+    regexp extraction runs once per row, not once per rule."""
+    from ..functions.urls import path_col
+    from .text import let_bound
+
+    rules_by_host = robots.groupBy("host").agg(
+        F.collect_list(F.struct("pattern", "rule_kind")).alias("__rules")
+    )
+    joined = frontier.join(F.broadcast(rules_by_host), "host", "left")
+
+    def best_rule(p):
+        matching = F.filter(
+            F.coalesce(
+                F.col("__rules"),
+                F.array().cast("array<struct<pattern:string,rule_kind:string>>"),
+            ),
+            lambda r: _robots_pattern_match(p, r["pattern"]),
+        )
+        return F.array_max(
+            F.transform(
+                matching,
+                lambda r: F.struct(
+                    F.length(r["pattern"]).alias("len"),
+                    F.when(r["rule_kind"] == "allow", 1).otherwise(0).alias("is_allow"),
+                ),
+            )
+        )
+
+    best = let_bound(path_col("canonical_url"), best_rule)
+    return (
+        joined.withColumn("__best", best)
+        .filter(F.col("__best").isNull() | (F.col("__best.is_allow") == 1))
+        .drop("__rules", "__best")
+    )

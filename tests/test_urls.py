@@ -192,3 +192,75 @@ def test_trap_templates_thresholds(spark):
     assert got[("b", "/tag/{d}")] == (2, 1, False)
     assert got[("e", "/x/{d}")] == (8, 2, True)
     assert got[("e2", "/x/{d}")] == (8, 3, False)
+
+
+# P14 RFC 9309 wildcard robots (frontier.allowed_by_robots_wildcards)
+
+WILDCARD_CASES = [
+    # (path, pattern, matches)
+    ("/cal/9/page-3", "/cal/*/page-*", True),
+    ("/cal/9/index", "/cal/*/page-*", False),   # segments out of order → no
+    ("/doc/7.pdf", "/*.pdf$", True),
+    ("/doc/7.pdfx", "/*.pdf$", False),          # '$' rejects a longer suffix
+    ("/doc/.pdf", "/doc/*.pdf$", True),         # '*' matches the empty run
+    ("/a/b12/c", "/a/*b*c", True),
+    ("/a/c/b", "/a/*b*c", False),
+    ("/ab", "/a**b", True),                     # '**' ≡ '*'
+    ("/axb", "/a*$", True),
+    ("/doc/", "/doc/$", True),                  # anchored exact
+    ("/doc/x", "/doc/$", False),
+    ("/abc12", "/a*c", True),
+    ("/private/public", "/private/public*", True),  # trailing '*' ≡ prefix
+    ("/p", "/p*", True),
+]
+
+
+def test_robots_pattern_match_golden(spark):
+    from news_crawler_spark.operators.frontier import _robots_pattern_match
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(p, q) for p, q, _ in WILDCARD_CASES], "path string, pat string"
+    )
+    rows = df.select(
+        "path", "pat", _robots_pattern_match(F.col("path"), F.col("pat")).alias("m")
+    ).collect()
+    got = {(r.path, r.pat): r.m for r in rows}
+    assert got == {(p, q): want for p, q, want in WILDCARD_CASES}
+
+
+def test_allowed_by_robots_wildcards_precedence(spark):
+    """Longest-match-wins + allow-beats-deny-on-tie + default allow,
+    through the real broadcast operator (and no Exchange on the
+    frontier side of the plan)."""
+    from news_crawler_spark.operators.frontier import allowed_by_robots_wildcards
+
+    rules = spark.createDataFrame(
+        [
+            ("h", "/private*", "deny"),
+            ("h", "/private/public*", "allow"),
+            ("h", "/a*c", "deny"),
+            ("h", "/ab*", "allow"),
+            ("h", "/*.pdf$", "deny"),
+        ],
+        "host string, pattern string, rule_kind string",
+    )
+    urls = [
+        ("https://h/free", True),             # no match → allow
+        ("https://h/private/x", False),
+        ("https://h/private/public/x", True), # longer allow overrides
+        ("https://h/abc1", True),             # len-4 tie → allow wins
+        ("https://h/ax1c", False),            # only the deny matches
+        ("https://h/d.pdf", False),
+        ("https://h/d.pdfx", True),           # anchor rejects
+        ("https://other/private/x", True),    # host without rules
+    ]
+    df = spark.createDataFrame(
+        [("h" if "//h/" in u else "other", u) for u, _ in urls],
+        "host string, canonical_url string",
+    )
+    out = allowed_by_robots_wildcards(df, rules)
+    kept = {r.canonical_url for r in out.collect()}
+    assert kept == {u for u, keep in urls if keep}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
