@@ -115,6 +115,7 @@ class CrawlEngine:
         seen_prefilter: str | None = None,
         filter_buckets: int = 64,
         filter_capacity: int = 1 << 17,
+        robots_grammar: str = "prefix",
     ):
         """``merge_mode``:
 
@@ -130,8 +131,16 @@ class CrawlEngine:
           the I/O bill. Equivalence with cow is fixture-pinned
           (tests/test_crawl_engine.py).
         """
+        if robots_grammar not in ("prefix", "rfc9309"):
+            raise ValueError(f"unknown robots_grammar: {robots_grammar!r}")
         self.spark = spark
         self.catalog = SnapshotCatalog(spark, workdir)
+        # "rfc9309" evaluates rules through the wildcard matcher
+        # (frontier.allowed_by_robots_wildcards: '*' / trailing '$');
+        # plain prefixes are a strict subset of that grammar, so on
+        # prefix-only rule sets the two modes produce the identical
+        # crawl (order-equivalence pinned in test_crawl_engine).
+        self.robots_grammar = robots_grammar
         self.robots = robots if robots is not None else synth.robots_df(spark)
         self.politeness = (
             politeness if politeness is not None else synth.politeness_df(spark)
@@ -522,7 +531,13 @@ class CrawlEngine:
         prev_tokens = self.catalog.read("tokens", prev)
 
         eligible = frontier_ops.eligible(pending, self.max_retries)
-        allowed = frontier_ops.allowed_by_robots(eligible, self.robots)
+        if self.robots_grammar == "rfc9309":
+            allowed = frontier_ops.allowed_by_robots_wildcards(
+                eligible,
+                self.robots.withColumnRenamed("path_prefix", "pattern"),
+            )
+        else:
+            allowed = frontier_ops.allowed_by_robots(eligible, self.robots)
         budgets = self._budgets(allowed, prev_tokens)
         if self._pop_salts is None:
             max_cap = (

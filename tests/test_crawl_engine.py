@@ -223,6 +223,25 @@ def test_mor_mode_equals_cow(spark, oracle_result, tmp_path_factory):
     assert len(nums) == 1 and nums[0] % 3 == 0, pend_rounds
 
 
+def test_rfc9309_grammar_equals_prefix_on_prefix_rules(
+    spark, oracle_result, tmp_path_factory
+):
+    """robots_grammar="rfc9309" on a prefix-only rule set must produce
+    the IDENTICAL crawl (plain prefixes are a strict subset of the
+    wildcard grammar: no '*', no trailing '$' → pure startswith, same
+    longest-match/tie semantics) — pinned against the same
+    reference-semantics oracle the prefix engine is pinned to."""
+    wd = str(tmp_path_factory.mktemp("engine_rfc"))
+    eng = CrawlEngine(spark, wd, robots_grammar="rfc9309")
+    eng.ingest(synth.build_seed_list(spark, N_SEED))
+    eng.run()
+    got_pops = [(r.round, r.host, r.canonical_url)
+                for r in eng.pops_in_order().collect()]
+    want_pops = sorted(oracle_result.pops, key=lambda p: (p[0], p[1]))
+    assert got_pops == want_pops
+    assert eng.documents().count() == len(oracle_result.docs)
+
+
 def test_mor_resume_equals_uninterrupted(spark, tmp_path_factory):
     """Kill/resume in mor mode: crash after a committed DELTA round (the
     hard case — resume must reconstruct pending from base + deltas)."""
