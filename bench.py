@@ -122,6 +122,8 @@ HEADLINE = [
     "p13_trap_templates",
     "m5_image_neardup",
     "p14_robots_wildcards",
+    "p15_registered_domain",
+    "f3_surt_key",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by

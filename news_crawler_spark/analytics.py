@@ -6607,6 +6607,213 @@ WHERE window_start + INTERVAL 1 MINUTE <= fwm.v
 """
 
 
+def p15_registered_domain(spark, sf):
+    """P15: registered-domain (eTLD+1) extraction under the hard gate —
+    the public-suffix prevailing-rule algorithm (publicsuffix.org: plain
+    / ``*.``-wildcard / ``!``-exception rules, exception beats all, then
+    most labels) over a host sweep that hits every branch: plain 1- and
+    2-label suffixes, longest-beats-short (``co.uk`` over ``uk``), the
+    wildcard (``*.ck`` → public suffix ``w.ck``), its exception
+    (``!www.ck`` → registered domain ``www.ck`` even for
+    ``sub.www.ck``), unknown-TLD default, and bare-public-suffix hosts
+    whose registered domain is NULL. ``domain_hosts`` rolls the host
+    count up per registered domain — the politeness/budget grouping key
+    an open-frontier crawl needs (the reference's fixed seed list never
+    does, SURVEY §2.9). Scale shape: suffix candidates are generated
+    JVM-side per DISTINCT host, rules broadcast, one max_by aggregate —
+    every exchange O(|hosts|) (functions/domains.py). The DuckDB twin
+    re-implements the prevailing-rule window independently
+    (unnest(range) lateral + row_number), so the value hash pins the two
+    formulations of the PSL semantics against each other."""
+    from .functions import domains
+
+    e = load(spark, sf, "events")
+    eid = F.col("event_id")
+    idv = (eid % 97).cast("string")
+    k = eid % 10
+    host = (
+        F.when(k == 0, F.concat(F.lit("news"), idv, F.lit(".example.com")))
+        .when(k == 1, F.concat(F.lit("a.b.site"), idv, F.lit(".co.uk")))
+        .when(k == 2, F.concat(F.lit("site"), idv, F.lit(".uk")))
+        .when(k == 3, F.concat(F.lit("x.y.deep"), idv, F.lit(".ac.ir")))
+        .when(k == 4, F.concat(F.lit("foo"), idv, F.lit(".weird")))
+        .when(k == 5, F.lit("sub.www.ck"))
+        .when(k == 6, F.concat(F.lit("any"), idv, F.lit(".w"), idv, F.lit(".ck")))
+        .when(k == 7, F.concat(F.lit("b"), idv, F.lit(".ck")))
+        .when(k == 8, F.lit("co.uk"))
+        .otherwise(F.concat(F.lit("m"), idv, F.lit(".example.org")))
+    )
+    hosts = e.select(host.alias("host")).distinct()
+    out = domains.registered_domain_map(hosts, domains.suffix_rules_df(spark))
+    w = Window.partitionBy("registered_domain")
+    return out.select(
+        "host",
+        "public_suffix",
+        "registered_domain",
+        F.when(
+            F.col("registered_domain").isNotNull(),
+            F.count("registered_domain").over(w),
+        )
+        .cast("bigint")
+        .alias("domain_hosts"),
+    ).orderBy("host")
+
+
+P15_SQL = """
+WITH hosts AS (
+  SELECT DISTINCT CASE event_id % 10
+    WHEN 0 THEN 'news' || (event_id % 97)::VARCHAR || '.example.com'
+    WHEN 1 THEN 'a.b.site' || (event_id % 97)::VARCHAR || '.co.uk'
+    WHEN 2 THEN 'site' || (event_id % 97)::VARCHAR || '.uk'
+    WHEN 3 THEN 'x.y.deep' || (event_id % 97)::VARCHAR || '.ac.ir'
+    WHEN 4 THEN 'foo' || (event_id % 97)::VARCHAR || '.weird'
+    WHEN 5 THEN 'sub.www.ck'
+    WHEN 6 THEN 'any' || (event_id % 97)::VARCHAR || '.w'
+                || (event_id % 97)::VARCHAR || '.ck'
+    WHEN 7 THEN 'b' || (event_id % 97)::VARCHAR || '.ck'
+    WHEN 8 THEN 'co.uk'
+    ELSE 'm' || (event_id % 97)::VARCHAR || '.example.org'
+  END AS host FROM events
+),
+lab AS (SELECT host, string_split(host, '.') AS L,
+               len(string_split(host, '.'))::BIGINT AS n FROM hosts),
+cand AS (SELECT host, n, L, unnest(range(1, n + 1))::BIGINT AS k FROM lab),
+cand2 AS (SELECT host, n, k,
+                 array_to_string(L[n - k + 1:n], '.') AS suffix FROM cand),
+rules(rule) AS (VALUES ('com'),('org'),('net'),('ir'),('co.ir'),('ac.ir'),
+                       ('uk'),('co.uk'),('org.uk'),('ck'),('*.ck'),('!www.ck')),
+rn AS (
+  SELECT CASE WHEN rule LIKE '!%' THEN substr(rule, 2)
+              WHEN rule LIKE '*.%' THEN substr(rule, 3)
+              ELSE rule END AS suffix,
+         CASE WHEN rule LIKE '!%' THEN 'exception'
+              WHEN rule LIKE '*.%' THEN 'wildcard'
+              ELSE 'normal' END AS kind
+  FROM rules
+),
+rn2 AS (
+  SELECT suffix, kind,
+         len(string_split(suffix, '.')) + (kind = 'wildcard')::INT AS rule_labels,
+         len(string_split(suffix, '.'))
+           + CASE kind WHEN 'wildcard' THEN 1
+                       WHEN 'exception' THEN -1 ELSE 0 END AS ps_labels
+  FROM rn
+),
+m AS (
+  SELECT c.host, r.ps_labels,
+         row_number() OVER (
+           PARTITION BY c.host
+           ORDER BY (r.kind = 'exception') DESC, r.rule_labels DESC,
+                    (r.kind = 'normal') DESC
+         ) AS rk
+  FROM cand2 c JOIN rn2 r ON c.suffix = r.suffix
+  WHERE r.kind <> 'wildcard' OR c.n > c.k
+),
+best AS (SELECT host, ps_labels FROM m WHERE rk = 1),
+res AS (
+  SELECT l.host, l.L, l.n,
+         greatest(coalesce(b.ps_labels, 1), 1)::BIGINT AS ps
+  FROM lab l LEFT JOIN best b USING (host)
+),
+named AS (
+  SELECT host,
+         array_to_string(L[n - ps + 1:n], '.') AS public_suffix,
+         CASE WHEN n > ps
+              THEN array_to_string(L[n - ps:n], '.') END AS registered_domain
+  FROM res
+)
+SELECT host, public_suffix, registered_domain,
+       CASE WHEN registered_domain IS NOT NULL
+            THEN count(*) OVER (PARTITION BY registered_domain) END::BIGINT
+         AS domain_hosts
+FROM named ORDER BY host
+"""
+
+
+def f3_surt_key(spark, sf):
+    """F3 (engine-original scalar): SURT keys — the Heritrix/CommonCrawl
+    sort-friendly URL transform (``https://a.blog.example.com/x?q=1`` →
+    ``com,example,blog,a)/x?q=1``). Reversed host labels make
+    lexicographic order group a registered domain's URLs CONTIGUOUSLY,
+    so a frontier or URL index range-partitioned by surt_key gets
+    per-domain locality (politeness scans, trap audits, recrawl sweeps
+    each touch one partition range — min/max pruning on sorted parquet)
+    instead of hashing a domain across the cluster. ``pos`` is the
+    1-based rank of each URL within its host's run — the per-domain
+    contiguity witness the gate value-hashes. Spark derives the key from
+    the assembled URL through the REAL extraction path (the codegen'd
+    regex trio in functions/urls.surt_key_col — no parse_url, no UDF);
+    the twin assembles it from the parts it synthesized, so a host/path/
+    query mis-parse on either side breaks the hash."""
+    from .functions import urls as urlfns
+
+    e = load(spark, sf, "events")
+    eid = F.col("event_id")
+    ids = eid.cast("string")
+    k = eid % 6
+    host = (
+        F.when(k == 0, F.lit("www.example.com"))
+        .when(k == 1, F.lit("a.news.example.com"))
+        .when(k == 2, F.lit("b.news.example.com"))
+        .when(k == 3, F.concat(F.lit("site"), (eid % 7).cast("string"), F.lit(".co.uk")))
+        .when(k == 4, F.lit("zzz.org"))
+        .otherwise(F.lit("single"))
+    )
+    path = (
+        F.when(eid % 3 == 0, F.concat(F.lit("/news/"), ids))
+        .when(eid % 3 == 1, F.lit("/"))
+        .otherwise(F.concat(F.lit("/p/"), ids, F.lit("/x")))
+    )
+    q = F.when(eid % 4 == 0, F.concat(F.lit("?q="), ids, F.lit("&r=2"))).otherwise(
+        F.lit("")
+    )
+    df = e.select(
+        F.concat(F.lit("https://"), host, path, q).alias("canonical_url")
+    )
+    keyed = df.select(
+        "canonical_url", urlfns.surt_key_col("canonical_url").alias("surt_key")
+    ).withColumn("surt_host", F.substring_index(F.col("surt_key"), ")", 1))
+    w = Window.partitionBy("surt_host").orderBy("surt_key")
+    return keyed.select(
+        "canonical_url",
+        "surt_key",
+        "surt_host",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    ).orderBy("canonical_url", "pos")
+
+
+F3_SQL = """
+WITH parts AS (
+  SELECT CASE event_id % 6
+           WHEN 0 THEN 'www.example.com'
+           WHEN 1 THEN 'a.news.example.com'
+           WHEN 2 THEN 'b.news.example.com'
+           WHEN 3 THEN 'site' || (event_id % 7)::VARCHAR || '.co.uk'
+           WHEN 4 THEN 'zzz.org'
+           ELSE 'single'
+         END AS host,
+         CASE event_id % 3
+           WHEN 0 THEN '/news/' || event_id::VARCHAR
+           WHEN 1 THEN '/'
+           ELSE '/p/' || event_id::VARCHAR || '/x'
+         END AS path,
+         CASE WHEN event_id % 4 = 0
+              THEN '?q=' || event_id::VARCHAR || '&r=2' ELSE '' END AS q
+  FROM events
+),
+s AS (
+  SELECT 'https://' || host || path || q AS canonical_url,
+         array_to_string(list_reverse(string_split(host, '.')), ',')
+           || ')' || path || q AS surt_key,
+         array_to_string(list_reverse(string_split(host, '.')), ',') AS surt_host
+  FROM parts
+)
+SELECT canonical_url, surt_key, surt_host,
+       row_number() OVER (PARTITION BY surt_host ORDER BY surt_key)::BIGINT AS pos
+FROM s ORDER BY canonical_url, pos
+"""
+
+
 # ===========================================================================
 # registry
 
@@ -6705,6 +6912,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g4_anchor_summary": g4_anchor_summary,
     "p13_trap_templates": p13_trap_templates,
     "p14_robots_wildcards": p14_robots_wildcards,
+    "p15_registered_domain": p15_registered_domain,
+    "f3_surt_key": f3_surt_key,
     "d7_mirror_hosts": d7_mirror_hosts,
     "c1_crawl_delay": c1_crawl_delay,
     "c2_rendezvous_shards": c2_rendezvous_shards,
@@ -6817,6 +7026,8 @@ ORACLES: dict[str, str] = {
     "g4_anchor_summary": G4_SQL,
     "p13_trap_templates": P13_SQL,
     "p14_robots_wildcards": P14_SQL,
+    "p15_registered_domain": P15_SQL,
+    "f3_surt_key": F3_SQL,
     "d7_mirror_hosts": D7_SQL,
     "c1_crawl_delay": C1_SQL,
     "c2_rendezvous_shards": C2_SQL,
