@@ -124,6 +124,7 @@ HEADLINE = [
     "p14_robots_wildcards",
     "p15_registered_domain",
     "f3_surt_key",
+    "g5_hits",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by

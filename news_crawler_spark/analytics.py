@@ -4499,6 +4499,62 @@ G1_SQL = (
 )
 
 
+def g5_hits(spark, sf):
+    """HITS hubs & authorities (operators/graph.hits_int) over the g1
+    link graph — PageRank's complement for crawl scheduling: authority
+    = linked-to by good hubs (content priority), hub = links to good
+    authorities (recrawl-cadence priority for section fronts/sitemaps).
+    3 iterations, each sum max-normalized to ``(v · scale) div max(v)``
+    in exact integer arithmetic, so the unrolled-CTE DuckDB twin
+    replays every half-iteration bit-for-bit — a drift in the in/out
+    edge orientation, the normalization guard, or the dangling-node
+    zeroing breaks the value hash on all 200 hosts."""
+    from .operators import graph
+
+    return (
+        graph.hits_int(_g1_edges(spark, sf), iters=3)
+        .select(F.col("node").alias("host"), "auth", "hub")
+        .orderBy("host")
+    )
+
+
+# MATERIALIZED: each a{i} references ar{i} twice (sum + its max guard)
+# and feeds two consumers — plain inlining re-expands the whole chain
+# per reference, 2^iterations scans (the x33 BPE-loop trap; measured
+# 33s → sub-second here)
+_G5_STEP = """
+ar{i} AS MATERIALIZED (
+  SELECT e.dst AS h, sum(hb.v)::BIGINT AS v
+  FROM edges e JOIN h{p} hb ON hb.h = e.src GROUP BY e.dst
+),
+a{i} AS MATERIALIZED (
+  SELECT n.h,
+         ((coalesce(s.v, 0) * 1000000)
+          // (SELECT greatest(max(v), 1) FROM ar{i}))::BIGINT AS v
+  FROM nodes n LEFT JOIN ar{i} s ON s.h = n.h
+),
+hr{i} AS MATERIALIZED (
+  SELECT e.src AS h, sum(a.v)::BIGINT AS v
+  FROM edges e JOIN a{i} a ON a.h = e.dst GROUP BY e.src
+),
+h{i} AS MATERIALIZED (
+  SELECT n.h,
+         ((coalesce(s.v, 0) * 1000000)
+          // (SELECT greatest(max(v), 1) FROM hr{i}))::BIGINT AS v
+  FROM nodes n LEFT JOIN hr{i} s ON s.h = n.h
+)
+"""
+
+G5_SQL = (
+    "WITH "
+    + _G1_EDGE_SQL.strip()
+    + ",\nh0 AS (SELECT h, 1000000::BIGINT AS v FROM nodes),"
+    + ",".join(_G5_STEP.strip().format(i=i, p=i - 1) for i in (1, 2, 3))
+    + "\nSELECT a3.h AS host, a3.v AS auth, h3.v AS hub"
+    + " FROM a3 JOIN h3 ON a3.h = h3.h ORDER BY host"
+)
+
+
 G2_TOTAL = 1000
 
 
@@ -6913,6 +6969,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p13_trap_templates": p13_trap_templates,
     "p14_robots_wildcards": p14_robots_wildcards,
     "p15_registered_domain": p15_registered_domain,
+    "g5_hits": g5_hits,
     "f3_surt_key": f3_surt_key,
     "d7_mirror_hosts": d7_mirror_hosts,
     "c1_crawl_delay": c1_crawl_delay,
@@ -7027,6 +7084,7 @@ ORACLES: dict[str, str] = {
     "p13_trap_templates": P13_SQL,
     "p14_robots_wildcards": P14_SQL,
     "p15_registered_domain": P15_SQL,
+    "g5_hits": G5_SQL,
     "f3_surt_key": F3_SQL,
     "d7_mirror_hosts": D7_SQL,
     "c1_crawl_delay": C1_SQL,

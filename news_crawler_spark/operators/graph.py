@@ -94,6 +94,76 @@ def pagerank_int(
     return ranks
 
 
+def hits_int(
+    edges: DataFrame,
+    iters: int = 3,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Integer HITS (Kleinberg hubs & authorities) over ``(src, dst)``
+    edges → ``(node, auth, hub)``.
+
+    PageRank (above) scores a host by who links to IT; HITS splits the
+    signal in two — an *authority* score (linked to by good hubs: the
+    article pages worth fetching) and a *hub* score (links to good
+    authorities: the section fronts and sitemaps worth RE-fetching
+    often). A crawl scheduler uses both: authorities seed content
+    priority, hubs seed the recrawl cadence (t8/t9 plug in there).
+
+    hub⁰ = ``scale``; per iteration auth = Σ hub over in-edges then
+    hub = Σ auth over out-edges, each sum rescaled to ``(v · scale)
+    div max(v)`` — the normalization that keeps classic HITS from
+    blowing up, done in exact integer arithmetic so a DuckDB twin
+    (analytics.G5_SQL) replays every iteration bit-for-bit (the
+    g1/v10 determinism contract). Nodes without in-edges get auth 0,
+    without out-edges hub 0; max() is guarded to ≥1 identically in
+    both engines.
+
+    Scale shape (the pagerank recipe): per half-iteration ONE broadcast
+    of the |hosts|-row score vector against the edge list + one
+    partial-agg groupBy sum (hub in-degree skew collapses map-side),
+    the 1-row max broadcast back as a cross join; score vectors are
+    eagerly localCheckpoint'ed (O(1)-deep lineage). Nothing
+    driver-side, no collect."""
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    ).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hub = nodes.withColumn("score", F.lit(scale).cast("long"))
+    auth = None
+
+    def _step(scores: DataFrame, edge_key: str, group_key: str) -> DataFrame:
+        raw = (
+            e.join(F.broadcast(scores), e[edge_key] == scores["node"])
+            .groupBy(group_key)
+            .agg(F.sum("score").alias("__v"))
+        )
+        mx = raw.agg(F.greatest(F.max("__v"), F.lit(1).cast("long")).alias("__mx"))
+        return (
+            nodes.join(F.broadcast(raw), nodes["node"] == raw[group_key], "left")
+            .crossJoin(F.broadcast(mx))
+            .select(
+                "node",
+                F.expr(f"(coalesce(__v, 0L) * {scale}) div __mx").alias("score"),
+            )
+        )
+
+    for it in range(iters):
+        if it > 0:
+            hub = hub.localCheckpoint(eager=True)
+        # authorities from current hubs, then hubs from NEW authorities
+        auth = _step(hub, "src", "dst").localCheckpoint(eager=True)
+        hub = _step(auth, "dst", "src")
+    return auth.select("node", F.col("score").alias("auth")).join(
+        F.broadcast(hub.select("node", F.col("score").alias("hub"))), "node"
+    )
+
+
 def _doubling_iters(max_hops: int) -> int:
     """Joins needed to follow up to max_hops redirects by path doubling:
     after k rounds a row has composed up to 2^k consecutive edges."""

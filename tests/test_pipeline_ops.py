@@ -1000,6 +1000,54 @@ def test_pagerank_planted_hub_matches_python_twin(spark):
     assert order[0] == 0 and order[1] == 1
 
 
+def py_hits_int(edges, iters=3, scale=1_000_000):
+    """Straight-line python twin of graph.hits_int (exact ints)."""
+    nodes = sorted({n for e in edges for n in e})
+    hub = {n: scale for n in nodes}
+    for _ in range(iters):
+        a_raw = {n: 0 for n in nodes}
+        for s, d in edges:
+            a_raw[d] += hub[s]
+        mx = max(max(a_raw.values()), 1)
+        auth = {n: (v * scale) // mx for n, v in a_raw.items()}
+        h_raw = {n: 0 for n in nodes}
+        for s, d in edges:
+            h_raw[s] += auth[d]
+        mx = max(max(h_raw.values()), 1)
+        hub = {n: (v * scale) // mx for n, v in h_raw.items()}
+    return auth, hub
+
+
+def test_hits_planted_structure_matches_python_twin(spark):
+    """A bipartite hub/authority structure (0,1 each link to 10,11,12;
+    10..12 link nowhere; plus a stray 5->10): hubs 0,1 must carry max
+    hub score and zero auth, 10..12 max-class auth and zero hub, and
+    every value must equal the integer twin bit-for-bit."""
+    from news_crawler_spark.operators import graph
+
+    edges = [(s, d) for s in (0, 1) for d in (10, 11, 12)] + [(5, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: (r.auth, r.hub) for r in graph.hits_int(df, iters=3).collect()}
+    auth, hub = py_hits_int(edges)
+    assert got == {n: (auth[n], hub[n]) for n in auth}
+    assert got[0][1] == 1_000_000 and got[0][0] == 0
+    assert got[10][0] == 1_000_000 and got[10][1] == 0
+    assert got[5][1] < got[0][1]  # stray hub links to fewer authorities
+
+
+def test_hits_broadcasts_score_vectors(spark):
+    """Per half-iteration the edge list must join the score vector via
+    broadcast — no sort-merge join anywhere in the final plan."""
+    from news_crawler_spark.operators import graph
+
+    df = spark.createDataFrame([(i, (i * 7) % 20) for i in range(40)],
+                               "src long, dst long")
+    out = graph.hits_int(df, iters=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_pagerank_feeds_frontier_priority(spark):
     """The scheduling hook: rank joins pending URLs by host and becomes
     the pop order (priority = -rank, POP_ORDER is ascending) — the
