@@ -125,6 +125,7 @@ HEADLINE = [
     "p15_registered_domain",
     "f3_surt_key",
     "g5_hits",
+    "g6_mirror_clusters",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by

@@ -4717,24 +4717,8 @@ FROM r WHERE rank <= 3 ORDER BY dst, rank
 """
 
 
-def d7_mirror_hosts(spark, sf):
-    """Mirror-site detection (operators/dedup.mirror_hosts) under the
-    hard gate: host pairs sharing most of their distinct content are
-    mirrors — the crawl collapses their politeness budgets onto one
-    (the reference's fixed 5-source list can't meet mirrors; a
-    web-scale frontier meets them constantly). Input BY CONSTRUCTION:
-    every doc lands on one of 40 md5-derived hosts keyed by
-    md5(text); every 4th doc is ALSO re-hosted on a +40 mirror host,
-    every 8th-plus-1 doc plants UNIQUE junk on that mirror host (so
-    the containment ratio genuinely varies across pairs and the
-    is_mirror flag discriminates), and a 'boilerplate-chrome' key sits
-    on ALL 40 base hosts — hosted in more places than df_cap=20, it
-    must be dropped by the inverted-index cap or 780 spurious pairs
-    (and every n) shift the value hash. Exact-integer containment
-    (10·shared ≥ 8·min(n_a,n_b)); twin replays the same relational
-    pipeline over the identically-constructed pages."""
-    from .operators import dedup
-
+def _d7_pages(spark, sf):
+    """The d7/g6 shared synthetic mirror corpus (see d7_mirror_hosts)."""
     d = load(spark, sf, "documents")
     h = (
         F.conv(
@@ -4772,13 +4756,60 @@ def d7_mirror_hosts(spark, sf):
             )
         )
     )
-    return dedup.mirror_hosts(pages, min_shared=2, df_cap=20).orderBy(
-        "host_a", "host_b"
+    return pages
+
+
+def d7_mirror_hosts(spark, sf):
+    """Mirror-site detection (operators/dedup.mirror_hosts) under the
+    hard gate: host pairs sharing most of their distinct content are
+    mirrors — the crawl collapses their politeness budgets onto one
+    (the reference's fixed 5-source list can't meet mirrors; a
+    web-scale frontier meets them constantly). Input BY CONSTRUCTION:
+    every doc lands on one of 40 md5-derived hosts keyed by
+    md5(text); every 4th doc is ALSO re-hosted on a +40 mirror host,
+    every 8th-plus-1 doc plants UNIQUE junk on that mirror host (so
+    the containment ratio genuinely varies across pairs and the
+    is_mirror flag discriminates), and a 'boilerplate-chrome' key sits
+    on ALL 40 base hosts — hosted in more places than df_cap=20, it
+    must be dropped by the inverted-index cap or 780 spurious pairs
+    (and every n) shift the value hash. Exact-integer containment
+    (10·shared ≥ 8·min(n_a,n_b)); twin replays the same relational
+    pipeline over the identically-constructed pages."""
+    from .operators import dedup
+
+    return dedup.mirror_hosts(
+        _d7_pages(spark, sf), min_shared=2, df_cap=20
+    ).orderBy("host_a", "host_b")
+
+
+def g6_mirror_clusters(spark, sf):
+    """Mirror-host CLUSTERS — the step d7's pairs exist for: connected
+    components over the is_mirror pair graph (dedup.duplicate_clusters,
+    min-label propagation), giving each mirror family ONE canonical
+    host (the component min). That canonical is what the crawl
+    actually keys on — politeness budgets, the seen-set's host column,
+    and frontier quotas all collapse onto it, so a 3-way mirror costs
+    one host's budget instead of three (pairs alone can't say that:
+    a↔b and b↔c pairs don't name a survivor). The twin closes the SAME
+    d7 pair pipeline with a recursive CTE and takes the same
+    component-min, so a wrong pair surviving the containment flag, a
+    split component, or a non-min canonical all break the value hash."""
+    from .operators import dedup
+
+    pairs = dedup.mirror_hosts(_d7_pages(spark, sf), min_shared=2, df_cap=20)
+    mp = pairs.where(F.col("is_mirror")).select(
+        F.col("host_a").alias("a_id"), F.col("host_b").alias("b_id")
     )
+    return dedup.duplicate_clusters(mp).select(
+        F.col("doc_id").alias("host"),
+        F.col("cluster_id").alias("canonical_host"),
+    ).orderBy("host")
 
 
-D7_SQL = """
-WITH pages AS (
+# shared d7/g6 CTE body: synthetic mirror corpus → capped inverted
+# index → containment-flagged host pairs
+_D7_BODY = """
+pages AS (
   SELECT ('0x' || substring(md5('mh' || doc_id::VARCHAR), 1, 4))::BIGINT % 40
            AS host,
          substring(md5(text), 1, 16) AS content_key
@@ -4811,14 +4842,37 @@ pairs AS (
   WHERE a.host < b.host
   GROUP BY 1, 2
   HAVING count(*) >= 2
+),
+flags AS (
+  SELECT host_a, host_b, shared, sa.n AS n_a, sb.n AS n_b,
+         (10 * shared >= 8 * least(sa.n, sb.n)) AS is_mirror
+  FROM pairs
+  JOIN sizes sa ON sa.host = pairs.host_a
+  JOIN sizes sb ON sb.host = pairs.host_b
+)"""
+
+D7_SQL = (
+    "WITH " + _D7_BODY
+    + "\nSELECT host_a, host_b, shared, n_a, n_b, is_mirror"
+    + " FROM flags ORDER BY host_a, host_b"
 )
-SELECT host_a, host_b, shared, sa.n AS n_a, sb.n AS n_b,
-       (10 * shared >= 8 * least(sa.n, sb.n)) AS is_mirror
-FROM pairs
-JOIN sizes sa ON sa.host = pairs.host_a
-JOIN sizes sb ON sb.host = pairs.host_b
-ORDER BY host_a, host_b
+
+G6_SQL = (
+    "WITH RECURSIVE " + _D7_BODY
+    + """,
+medges AS (
+  SELECT host_a AS u, host_b AS v FROM flags WHERE is_mirror
+  UNION
+  SELECT host_b, host_a FROM flags WHERE is_mirror
+),
+mreach(n, m) AS (
+  SELECT u, u FROM medges
+  UNION
+  SELECT r.n, e.v FROM mreach r JOIN medges e ON e.u = r.m
+)
+SELECT n AS host, min(m) AS canonical_host FROM mreach GROUP BY n ORDER BY host
 """
+)
 
 
 def c1_crawl_delay(spark, sf):
@@ -6970,6 +7024,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p14_robots_wildcards": p14_robots_wildcards,
     "p15_registered_domain": p15_registered_domain,
     "g5_hits": g5_hits,
+    "g6_mirror_clusters": g6_mirror_clusters,
     "f3_surt_key": f3_surt_key,
     "d7_mirror_hosts": d7_mirror_hosts,
     "c1_crawl_delay": c1_crawl_delay,
@@ -7085,6 +7140,7 @@ ORACLES: dict[str, str] = {
     "p14_robots_wildcards": P14_SQL,
     "p15_registered_domain": P15_SQL,
     "g5_hits": G5_SQL,
+    "g6_mirror_clusters": G6_SQL,
     "f3_surt_key": F3_SQL,
     "d7_mirror_hosts": D7_SQL,
     "c1_crawl_delay": C1_SQL,

@@ -970,6 +970,34 @@ def test_incremental_simhash_pairs_cross_only(spark, docs, doc_rows):
     assert all(a % 5 == 0 and b % 5 != 0 for a, b in got)
 
 
+def test_mirror_clusters_collapse_chained_pairs(spark):
+    """A 3-way mirror family discovered only as CHAINED pairs (a↔b and
+    b↔c share enough content; a↔c alone would not) must still collapse
+    to one canonical host = the component min — the property pair
+    output alone cannot express (the g6 close of d7)."""
+    from news_crawler_spark.operators import dedup
+
+    # hosts 1,2,3: content k0..k9 on all three via overlapping halves,
+    # host 9 isolated with its own keys
+    rows = (
+        [(1, f"k{i}") for i in range(6)]
+        + [(2, f"k{i}") for i in range(10)]
+        + [(3, f"k{i}") for i in range(4, 10)]
+        + [(9, f"z{i}") for i in range(5)]
+    )
+    pages = spark.createDataFrame(rows, "host long, content_key string")
+    pairs = dedup.mirror_hosts(pages, min_shared=2, df_cap=20)
+    flagged = {(r.host_a, r.host_b): r.is_mirror for r in pairs.collect()}
+    # 1↔2 share 6 of min(6,10), 2↔3 share 6 of min(10,6) → mirrors;
+    # 1↔3 share only k4,k5 = 2 of 6 → NOT a mirror pair
+    assert flagged[(1, 2)] and flagged[(2, 3)] and not flagged[(1, 3)]
+    mp = pairs.where(F.col("is_mirror")).select(
+        F.col("host_a").alias("a_id"), F.col("host_b").alias("b_id")
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup.duplicate_clusters(mp).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
 def py_pagerank_int(edges, iters=3, num=85, den=100, scale=1_000_000):
     """Straight-line python twin of graph.pagerank_int (exact ints)."""
     nodes = sorted({n for e in edges for n in e})
