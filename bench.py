@@ -1023,6 +1023,132 @@ def skew_probe(spark, n_urls: int, reps: int = 3) -> dict:
     return out
 
 
+def surt_prune_probe(spark, n_urls: int, reps: int = 3) -> dict:
+    """The f3 SURT claim MEASURED, not just asserted: a frontier written
+    range-sorted by surt_key answers a per-domain prefix range with
+    file/row-group min/max skipping (each of the 32 sorted files covers
+    a disjoint key range — the scan touches ~1), while the same rows in
+    a hash layout spread every domain across every file, so the same
+    pushed predicate decodes the whole table. Same files-per-layout,
+    same pushed filter, interleaved reps; the delta is pure layout."""
+    import statistics
+
+    from news_crawler_spark.functions.urls import surt_key_col
+
+    base = scratch("surt_")
+    n_dom = 256
+    urls = spark.range(n_urls).select(
+        F.concat(
+            F.lit("https://sub"),
+            (F.col("id") % 7).cast("string"),
+            F.lit(".site"),
+            (F.col("id") % n_dom).cast("string"),
+            F.lit(".com/p/"),
+            F.col("id").cast("string"),
+        ).alias("canonical_url"),
+        F.xxhash64("id").alias("url_hash"),
+    )
+    keyed = urls.withColumn("surt_key", surt_key_col("canonical_url"))
+    sorted_path, hashed_path = base + "/sorted", base + "/hashed"
+    (
+        keyed.repartitionByRange(32, "surt_key")
+        .sortWithinPartitions("surt_key")
+        .write.mode("overwrite")
+        .parquet(sorted_path)
+    )
+    keyed.repartition(32, "url_hash").write.mode("overwrite").parquet(hashed_path)
+
+    lo, hi = "com,site42,", "com,site42-"  # '-' = ',' + 1: the prefix range
+
+    def files_intersecting(path: str) -> tuple[int, int, int, int]:
+        """(files the range intersects, total files, row groups
+        intersecting, total row groups) by parquet FOOTER STATS — the
+        deterministic layout evidence: this is exactly what a
+        stats-aware reader must open, independent of VM noise/page
+        cache (at this SF the wall-clock is job-overhead-bound; at
+        100 TB the intersecting-file count IS the IO bill)."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        fi = ft = ri = rt = 0
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }["surt_key"]
+            gmin, gmax = None, None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    mn, mx = mn.decode(), mx.decode()
+                rt += 1
+                if mn < hi and mx >= lo:
+                    ri += 1
+                gmin = mn if gmin is None else min(gmin, mn)
+                gmax = mx if gmax is None else max(gmax, mx)
+            ft += 1
+            if gmin is not None and gmin < hi and gmax >= lo:
+                fi += 1
+        return fi, ft, ri, rt
+
+    def arm(path):
+        df = spark.read.parquet(path)
+        return (
+            df.where((F.col("surt_key") >= lo) & (F.col("surt_key") < hi))
+            .agg(F.count(F.lit(1)), F.sum(F.length("canonical_url")))
+            .collect()[0][0]
+        )
+
+    # the pushed-filter contract behind the measurement (also asserted
+    # in test_plans.py): the range reaches the parquet scan
+    plan = (
+        spark.read.parquet(sorted_path)
+        .where((F.col("surt_key") >= lo) & (F.col("surt_key") < hi))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    pushed = "PushedFilters: [IsNotNull(surt_key), GreaterThanOrEqual(surt_key" in plan
+
+    rows = arm(sorted_path)
+    assert rows == arm(hashed_path)
+    ts: dict[str, list[float]] = {"sorted": [], "hashed": []}
+    for _ in range(reps):
+        for name, path in (("sorted", sorted_path), ("hashed", hashed_path)):
+            t0 = time.perf_counter()
+            arm(path)
+            ts[name].append(time.perf_counter() - t0)
+    s_fi, s_ft, s_ri, s_rt = files_intersecting(sorted_path)
+    h_fi, h_ft, h_ri, h_rt = files_intersecting(hashed_path)
+    out = {
+        "n_urls": n_urls,
+        "n_domains": n_dom,
+        "rows_in_range": rows,
+        "filter_pushed": pushed,
+        "sorted_files_in_range": f"{s_fi}/{s_ft}",
+        "hashed_files_in_range": f"{h_fi}/{h_ft}",
+        "sorted_rowgroups_in_range": f"{s_ri}/{s_rt}",
+        "hashed_rowgroups_in_range": f"{h_ri}/{h_rt}",
+        "sorted_sec": round(statistics.median(ts["sorted"]), 3),
+        "hashed_sec": round(statistics.median(ts["hashed"]), 3),
+        "sorted_reps": [round(t, 3) for t in ts["sorted"]],
+        "hashed_reps": [round(t, 3) for t in ts["hashed"]],
+    }
+    out["wall_note"] = (
+        "wall-clock is job-overhead-bound at this SF (the whole table "
+        "decodes in ~0.1s on 32 cores); the files_in_range counts are "
+        "the scale signal — a stats-aware reader opens that fraction"
+    )
+    log(
+        f"  surt_prune: stats-pruned files {out['sorted_files_in_range']} sorted"
+        f" vs {out['hashed_files_in_range']} hashed; wall {out['sorted_sec']}s"
+        f" vs {out['hashed_sec']}s (overhead-bound; pushed={pushed})"
+    )
+    return out
+
+
 def d3_profile(spark, sf_dir: str) -> dict:
     """Stage split of the heaviest query (d3 MinHash+LSH): signature
     build vs banding/candidates vs exact verify (round-3 verdict item 7
@@ -1252,6 +1378,10 @@ def _main() -> None:
     )
     log("== skew probe (hot host 50%) ==")
     skew = skew_probe(spark, 40_000 if quick else 160_000, reps=2 if quick else 3)
+    log("== surt range-pruning probe (sorted vs hashed layout) ==")
+    surt_prune = surt_prune_probe(
+        spark, 200_000 if quick else 4_000_000, reps=2 if quick else 3
+    )
     log("== ann scan-cost probe (brute vs pruned) ==")
     ann = ann_probe(spark, 50_000 if quick else 200_000, reps=2 if quick else 3)
     log("== semdedup prune probe (linear at constant occupancy) ==")
@@ -1308,6 +1438,7 @@ def _main() -> None:
                 "crawl": crawl,
                 "crawl_1m": crawl_1m,
                 "skew": skew,
+                "surt_prune": surt_prune,
                 "ann": ann,
                 "semdedup_prune": semdedup,
                 "cosine_pairs": cos_pairs,

@@ -215,6 +215,34 @@ def test_v9_partition_pruning_is_dynamic(spark, tmp_path):
     assert df.count() == 5
 
 
+def test_surt_range_reaches_scan_as_pushed_filter(spark, tmp_path):
+    """The f3 layout claim's plan half: a per-domain surt prefix range
+    must reach the parquet scan as PushedFilters (row-group min/max
+    skipping happens in the reader only if the predicate gets there) —
+    a plan that filters post-scan decodes the whole table regardless of
+    layout. The measured half is bench.surt_prune_probe."""
+    from news_crawler_spark.functions.urls import surt_key_col
+
+    df = spark.range(1000).select(
+        F.concat(
+            F.lit("https://sub.site"),
+            (F.col("id") % 16).cast("string"),
+            F.lit(".com/p/"),
+            F.col("id").cast("string"),
+        ).alias("canonical_url")
+    ).withColumn("surt_key", surt_key_col("canonical_url"))
+    df.repartitionByRange(4, "surt_key").sortWithinPartitions(
+        "surt_key"
+    ).write.parquet(str(tmp_path / "fr"))
+    q = spark.read.parquet(str(tmp_path / "fr")).where(
+        (F.col("surt_key") >= "com,site4,") & (F.col("surt_key") < "com,site4-")
+    )
+    p = plan(q)
+    assert "GreaterThanOrEqual(surt_key,com,site4,)" in p, p
+    assert "LessThan(surt_key,com,site4-)" in p, p
+    assert q.count() == sum(1 for i in range(1000) if i % 16 == 4)
+
+
 def test_x11_pii_scrub_is_single_scan(spark):
     """The PII pass must be one codegen'd projection: no exchange, no
     python evaluation anywhere in the plan."""
