@@ -55,6 +55,18 @@ def canonicalize_one(raw: str | None) -> str | None:
     host = (parts.hostname or "").lower().rstrip(".")
     if not host:
         return None
+    if not host.isascii():
+        # IDN → punycode (IDNA ACE form): the reference's domain space is
+        # Persian, where 'همشهری.ir' and its xn-- spelling are the SAME
+        # origin — without this fold they get different url_hash keys and
+        # the seen-set admits the page twice. Already-encoded xn-- hosts
+        # are ASCII and pass through untouched; a host the codec rejects
+        # (empty/oversized label) cannot be resolved by any client, so it
+        # is dropped like any other unparseable link.
+        try:
+            host = host.encode("idna").decode("ascii")
+        except UnicodeError:
+            return None
     port = parts.port
     netloc = host
     if port is not None and str(port) != _DEFAULT_PORT.get(scheme, ""):

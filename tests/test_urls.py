@@ -27,6 +27,12 @@ GOLDEN = [
     ("https://a.ir/sec/", "https://a.ir/sec/"),
     # whitespace
     ("  https://a.ir/x  ", "https://a.ir/x"),
+    # IDN hosts fold to punycode (ACE), so the Unicode and xn-- spellings
+    # of the same origin share one url_hash; paths/queries untouched
+    ("https://müller.de/x?q=1", "https://xn--mller-kva.de/x?q=1"),
+    ("https://همشهری.ir/news/1", "https://xn--wgbf4chc31f.ir/news/1"),
+    ("https://xn--wgbf4chc31f.ir/news/1", "https://xn--wgbf4chc31f.ir/news/1"),
+    ("https://ПРИМЕР.рф/x", "https://xn--e1afmkfd.xn--p1ai/x"),
 ]
 
 
