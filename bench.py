@@ -126,6 +126,7 @@ HEADLINE = [
     "f3_surt_key",
     "g5_hits",
     "g6_mirror_clusters",
+    "j15_domain_budget_pop",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by

@@ -6924,6 +6924,107 @@ FROM s ORDER BY canonical_url, pos
 """
 
 
+J15_BUDGET = 7
+
+_J15_H = (
+    "((('0x' || substring(md5('j15u' || event_id::VARCHAR), 1, 8))::BIGINT"
+    " + CASE WHEN ('0x' || substring(md5('j15u' || event_id::VARCHAR), 1, 8))::BIGINT"
+    " >= 2147483648 THEN -4294967296 ELSE 0 END) * 4294967296"
+    " + ('0x' || substring(md5('j15u' || event_id::VARCHAR), 9, 8))::BIGINT)"
+)
+
+
+def j15_domain_budget_pop(spark, sf):
+    """The p15 composition under the hard gate: politeness budgets
+    grouped by REGISTERED DOMAIN, popped through the real pop operator.
+    ``a.blog.x.com`` and ``b.blog.x.com`` are one origin server — a
+    per-host bucket would politely hit it once per subdomain spelling
+    (subdomain-farm sites mint thousands). Here the frontier's hosts
+    map through the real ``domains.with_registered_domain`` (broadcast
+    host→domain map, the URL frame never shuffles), the politeness key
+    becomes ``coalesce(registered_domain, host)`` (a bare public
+    suffix like ``b7.ck`` stays its own key — NULL regd is the PSL
+    contract, not a gap), and ``frontier_ops.pop_round`` pops the
+    per-KEY top-budget: a domain's three subdomains together get 7
+    slots, not 21. WHICH origin hosts survive depends on the
+    cross-host (priority, published_ts, url_hash) order inside each
+    domain, so the value hash pins the grouping, the PSL mapping, the
+    coalesce fallback, and the two-phase salted top-k at once. The
+    twin derives the politeness key independently from the synthesis
+    shape (p15 already pins the PSL algorithm itself) and replays the
+    pop as one ranking window."""
+    from .functions import domains
+    from .operators import frontier as frontier_ops
+    from .operators.dedup import md5_hash64
+
+    e = load(spark, sf, "events")
+    eid = F.col("event_id")
+    d = (eid % 40).cast("string")
+    host = F.when(eid % 5 == 4, F.concat(F.lit("b"), d, F.lit(".ck"))).otherwise(
+        F.concat(
+            F.lit("sub"), (eid % 3).cast("string"), F.lit(".site"), d, F.lit(".com")
+        )
+    )
+    h = md5_hash64(F.concat(F.lit("j15u"), eid.cast("string")))
+    fr = e.select(
+        host.alias("origin_host"),
+        h.alias("url_hash"),
+        F.pmod(h, F.lit(3)).cast("int").alias("priority"),
+        F.col("ts").alias("published_ts"),
+    )
+    keyed = domains.with_registered_domain(
+        fr, domains.suffix_rules_df(spark), host_col="origin_host"
+    )
+    pend = keyed.select(
+        F.coalesce(F.col("registered_domain"), F.col("origin_host")).alias("host"),
+        "origin_host",
+        "url_hash",
+        "priority",
+        "published_ts",
+    )
+    budgets = pend.select("host").distinct().withColumn(
+        "budget", F.lit(J15_BUDGET)
+    )
+    popped = frontier_ops.pop_round(
+        pend, budgets, default_budget=J15_BUDGET, salts=8
+    )
+    return popped.select(
+        F.col("host").alias("politeness_key"),
+        "origin_host",
+        "url_hash",
+        "priority",
+    ).orderBy("politeness_key", "url_hash")
+
+
+J15_SQL = f"""
+WITH u AS (
+  SELECT CASE WHEN event_id % 5 = 4
+              THEN 'b' || (event_id % 40)::VARCHAR || '.ck'
+              ELSE 'sub' || (event_id % 3)::VARCHAR || '.site'
+                   || (event_id % 40)::VARCHAR || '.com' END AS origin_host,
+         CASE WHEN event_id % 5 = 4
+              THEN 'b' || (event_id % 40)::VARCHAR || '.ck'
+              ELSE 'site' || (event_id % 40)::VARCHAR || '.com'
+         END AS politeness_key,
+         {_J15_H} AS url_hash,
+         ((({_J15_H}) % 3) + 3) % 3 AS priority,
+         ts AS published_ts
+  FROM events
+),
+r AS (
+  SELECT politeness_key, origin_host, url_hash, priority,
+         row_number() OVER (
+           PARTITION BY politeness_key
+           ORDER BY priority, published_ts, url_hash
+         ) AS rn
+  FROM u
+)
+SELECT politeness_key, origin_host, url_hash, priority::INT AS priority
+FROM r WHERE rn <= {J15_BUDGET}
+ORDER BY politeness_key, url_hash
+"""
+
+
 # ===========================================================================
 # registry
 
@@ -7025,6 +7126,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p15_registered_domain": p15_registered_domain,
     "g5_hits": g5_hits,
     "g6_mirror_clusters": g6_mirror_clusters,
+    "j15_domain_budget_pop": j15_domain_budget_pop,
     "f3_surt_key": f3_surt_key,
     "d7_mirror_hosts": d7_mirror_hosts,
     "c1_crawl_delay": c1_crawl_delay,
@@ -7141,6 +7243,7 @@ ORACLES: dict[str, str] = {
     "p15_registered_domain": P15_SQL,
     "g5_hits": G5_SQL,
     "g6_mirror_clusters": G6_SQL,
+    "j15_domain_budget_pop": J15_SQL,
     "f3_surt_key": F3_SQL,
     "d7_mirror_hosts": D7_SQL,
     "c1_crawl_delay": C1_SQL,
