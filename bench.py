@@ -127,6 +127,7 @@ HEADLINE = [
     "g5_hits",
     "g6_mirror_clusters",
     "j15_domain_budget_pop",
+    "g7_opic_cash",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by

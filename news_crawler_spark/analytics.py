@@ -4555,6 +4555,59 @@ G5_SQL = (
 )
 
 
+def g7_opic_cash(spark, sf):
+    """Integer OPIC (operators/graph.opic_cash) under the hard gate —
+    the ONLINE importance scheduler (Abiteboul WWW 2003; Nutch's
+    default): 3 greedy rounds of fetching the k=20 richest hosts on
+    the g1 link graph, cash moving to history and splitting ``div
+    outdeg`` across out-links. Unlike g1/g5 (offline scores over the
+    complete graph) the fetch ORDER feeds back into the scores, so the
+    twin must replay the greedy rank-cut of every round: a drift in
+    the tie-break (cash desc, host asc), the fetched-dangling cash
+    drop, or the zero-then-receive same-round transfer breaks the
+    value hash on all 200 (cash, history) pairs."""
+    from .operators import graph
+
+    return (
+        graph.opic_cash(_g1_edges(spark, sf), rounds=3, k=20)
+        .select(F.col("node").alias("host"), "cash", "history")
+        .orderBy("host")
+    )
+
+
+_G7_STEP = """
+f{i} AS MATERIALIZED (
+  SELECT node, cash, history,
+         (row_number() OVER (ORDER BY cash DESC, node)) <= 20 AS fetch
+  FROM s{p}
+),
+c{i} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(f.cash // d.outdeg)::BIGINT AS contrib
+  FROM edges e
+  JOIN deg d ON d.src = e.src
+  JOIN f{i} f ON f.node = e.src AND f.fetch
+  GROUP BY e.dst
+),
+s{i} AS MATERIALIZED (
+  SELECT f.node,
+         (CASE WHEN f.fetch THEN 0 ELSE f.cash END
+          + coalesce(c.contrib, 0))::BIGINT AS cash,
+         (f.history
+          + CASE WHEN f.fetch THEN f.cash ELSE 0 END)::BIGINT AS history
+  FROM f{i} f LEFT JOIN c{i} c USING (node)
+)
+"""
+
+G7_SQL = (
+    "WITH "
+    + _G1_EDGE_SQL.strip()
+    + ",\ns0 AS (SELECT h AS node, 1000000::BIGINT AS cash,"
+    + " 0::BIGINT AS history FROM nodes),"
+    + ",".join(_G7_STEP.strip().format(i=i, p=i - 1) for i in (1, 2, 3))
+    + "\nSELECT node AS host, cash, history FROM s3 ORDER BY host"
+)
+
+
 G2_TOTAL = 1000
 
 
@@ -7127,6 +7180,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g5_hits": g5_hits,
     "g6_mirror_clusters": g6_mirror_clusters,
     "j15_domain_budget_pop": j15_domain_budget_pop,
+    "g7_opic_cash": g7_opic_cash,
     "f3_surt_key": f3_surt_key,
     "d7_mirror_hosts": d7_mirror_hosts,
     "c1_crawl_delay": c1_crawl_delay,
@@ -7244,6 +7298,7 @@ ORACLES: dict[str, str] = {
     "g5_hits": G5_SQL,
     "g6_mirror_clusters": G6_SQL,
     "j15_domain_budget_pop": J15_SQL,
+    "g7_opic_cash": G7_SQL,
     "f3_surt_key": F3_SQL,
     "d7_mirror_hosts": D7_SQL,
     "c1_crawl_delay": C1_SQL,

@@ -164,6 +164,93 @@ def hits_int(
     )
 
 
+def opic_cash(
+    edges: DataFrame,
+    rounds: int = 3,
+    k: int = 20,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Integer OPIC (Abiteboul et al., WWW 2003: On-line Page Importance
+    Computation — the adaptive scheduler Nutch shipped) over ``(src,
+    dst)`` edges → ``(node, cash, history)`` after ``rounds`` greedy
+    fetch rounds of ``k`` hosts each.
+
+    PageRank/HITS (above) are OFFLINE scores — they need the whole graph
+    before the crawl can be prioritized. OPIC is the online one: every
+    node starts with equal cash; each round the k richest nodes are
+    "fetched" — their cash moves to history and splits ``cash div
+    outdeg`` across their out-neighbors — so importance concentrates
+    WHILE the crawl runs and hubs are re-fetched as their cash
+    re-accumulates. ``history + cash`` converges to importance; the
+    greedy policy IS the frontier ordering.
+
+    Determinism contract (the g1/g5 twin rules): all-integer cash
+    (initial = ``scale``), ``div`` floor division on the split (the
+    remainder and the cash of fetched dangling nodes vanish —
+    deterministic and identical in both engines), fetch set = rank ≤ k
+    by (cash desc, node asc) so ties never depend on partitioning.
+
+    Scale shape: cash/history live on the |hosts|-row vector (the
+    pagerank recipe — broadcast against the edge list, partial-agg
+    groupBy(dst) absorbs hub in-degree skew map-side). The fetch-set
+    rank is a window over that host-dim vector: |hosts| rows through
+    one sort per round — the frame is host-level by construction,
+    never URL-level (at 10^7 hosts switch the rank to the two-phase
+    salted top-k in frontier.pop_round; same order, same output)."""
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__outdeg"))
+    ej = e.join(deg, "src").localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    state = nodes.select(
+        "node",
+        F.lit(scale).cast("long").alias("cash"),
+        F.lit(0).cast("long").alias("history"),
+    )
+    w = Window.orderBy(F.col("cash").desc(), F.col("node").asc())
+    for r in range(rounds):
+        if r > 0:
+            state = state.localCheckpoint(eager=True)
+        ranked = state.withColumn("__fetch", F.row_number().over(w) <= k)
+        contrib = (
+            ej.join(
+                F.broadcast(ranked.where("__fetch").select("node", "cash")),
+                ej["src"] == F.col("node"),
+            )
+            .select("dst", F.expr("cash div __outdeg").alias("__share"))
+            .groupBy("dst")
+            .agg(F.sum("__share").alias("__contrib"))
+        )
+        state = (
+            ranked.join(
+                F.broadcast(contrib), ranked["node"] == contrib["dst"], "left"
+            )
+            .select(
+                "node",
+                (
+                    F.when(F.col("__fetch"), F.lit(0).cast("long")).otherwise(
+                        F.col("cash")
+                    )
+                    + F.coalesce(F.col("__contrib"), F.lit(0).cast("long"))
+                ).alias("cash"),
+                (
+                    F.col("history")
+                    + F.when(F.col("__fetch"), F.col("cash")).otherwise(
+                        F.lit(0).cast("long")
+                    )
+                ).alias("history"),
+            )
+        )
+    return state
+
+
 def _doubling_iters(max_hops: int) -> int:
     """Joins needed to follow up to max_hops redirects by path doubling:
     after k rounds a row has composed up to 2^k consecutive edges."""

