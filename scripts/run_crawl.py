@@ -51,13 +51,19 @@ def main() -> None:
                     default=None,
                     help="approximate pre-pass for incremental-ingest "
                          "anti-joins (steady state, |seen| >> |batch|)")
+    ap.add_argument("--robots-grammar", choices=("prefix", "rfc9309"),
+                    default="prefix",
+                    help="robots rule grammar: plain path prefixes, or "
+                         "the full RFC 9309 wildcard grammar ('*', "
+                         "trailing '$') big sites ship")
     args = ap.parse_args()
 
     spark = get_spark(app_name="crawl_run", cores=args.cpus, master=args.master)
     eng = CrawlEngine(spark, args.workdir, default_refill=args.refill,
                       merge_mode=args.merge_mode,
                       compact_every=args.compact_every,
-                      seen_prefilter=args.seen_prefilter)
+                      seen_prefilter=args.seen_prefilter,
+                      robots_grammar=args.robots_grammar)
 
     t0 = time.perf_counter()
     if eng.catalog.latest_round() is None:
