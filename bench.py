@@ -128,6 +128,8 @@ HEADLINE = [
     "g6_mirror_clusters",
     "j15_domain_budget_pop",
     "g7_opic_cash",
+    "g8_trustrank",
+    "g9_crawl_depth",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by

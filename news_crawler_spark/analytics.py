@@ -4418,12 +4418,17 @@ LIMIT {DSIR_TOP_M}
 """
 
 
-def _g1_edges(spark, sf) -> DataFrame:
+def _g1_edges(spark, sf, limit_events: int | None = None) -> DataFrame:
     """Deterministic host link graph from the events table (the j-gate
     md5 synthesis convention): 200 hosts, one candidate edge per event,
     with every 4th event pointing into a 10-host hub set — the
-    in-degree skew real link graphs have (news front pages, CDNs)."""
+    in-degree skew real link graphs have (news front pages, CDNs).
+    ``limit_events`` keeps only ``event_id < limit_events`` rows —
+    g9 uses it to get a SPARSE graph (≈2 out-edges/host) where BFS
+    depth actually spreads over several levels."""
     ev = load(spark, sf, "events")
+    if limit_events is not None:
+        ev = ev.where(F.col("event_id") < limit_events)
     h = lambda tag: F.conv(
         F.substring(F.md5(F.concat(F.lit(tag), F.col("event_id").cast("string"))), 1, 4),
         16,
@@ -4605,6 +4610,109 @@ G7_SQL = (
     + " 0::BIGINT AS history FROM nodes),"
     + ",".join(_G7_STEP.strip().format(i=i, p=i - 1) for i in (1, 2, 3))
     + "\nSELECT node AS host, cash, history FROM s3 ORDER BY host"
+)
+
+
+def g8_trustrank(spark, sf):
+    """Integer TrustRank (operators/graph.trustrank_int) over the g1
+    link graph with the planted 10-host hub set as the TRUSTED seeds —
+    the anti-spam arm of the link-priority family (g1 global PageRank,
+    g5 HITS, g7 online OPIC, g8 trust-capped): teleport mass lands on
+    vetted hosts only, so a host scores only if a link path from a
+    trusted one reaches it, and link farms with no trusted in-path
+    converge to 0. Generalizes the reference's fixed five-source
+    whitelist (collectors/{isna,irna,...} are a degenerate seed set)
+    to an open frontier. 3 iterations of the exact-integer g1
+    pipeline (scaled trust, div floor division, seed-only base term),
+    so the unrolled-CTE DuckDB twin replays every iteration
+    bit-for-bit — a drift in the seed indicator join, the teleport
+    gating, or the damping split breaks the value hash on all 200
+    hosts."""
+    from .operators import graph
+
+    seeds = spark.range(10).select(F.col("id").alias("node"))
+    return (
+        graph.trustrank_int(_g1_edges(spark, sf), seeds, iters=3)
+        .select(F.col("node").alias("host"), "trust")
+        .orderBy("host")
+    )
+
+
+_G8_STEP = """
+c{i} AS (
+  SELECT e.dst AS h, sum(r.r // d.outdeg)::BIGINT AS contrib
+  FROM edges e JOIN deg d ON e.src = d.src JOIN r{p} r ON r.h = e.src
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT n.h,
+         ((CASE WHEN n.h < 10 THEN 150000 ELSE 0 END)
+          + (85 * COALESCE(c.contrib, 0)) // 100)::BIGINT AS r
+  FROM nodes n LEFT JOIN c{i} c ON c.h = n.h
+)
+"""
+
+G8_SQL = (
+    "WITH " + _G1_EDGE_SQL.strip()
+    + ",\nr0 AS (SELECT h, (CASE WHEN h < 10 THEN 1000000 ELSE 0 END)::BIGINT"
+    + " AS r FROM nodes),"
+    + ",".join(_G8_STEP.strip().format(i=i, p=i - 1) for i in (1, 2, 3))
+    + "\nSELECT h AS host, r AS trust FROM r3 ORDER BY host"
+)
+
+
+G9_EDGE_LIMIT = 400
+G9_MAX_DEPTH = 4
+
+
+def g9_crawl_depth(spark, sf):
+    """BFS crawl depth (operators/graph.bfs_depth) from the 10 trusted
+    hub hosts over a SPARSE slice of the g1 graph (event_id < 400 →
+    ≈2 out-edges/host, so depth actually spreads over several levels
+    and some hosts stay unreached) — depth-limited crawling, the
+    oldest frontier policy there is: every production crawler caps hop
+    distance from its seeds, and depth is the classic within-host
+    tie-breaker under j15's per-domain budgets. One broadcast join +
+    one min-agg per level, integer-exact by construction, so the
+    level-by-level unrolled DuckDB twin replays the min-plus
+    recurrence bit-for-bit — a drift in the seed depth-0 anchoring,
+    the min over multiple in-paths, or the level cap breaks the value
+    hash (seeds must stay depth 0 even when re-entered by an edge)."""
+    from .operators import graph
+
+    seeds = spark.range(10).select(F.col("id").alias("node"))
+    return (
+        graph.bfs_depth(
+            _g1_edges(spark, sf, limit_events=G9_EDGE_LIMIT),
+            seeds,
+            max_depth=G9_MAX_DEPTH,
+        )
+        .select(F.col("node").alias("host"), "depth")
+        .orderBy("host")
+    )
+
+
+_G9_STEP = """
+d{i} AS (
+  SELECT h, min(depth)::BIGINT AS depth FROM (
+    SELECT h, depth FROM d{p}
+    UNION ALL
+    SELECT e.dst AS h, d.depth + 1 AS depth
+    FROM edges e JOIN d{p} d ON e.src = d.h
+  ) GROUP BY h
+)
+"""
+
+G9_SQL = (
+    "WITH "
+    + _G1_EDGE_SQL.strip().replace(
+        "FROM events", f"FROM events WHERE event_id < {G9_EDGE_LIMIT}"
+    )
+    + ",\nd0 AS (SELECT id::BIGINT AS h, 0::BIGINT AS depth FROM range(10) t(id)),"
+    + ",".join(
+        _G9_STEP.strip().format(i=i, p=i - 1) for i in range(1, G9_MAX_DEPTH + 1)
+    )
+    + f"\nSELECT h AS host, depth FROM d{G9_MAX_DEPTH} ORDER BY host"
 )
 
 
@@ -7181,6 +7289,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g6_mirror_clusters": g6_mirror_clusters,
     "j15_domain_budget_pop": j15_domain_budget_pop,
     "g7_opic_cash": g7_opic_cash,
+    "g8_trustrank": g8_trustrank,
+    "g9_crawl_depth": g9_crawl_depth,
     "f3_surt_key": f3_surt_key,
     "d7_mirror_hosts": d7_mirror_hosts,
     "c1_crawl_delay": c1_crawl_delay,
@@ -7299,6 +7409,8 @@ ORACLES: dict[str, str] = {
     "g6_mirror_clusters": G6_SQL,
     "j15_domain_budget_pop": J15_SQL,
     "g7_opic_cash": G7_SQL,
+    "g8_trustrank": G8_SQL,
+    "g9_crawl_depth": G9_SQL,
     "f3_surt_key": F3_SQL,
     "d7_mirror_hosts": D7_SQL,
     "c1_crawl_delay": C1_SQL,

@@ -353,3 +353,134 @@ def anchor_summary(links: DataFrame, k: int = 3) -> DataFrame:
         .where(F.col("rank") <= k)
         .select("dst", "anchor", "cnt", "rank", "n_inlinks", "n_anchors")
     )
+
+
+def trustrank_int(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Integer TrustRank (Gyöngyi/Garcia-Molina/Pedersen, VLDB 2004)
+    over ``(src, dst)`` edges and a ``(node)`` trusted-seed set →
+    ``(node, trust)``.
+
+    PageRank (above) is spammable — a link farm manufactures rank out
+    of thin air. TrustRank biases the teleport to a hand-vetted seed
+    set, so score can only REACH a host through a link path from a
+    trusted one; farm clusters with no trusted in-path converge to 0.
+    For the crawl scheduler this is the anti-spam arm of the priority
+    trio: g1 ranks by global link mass, g7 adapts online, g8 caps both
+    by trust reachability (the reference's fixed five-source whitelist,
+    ``collectors/*``, IS a degenerate seed set — this is the operator
+    that generalizes it to an open frontier).
+
+    Same skeleton and determinism contract as ``pagerank_int`` — the
+    ONLY change is the teleport term: ``base`` lands on seed nodes
+    only (trust⁰ likewise), everything else is the identical integer
+    pipeline, so the unrolled-CTE DuckDB twin (analytics.G8_SQL)
+    replays every iteration bit-for-bit. Scale shape unchanged: the
+    seed set is a dim (hundreds of vetted hosts real-world) joined
+    broadcast onto the |hosts|-row vector; the edge list only ever
+    meets the broadcast rank vector."""
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__outdeg"))
+    ej = e.join(deg, "src").localCheckpoint(eager=True)
+    sd = seeds.select(F.col("node").cast("long").alias("node")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .unionByName(sd)
+        .distinct()
+        .join(F.broadcast(sd.withColumn("__seed", F.lit(True))), "node", "left")
+        .select("node", F.coalesce("__seed", F.lit(False)).alias("__seed"))
+        .localCheckpoint(eager=True)
+    )
+    base = (scale * (damping_den - damping_num)) // damping_den
+    seed_base = F.when(F.col("__seed"), F.lit(base)).otherwise(F.lit(0))
+    ranks = nodes.select(
+        "node",
+        F.when(F.col("__seed"), F.lit(scale))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("trust"),
+    )
+    for it in range(iters):
+        if it > 0:
+            ranks = ranks.localCheckpoint(eager=True)
+        contrib = (
+            ej.join(F.broadcast(ranks), ej["src"] == ranks["node"])
+            .select("dst", F.expr("trust div __outdeg").alias("__share"))
+            .groupBy("dst")
+            .agg(F.sum("__share").alias("__contrib"))
+        )
+        ranks = nodes.join(
+            F.broadcast(contrib), nodes["node"] == contrib["dst"], "left"
+        ).select(
+            "node",
+            (
+                seed_base
+                + F.expr(
+                    f"({damping_num} * coalesce(__contrib, 0L))"
+                    f" div {damping_den}"
+                )
+            ).cast("long").alias("trust"),
+        )
+    return ranks
+
+
+def bfs_depth(edges: DataFrame, seeds: DataFrame, max_depth: int = 4) -> DataFrame:
+    """Breadth-first crawl depth over ``(src, dst)`` edges from a
+    ``(node)`` seed set → ``(node, depth)`` for every node within
+    ``max_depth`` hops (depth = length of the SHORTEST link path from
+    any seed).
+
+    Depth-limited crawling is the oldest frontier policy there is
+    (every production crawler caps hop distance from its seeds —
+    beyond a few hops lies the infinite calendar/session-id tail that
+    p11/p13 catch by shape; this catches it by distance). The depth
+    column is also the classic tie-breaker under j15's per-domain
+    budgets: shallow pages first within a host.
+
+    Spark-first shape: one broadcast join + one min-agg per level —
+    the (node, depth) vector is host-dim (|reached nodes| rows),
+    broadcast against the edge list exactly like the g1/g5/g7/g8 rank
+    vectors; the per-level shuffle is the partial-agg ``min(depth)``
+    groupBy, which absorbs hub fan-in map-side. Levels are unrolled
+    (max_depth is small by policy — that is the point of the cap), the
+    vector localCheckpoint'ed per level (O(1)-deep lineage). Unlike
+    g3's pointer-doubling (which composes PATHS and needs the chain
+    relation), min-plus BFS re-expands from the full reached set, so
+    linear unrolling is the right recurrence. Integer-exact by
+    construction (depths are counters), so the DuckDB twin
+    (analytics.G9_SQL) replays every level bit-for-bit."""
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    )
+    reached = (
+        seeds.select(F.col("node").cast("long").alias("node"))
+        .distinct()
+        .withColumn("depth", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    for level in range(max_depth):
+        expanded = (
+            e.join(F.broadcast(reached), e["src"] == reached["node"])
+            .select(F.col("dst").alias("node"), (F.col("depth") + 1).alias("depth"))
+            .unionByName(reached.select("node", "depth"))
+            .groupBy("node")
+            .agg(F.min("depth").cast("long").alias("depth"))
+        )
+        # last level stays lazy so callers see the real plan
+        reached = (
+            expanded.localCheckpoint(eager=True)
+            if level < max_depth - 1
+            else expanded
+        )
+    return reached

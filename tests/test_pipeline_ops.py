@@ -1148,6 +1148,95 @@ def test_pagerank_feeds_frontier_priority(spark):
     assert [r.host for r in by_prio][:2] == want_order[:2]
 
 
+def py_trustrank_int(edges, seeds, iters=3, num=85, den=100, scale=1_000_000):
+    """Straight-line python twin of graph.trustrank_int (exact ints)."""
+    nodes = sorted({n for e in edges for n in e} | set(seeds))
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    base = (scale * (den - num)) // den
+    r = {n: (scale if n in seeds else 0) for n in nodes}
+    for _ in range(iters):
+        contrib = {n: 0 for n in nodes}
+        for s, d in edges:
+            contrib[d] += r[s] // outdeg[s]
+        r = {
+            n: (base if n in seeds else 0) + (num * contrib[n]) // den
+            for n in nodes
+        }
+    return r
+
+
+def test_trustrank_blocks_unreachable_farm(spark):
+    """Trusted chain 0->1->2 plus a detached link farm 7<->8 that also
+    mass-links INTO node 9: with seeds={0}, trust flows down the chain
+    (0 > 1 > 2 > 0-for-the-farm), the farm and its target converge to
+    exactly 0 despite their in-links, and every value equals the
+    integer twin bit-for-bit. Same edges under plain PageRank give the
+    farm nodes NON-zero rank — the anti-spam property is the diff."""
+    from news_crawler_spark.operators import graph
+
+    edges = [(0, 1), (1, 2), (7, 8), (8, 7), (7, 9), (8, 9)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {
+        r.node: r.trust
+        for r in graph.trustrank_int(df, seeds, iters=3).collect()
+    }
+    assert got == py_trustrank_int(edges, {0})
+    assert got[0] > got[1] > got[2] > 0
+    assert got[7] == got[8] == got[9] == 0
+    pr = {r.node: r["rank"] for r in graph.pagerank_int(df, iters=3).collect()}
+    assert pr[9] > 0  # plain PageRank pays the farm; TrustRank doesn't
+
+
+def test_trustrank_seed_outside_edge_graph_kept(spark):
+    """A seed with no edges at all must still appear with the pure
+    teleport fixed point (trust = base), not vanish from the output."""
+    from news_crawler_spark.operators import graph
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    seeds = spark.createDataFrame([(5,)], "node long")
+    got = {
+        r.node: r.trust
+        for r in graph.trustrank_int(df, seeds, iters=3).collect()
+    }
+    assert got[5] == 150_000 and got[1] == 0 and got[2] == 0
+
+
+def test_bfs_depth_shortest_path_and_cap(spark):
+    """Chain 0->1->2->3->4->5 with a shortcut 0->3 and a back-edge
+    3->0: depth is the SHORTEST path (3 via the shortcut = 1, not 3),
+    the seed stays 0 even though 3->0 re-enters it, the cap drops
+    nodes beyond max_depth (5 is 3 hops via shortcut — present at
+    max_depth=3, absent at 2), and unreached components never appear."""
+    from news_crawler_spark.operators import graph
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (0, 3), (3, 0), (8, 9)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r.node: r.depth for r in graph.bfs_depth(df, seeds, max_depth=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 2, 5: 3}
+    got2 = {r.node: r.depth for r in graph.bfs_depth(df, seeds, max_depth=2).collect()}
+    assert got2 == {0: 0, 1: 1, 2: 2, 3: 1, 4: 2}
+
+
+def test_bfs_depth_broadcasts_reached_vector(spark):
+    """Per level the edge list must meet the reached vector via
+    broadcast — no sort-merge join in the final plan (the g1/g5/g7/g8
+    vector contract)."""
+    from news_crawler_spark.operators import graph
+
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 20) for i in range(40)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,), (1,)], "node long")
+    out = graph.bfs_depth(df, seeds, max_depth=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_semdedup_prunes_within_cell_only(spark):
     """SemDeDup on two planted clusters: near-identical twins inside a
     cell collapse to the min-id survivor (witness = that id); equally
