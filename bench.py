@@ -130,6 +130,7 @@ HEADLINE = [
     "g7_opic_cash",
     "g8_trustrank",
     "g9_crawl_depth",
+    "c3_robots_sitemaps",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by

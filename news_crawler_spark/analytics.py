@@ -5124,6 +5124,128 @@ ORDER BY host
 """
 
 
+def c3_robots_sitemaps(spark, sf):
+    """Robots ``Sitemap:`` directive extraction (frontier.
+    robots_sitemaps) under the hard gate — the discovery seam: the
+    reference hard-codes each source's sitemap URL
+    (collectors/tasnim, collectors/donya sitemap scans); the sitemaps
+    protocol says hosts ADVERTISE them in robots.txt, and this closes
+    robots → sitemap → s2 article discovery for an open frontier.
+    Input BY CONSTRUCTION: 42 hosts whose bodies weave every parse
+    path — mixed-case ``SiteMap :`` with whitespace before the colon
+    and a tab after it plus a trailing CR (space-only trim() drops BOTH — the CRLF-body trap, pinned), uppercase
+    URL host with mixed-case path (host folds, PATH BYTES preserved),
+    a no-space ``sitemap:`` cross-host CDN line (cross_host=1), a
+    ``sitemap-index:`` near-miss that must NOT match, a relative
+    value and an ftp:// value that must drop, and an exact duplicate
+    line that distinct must collapse — so the value hash pins the
+    directive regex, first-colon value split, case policy, scheme
+    gate, host extraction and the dedup at once."""
+    from .operators import frontier as frontier_ops
+
+    e = load(spark, sf, "events").where(F.col("event_id") < 42)
+    eid = F.col("event_id")
+    es = eid.cast("string")
+    l2 = F.when(
+        eid % 2 == 0,
+        F.concat(
+            F.lit("Sitemap: https://h"),
+            es,
+            F.lit(".example/sitemap-"),
+            (eid % 5).cast("string"),
+            F.lit(".xml"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("SiteMap :\thttps://H"),
+            es,
+            F.lit(".EXAMPLE/News-"),
+            es,
+            F.lit(".XML\r"),
+        )
+    )
+    body = F.concat_ws(
+        "\n",
+        F.lit("User-agent: *"),
+        l2,
+        F.when(
+            eid % 3 == 0,
+            F.concat(F.lit("sitemap:https://cdn.example/h"), es, F.lit("/s.xml")),
+        ).otherwise(F.lit("")),
+        F.when(
+            eid % 4 == 0,
+            F.concat(
+                F.lit("sitemap-index: https://h"), es, F.lit(".example/ignored.xml")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(eid % 5 == 0, F.lit("Sitemap: /relative/sitemap.xml")).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            eid % 6 == 0,
+            F.concat(F.lit("Sitemap: ftp://h"), es, F.lit(".example/s.xml")),
+        ).otherwise(F.lit("")),
+        F.when(eid % 7 == 0, l2).otherwise(F.lit("")),
+        F.lit("Disallow: /private"),
+    )
+    robots = e.select(
+        F.concat(F.lit("h"), es, F.lit(".example")).alias("host"),
+        body.alias("robots_txt"),
+    )
+    return frontier_ops.robots_sitemaps(robots).orderBy("host", "sitemap_url")
+
+
+_C3_L2 = (
+    "CASE WHEN event_id % 2 = 0"
+    " THEN 'Sitemap: https://h' || event_id::VARCHAR || '.example/sitemap-'"
+    " || (event_id % 5)::VARCHAR || '.xml'"
+    " ELSE 'SiteMap :' || chr(9) || 'https://H' || event_id::VARCHAR"
+    " || '.EXAMPLE/News-' || event_id::VARCHAR || '.XML' || chr(13) END"
+)
+
+C3_SQL = f"""
+WITH r AS (
+  SELECT 'h' || event_id::VARCHAR || '.example' AS host,
+         'User-agent: *' || chr(10) ||
+         {_C3_L2} || chr(10) ||
+         CASE WHEN event_id % 3 = 0
+              THEN 'sitemap:https://cdn.example/h' || event_id::VARCHAR || '/s.xml'
+              ELSE '' END || chr(10) ||
+         CASE WHEN event_id % 4 = 0
+              THEN 'sitemap-index: https://h' || event_id::VARCHAR || '.example/ignored.xml'
+              ELSE '' END || chr(10) ||
+         CASE WHEN event_id % 5 = 0
+              THEN 'Sitemap: /relative/sitemap.xml' ELSE '' END || chr(10) ||
+         CASE WHEN event_id % 6 = 0
+              THEN 'Sitemap: ftp://h' || event_id::VARCHAR || '.example/s.xml'
+              ELSE '' END || chr(10) ||
+         CASE WHEN event_id % 7 = 0 THEN {_C3_L2} ELSE '' END || chr(10) ||
+         'Disallow: /private' AS robots_txt
+  FROM events WHERE event_id < 42
+),
+lines AS (
+  SELECT host, trim(parts[t.i], ' ' || chr(9) || chr(13)) AS line
+  FROM (SELECT host, string_split(robots_txt, chr(10)) AS parts FROM r),
+       unnest(range(1, len(parts) + 1)) AS t(i)
+),
+cand AS (
+  SELECT host, trim(substr(line, strpos(line, ':') + 1), ' ' || chr(9) || chr(13)) AS sitemap_url
+  FROM lines WHERE regexp_matches(lower(line), '^sitemap[ \\t]*:')
+),
+ok AS (
+  SELECT host, sitemap_url,
+         lower(regexp_extract(sitemap_url, '^[a-zA-Z]+://([^/]+)', 1))
+           AS sitemap_host
+  FROM cand
+  WHERE lower(sitemap_url) LIKE 'http://%'
+     OR lower(sitemap_url) LIKE 'https://%'
+)
+SELECT DISTINCT host, sitemap_url, sitemap_host,
+       (CASE WHEN sitemap_host <> host THEN 1 ELSE 0 END)::BIGINT AS cross_host
+FROM ok ORDER BY host, sitemap_url
+"""
+
+
 def c2_rendezvous_shards(spark, sf):
     """Rendezvous (highest-random-weight) host→fetcher-shard assignment
     (frontier.rendezvous_assign) under the hard gate. Politeness makes
@@ -7290,6 +7412,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j15_domain_budget_pop": j15_domain_budget_pop,
     "g7_opic_cash": g7_opic_cash,
     "g8_trustrank": g8_trustrank,
+    "c3_robots_sitemaps": c3_robots_sitemaps,
     "g9_crawl_depth": g9_crawl_depth,
     "f3_surt_key": f3_surt_key,
     "d7_mirror_hosts": d7_mirror_hosts,
@@ -7410,6 +7533,7 @@ ORACLES: dict[str, str] = {
     "j15_domain_budget_pop": J15_SQL,
     "g7_opic_cash": G7_SQL,
     "g8_trustrank": G8_SQL,
+    "c3_robots_sitemaps": C3_SQL,
     "g9_crawl_depth": G9_SQL,
     "f3_surt_key": F3_SQL,
     "d7_mirror_hosts": D7_SQL,

@@ -395,6 +395,66 @@ def crawl_delay_tokens(
     )
 
 
+def robots_sitemaps(robots_txt: DataFrame) -> DataFrame:
+    """Extract ``Sitemap:`` directives from raw robots.txt bodies —
+    the discovery seam the reference hard-codes: its collectors carry
+    fixed sitemap URL lists per source (Tasnim/Donya sitemap scans),
+    while the sitemaps protocol says a host ADVERTISES them in
+    robots.txt; this operator turns fetched robots bodies into the
+    sitemap URL list that feeds ``sources.discover`` (s2), closing
+    robots → sitemap → article discovery for an open frontier.
+
+    Input ``(host, robots_txt)``; output one row per distinct
+    ``(host, sitemap_url)`` with ``sitemap_host`` (lowercased host of
+    the advertised URL) and ``cross_host`` (0/1 — sitemap served off
+    the advertising host, e.g. a CDN; the sitemaps spec says such
+    references need cross-host trust, so callers get the flag, not a
+    silent drop). Parsing rules, each deliberate: the field name is
+    case-insensitive with optional whitespace before the colon
+    (``SiteMap :`` matches; ``sitemap-index:`` does not); the VALUE
+    keeps its original bytes (URL paths are case-sensitive) while the
+    scheme check and ``sitemap_host`` fold case; only absolute
+    http(s) URLs survive (relative and non-http values drop —
+    per-spec the directive takes a full URL).
+
+    Set-at-a-time, all JVM-side (the ``crawl_delay_tokens`` recipe):
+    split + posexplode over one row per HOST (~10^7 rows web-scale,
+    never corpus-sized), codegen'd string ops, one distinct. The
+    directive is section-independent per the sitemaps protocol, so no
+    sectionization pass is needed at all. Whitespace is trimmed as
+    space/tab/CR explicitly — plain ``trim()`` strips SPACES ONLY in
+    both Spark and DuckDB, which silently drops every tab-indented
+    value and every line of a CRLF robots body (most real ones)."""
+    lines = robots_txt.select(
+        "host", F.explode(F.split("robots_txt", "\n")).alias("line")
+    ).select("host", F.expr("trim(BOTH ' \\t\\r' FROM line)").alias("line"))
+    val = F.expr(
+        "trim(BOTH ' \\t\\r' FROM substring(line, instr(line, ':') + 1))"
+    )
+    cand = (
+        lines.where(F.lower("line").rlike("^sitemap[ \\t]*:"))
+        .select("host", val.alias("sitemap_url"))
+        .where(
+            F.lower("sitemap_url").startswith("http://")
+            | F.lower("sitemap_url").startswith("https://")
+        )
+    )
+    return (
+        cand.select(
+            "host",
+            "sitemap_url",
+            F.lower(
+                F.regexp_extract("sitemap_url", "^[a-zA-Z]+://([^/]+)", 1)
+            ).alias("sitemap_host"),
+        )
+        .withColumn(
+            "cross_host",
+            (F.col("sitemap_host") != F.col("host")).cast("long"),
+        )
+        .distinct()
+    )
+
+
 def rendezvous_assign(
     df: DataFrame,
     key_col: str = "host",

@@ -413,6 +413,63 @@ def test_crawl_delay_tokens_precedence_and_edges(spark):
     }
 
 
+def test_robots_sitemaps_every_parse_path(spark):
+    """Every parse path of frontier.robots_sitemaps: plain directive,
+    mixed-case field with whitespace before the colon and a tab after
+    it, a full CRLF body (every line carries \\r — the trap plain
+    space-only trim() drops), a cross-host CDN reference flagged not
+    dropped, URL path bytes preserved while the advertised host folds
+    case, sitemap-index: near-miss ignored, relative and ftp values
+    dropped, duplicate lines collapsed, and a host with no directive
+    absent from the output."""
+    from news_crawler_spark.operators import frontier as fops
+
+    rows = [
+        ("a.example", "User-agent: *\nSitemap: https://a.example/s1.xml\n"
+                      "Sitemap: https://a.example/s1.xml"),
+        ("b.example", "SiteMap :\thttps://B.EXAMPLE/News-7.XML"),
+        ("c.example", "User-agent: *\r\nsitemap:https://cdn.example/c/s.xml\r\n"
+                      "Disallow: /x\r"),
+        ("d.example", "sitemap-index: https://d.example/no.xml\n"
+                      "Sitemap: /relative.xml\nSitemap: ftp://d.example/s.xml"),
+        ("e.example", "User-agent: *\nDisallow: /private"),
+    ]
+    df = spark.createDataFrame(rows, "host string, robots_txt string")
+    got = {
+        (r.host, r.sitemap_url): (r.sitemap_host, r.cross_host)
+        for r in fops.robots_sitemaps(df).collect()
+    }
+    assert got == {
+        ("a.example", "https://a.example/s1.xml"): ("a.example", 0),
+        ("b.example", "https://B.EXAMPLE/News-7.XML"): ("b.example", 0),
+        ("c.example", "https://cdn.example/c/s.xml"): ("cdn.example", 1),
+    }
+
+
+def test_robots_sitemaps_feeds_discovery_hosts(spark):
+    """The discovery seam: extracted same-host sitemap URLs group per
+    host into the per-source scan list shape (one host, n sitemaps)
+    that sources-side scans consume."""
+    from news_crawler_spark.operators import frontier as fops
+
+    df = spark.createDataFrame(
+        [("t.example", "Sitemap: https://t.example/a.xml\n"
+                       "Sitemap: https://t.example/b.xml")],
+        "host string, robots_txt string",
+    )
+    per_host = (
+        fops.robots_sitemaps(df)
+        .where(F.col("cross_host") == 0)
+        .groupBy("host")
+        .agg(F.sort_array(F.collect_list("sitemap_url")).alias("sitemaps"))
+        .collect()
+    )
+    assert per_host[0].host == "t.example"
+    assert per_host[0].sitemaps == [
+        "https://t.example/a.xml", "https://t.example/b.xml",
+    ]
+
+
 def test_rendezvous_resize_moves_only_to_the_new_shard(spark):
     """The property hash-mod lacks and rendezvous guarantees: growing
     the fleet 8→9 moves ONLY the hosts the new shard wins — every
