@@ -131,6 +131,7 @@ HEADLINE = [
     "g8_trustrank",
     "g9_crawl_depth",
     "c3_robots_sitemaps",
+    "k2_segment_archive",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by

@@ -1959,6 +1959,55 @@ def _md5_h_sql(expr: str) -> str:
     )
 
 
+K2_SEGMENTS = 8
+
+
+def k2_segment_archive(spark, sf):
+    """WARC-style archival segments (operators/archive.pack_segments +
+    read_records) under the hard gate — the Common Crawl storage shape
+    the reference's per-row MySQL writers don't have: records
+    concatenated into immutable segment blobs + a byte-offset index,
+    so one document read is a ranged GET, never a scan. This query
+    runs the FULL roundtrip on the documents table: encode → header →
+    md5 segment assignment → running-offset window → ordered binary
+    fold into 8 blobs → index-join range read → decode; the output is
+    every doc's (segment_id, offset, length) plus the text read BACK
+    OUT of the blobs. The oracle recomputes the layout arithmetically
+    (utf-8 OCTET lengths — the Persian corpus makes bytes ≠ chars
+    real) and takes text from the source table, so a value-hash match
+    proves byte-exact reassembly: any drift in header bytes, offset
+    math, fold order, or the substring read breaks it."""
+    from .operators import archive
+
+    docs = load(spark, sf, "documents")
+    index, segments = archive.pack_segments(docs, n_segments=K2_SEGMENTS)
+    return archive.read_records(index, segments).orderBy("doc_id")
+
+
+K2_SQL = f"""
+WITH rec AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::BIGINT
+           % {K2_SEGMENTS} AS segment_id,
+         octet_length(encode(text)) AS pl,
+         octet_length(encode('WARC ' || doc_id::VARCHAR || ' '
+           || octet_length(encode(text))::VARCHAR || chr(10))) AS hdr,
+         text
+  FROM documents
+),
+laid AS (
+  SELECT doc_id, segment_id, (hdr + pl)::BIGINT AS length, text,
+         COALESCE(sum(hdr + pl) OVER (
+           PARTITION BY segment_id ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS "offset"
+  FROM rec
+)
+SELECT doc_id, segment_id, "offset", length, text
+FROM laid ORDER BY doc_id
+"""
+
+
 # ===========================================================================
 # T6/T7 — temporal joins (operators/joins.py): as-of and range containment
 
@@ -7413,6 +7462,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g7_opic_cash": g7_opic_cash,
     "g8_trustrank": g8_trustrank,
     "c3_robots_sitemaps": c3_robots_sitemaps,
+    "k2_segment_archive": k2_segment_archive,
     "g9_crawl_depth": g9_crawl_depth,
     "f3_surt_key": f3_surt_key,
     "d7_mirror_hosts": d7_mirror_hosts,
@@ -7534,6 +7584,7 @@ ORACLES: dict[str, str] = {
     "g7_opic_cash": G7_SQL,
     "g8_trustrank": G8_SQL,
     "c3_robots_sitemaps": C3_SQL,
+    "k2_segment_archive": K2_SQL,
     "g9_crawl_depth": G9_SQL,
     "f3_surt_key": F3_SQL,
     "d7_mirror_hosts": D7_SQL,

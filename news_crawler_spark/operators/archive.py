@@ -1,0 +1,134 @@
+"""WARC-style archival segments: concatenated records + byte-offset index.
+
+The reference stores each crawled article as a row in MySQL
+(``news_storage/`` writers); web-scale crawls store fetched content the
+Common Crawl way instead — records CONCATENATED into large immutable
+segment blobs plus a (doc → segment, offset, length) index, so reading
+one document is a ranged GET on object storage, never a scan, and the
+segment count (not the document count) sets the file-listing and
+small-object bill. This module is that layout as pure DataFrame ops:
+
+- ``pack_segments``: assign each document to a segment (md5 bucket —
+  deterministic, so both engines and any re-run agree), prefix each
+  payload with a tiny ASCII header (``WARC <doc_id> <payload-bytes>\\n``
+  — enough to re-identify a record when walking a blob without the
+  index, the property real WARC headers exist for), compute per-record
+  byte offsets with one running-sum window INSIDE each segment, and
+  fold the records into one binary blob per segment with an ordered
+  ``aggregate`` — all JVM-side (encode/concat/substring are codegen'd
+  on binary; no Python touches the bytes).
+- ``read_records``: the range-read path — join the index against the
+  (few, broadcast) segment blobs and slice ``substring(blob,
+  payload_offset+1, payload_length)``; locally the substring stands in
+  for the ranged GET, and the decode back to text is byte-exact.
+
+Scale shape: records shuffle ONCE on segment_id (16-byte key + the
+record bytes — the unavoidable write path); the running-offset window
+and the ordered fold both run per segment partition. Segment size is
+controlled by ``n_segments`` at call site (at 100 TB you size it so a
+blob is a few hundred MB — the object-store sweet spot); the index is
+the only thing later queries shuffle. Reads never open a blob a doc_id
+doesn't live in — the index prunes exactly like v9's partitioned IVF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_segments(
+    docs: DataFrame,
+    n_segments: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Pack ``(id, text)`` rows into archival segments.
+
+    Returns ``(index, segments)``: the index carries one row per doc —
+    ``(doc_id, segment_id, offset, length, payload_offset,
+    payload_length)`` in BYTES (utf-8 octets, not characters — the
+    Persian corpus makes the difference real) — and ``segments`` one
+    row per segment ``(segment_id, blob, n_records, total_bytes)``.
+    Offsets are 0-based from the start of the blob; ``offset`` points
+    at the record header, ``payload_offset`` past it. Records are laid
+    out in ``id`` order within a segment — deterministic, re-run
+    identical (the j-gate md5 convention)."""
+    payload = F.encode(F.col(text_col).cast("string"), "UTF-8")
+    header = F.encode(
+        F.concat(
+            F.lit("WARC "),
+            F.col(id_col).cast("string"),
+            F.lit(" "),
+            F.octet_length(payload).cast("string"),
+            F.lit("\n"),
+        ),
+        "UTF-8",
+    )
+    seg = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % n_segments
+    )
+    rec = docs.select(
+        F.col(id_col).alias("doc_id"),
+        seg.alias("segment_id"),
+        F.concat(header, payload).alias("record"),
+        F.octet_length(header).cast("long").alias("__hdr"),
+        F.octet_length(payload).cast("long").alias("payload_length"),
+    ).withColumn("length", (F.col("__hdr") + F.col("payload_length")))
+    w = (
+        Window.partitionBy("segment_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    indexed = rec.withColumn(
+        "offset", F.coalesce(F.sum("length").over(w), F.lit(0)).cast("long")
+    ).withColumn("payload_offset", (F.col("offset") + F.col("__hdr")).cast("long"))
+    index = indexed.select(
+        "doc_id",
+        "segment_id",
+        "offset",
+        F.col("length").cast("long").alias("length"),
+        "payload_offset",
+        F.col("payload_length").cast("long").alias("payload_length"),
+    )
+    segments = (
+        indexed.groupBy("segment_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("offset", "record"))).alias("__recs"),
+            F.count(F.lit(1)).cast("long").alias("n_records"),
+            F.sum("length").cast("long").alias("total_bytes"),
+        )
+        .select(
+            "segment_id",
+            F.expr(
+                "aggregate(__recs, cast('' as binary),"
+                " (acc, r) -> concat(acc, r.record))"
+            ).alias("blob"),
+            "n_records",
+            "total_bytes",
+        )
+    )
+    return index, segments
+
+
+def read_records(index: DataFrame, segments: DataFrame) -> DataFrame:
+    """The range-read path: slice each indexed record's payload back out
+    of its segment blob and decode — ``(doc_id, segment_id, offset,
+    length, text)``, byte-exact vs the packed input. Blobs are few and
+    broadcast; the substring is the local stand-in for a ranged GET on
+    object storage (offset/length are exactly the HTTP Range header a
+    cluster reader sends)."""
+    return index.join(
+        F.broadcast(segments.select("segment_id", "blob")), "segment_id"
+    ).select(
+        "doc_id",
+        "segment_id",
+        "offset",
+        "length",
+        F.decode(
+            F.expr("substring(blob, payload_offset + 1, payload_length)"),
+            "UTF-8",
+        ).alias("text"),
+    )
