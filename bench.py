@@ -132,6 +132,9 @@ HEADLINE = [
     "g9_crawl_depth",
     "c3_robots_sitemaps",
     "k2_segment_archive",
+    "k3_cdx_latest",
+    "d8_cdc_chunks",
+    "x35_hll_registers",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by

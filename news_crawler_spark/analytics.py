@@ -7358,6 +7358,204 @@ ORDER BY politeness_key, url_hash
 
 
 # ===========================================================================
+# K3 — CDX latest-capture resolution (operators/archive.cdx_resolve)
+
+K3_URLS = 500  # distinct urlkeys in the synthesized capture stream
+
+
+def k3_cdx_latest(spark, sf):
+    """CDX-index resolution under the hard gate (operators/archive.
+    cdx_resolve): the "what is the current content of this URL, and
+    which capture stores its bytes" query a WARC archive answers from
+    its CDX index — latest capture per SURT urlkey plus WARC-revisit
+    accounting (a re-fetch whose digest matches an earlier capture
+    stores no payload; the index must point reads at the ORIGINAL
+    record). The capture stream is synthesized from events: ~|events|/
+    {K3_URLS} captures per urlkey, capture_ts = event_id (unique →
+    deterministic arg-max), content version cycling (event_id%7)%3 so
+    most urlkeys see revisits AND content churn. The twin replays both
+    aggregation levels with arg_max, so a wrong revisit count, a
+    latest-capture tie-break, or a payload pointer at the wrong
+    generation all break the value hash. Scale shape is cdx_resolve's:
+    two map-side-combined aggs keyed on urlkey, shuffle carries digest
+    summaries, never captures."""
+    from .operators import archive
+
+    e = load(spark, sf, "events")
+    eid = F.col("event_id")
+    uid = eid % K3_URLS
+    urlkey = F.concat(
+        F.lit("com,site"),
+        (uid % 37).cast("string"),
+        F.lit(")/a/"),
+        uid.cast("string"),
+    )
+    caps = e.select(
+        urlkey.alias("urlkey"),
+        eid.alias("capture_ts"),
+        F.md5(
+            F.concat(urlkey, F.lit("#"), ((eid % 7) % 3).cast("string"))
+        ).alias("digest"),
+    )
+    return archive.cdx_resolve(caps).orderBy("urlkey")
+
+
+K3_SQL = f"""
+WITH caps AS (
+  SELECT 'com,site' || ((event_id % {K3_URLS}) % 37)::VARCHAR || ')/a/'
+           || (event_id % {K3_URLS})::VARCHAR AS urlkey,
+         event_id AS capture_ts,
+         md5('com,site' || ((event_id % {K3_URLS}) % 37)::VARCHAR || ')/a/'
+           || (event_id % {K3_URLS})::VARCHAR || '#'
+           || ((event_id % 7) % 3)::VARCHAR) AS digest
+  FROM events
+),
+pd AS (
+  SELECT urlkey, digest, count(*) AS n,
+         min(capture_ts) AS first_ts, max(capture_ts) AS last_ts
+  FROM caps GROUP BY urlkey, digest
+)
+SELECT urlkey,
+       sum(n)::BIGINT AS n_captures,
+       count(*)::BIGINT AS n_digests,
+       (sum(n) - count(*))::BIGINT AS n_revisits,
+       max(last_ts) AS latest_ts,
+       arg_max(digest, last_ts) AS latest_digest,
+       arg_max(first_ts, last_ts) AS latest_payload_ts,
+       arg_max(first_ts, last_ts) < max(last_ts) AS latest_is_revisit
+FROM pd GROUP BY urlkey ORDER BY urlkey
+"""
+
+
+# ===========================================================================
+# D8 — content-defined chunking (operators/dedup.cdc_chunks)
+
+D8_WINDOW = 4
+D8_DIVISOR = 16
+
+
+def d8_cdc_chunks(spark, sf):
+    """Content-defined chunking under the hard gate (operators/dedup.
+    cdc_chunks — the rsync/LBFS/FastCDC dedup partition, the tier the
+    suite lacked: fixed-grid spans find repeated passages, CDC finds
+    the STORAGE dedup unit that survives insertions on re-crawled
+    pages). Output = the corpus chunk store: one row per distinct
+    chunk content with occurrence/document counts and the chunk's
+    token length. The twin recomputes boundaries from literal window
+    strings (same md5 rule), reassembles chunks with gaps-and-islands
+    + ordered string_agg, and aggregates by chunk md5 — so a boundary
+    off-by-one, a wrong window slice, a chunk split/join drift, or a
+    reassembly-order bug each change some chunk's content hash and
+    break the value hash. Chunking itself is shuffle-free per-row
+    expression work; the only shuffle is this groupBy on the 16-byte
+    chunk hash, map-side combined."""
+    from .operators import dedup
+
+    docs = load(spark, sf, "documents")
+    ch = dedup.cdc_chunks(docs, window=D8_WINDOW, divisor=D8_DIVISOR)
+    return (
+        ch.select(F.md5("chunk_text").alias("chunk_md5"), "doc_id", "n_tokens")
+        .groupBy("chunk_md5")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.min("n_tokens").cast("int").alias("n_tokens"),
+        )
+        .orderBy("chunk_md5")
+    )
+
+
+D8_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+cand AS (
+  SELECT doc_id, u.i::INT AS i
+  FROM toks, unnest(generate_series({D8_WINDOW}, len(t) - 1)) AS u(i)
+  WHERE ('0x' || substring(md5(array_to_string(
+            t[u.i - {D8_WINDOW} + 1 : u.i], ' ')), 1, 12))::BIGINT
+        % {D8_DIVISOR} = 0
+),
+tokpos AS (
+  SELECT doc_id, u.j::INT AS j, t[u.j] AS tok
+  FROM toks, unnest(generate_series(1, len(t))) AS u(j)
+),
+seq AS (
+  SELECT tp.doc_id, tp.j, tp.tok,
+         CASE WHEN c.i IS NOT NULL THEN 1 ELSE 0 END AS b
+  FROM tokpos tp LEFT JOIN cand c ON c.doc_id = tp.doc_id AND c.i = tp.j
+),
+assigned AS (
+  SELECT doc_id, j, tok,
+         COALESCE(sum(b) OVER (PARTITION BY doc_id ORDER BY j
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS chunk_idx
+  FROM seq
+),
+chunks AS (
+  SELECT doc_id, chunk_idx,
+         string_agg(tok, ' ' ORDER BY j) AS chunk_text,
+         count(*)::INT AS n_tokens
+  FROM assigned GROUP BY doc_id, chunk_idx
+)
+SELECT md5(chunk_text) AS chunk_md5,
+       count(*)::BIGINT AS n_occurrences,
+       count(DISTINCT doc_id)::BIGINT AS n_docs,
+       min(n_tokens)::INT AS n_tokens
+FROM chunks GROUP BY chunk_md5 ORDER BY chunk_md5
+"""
+
+
+# ===========================================================================
+# X35 — HyperLogLog register file (operators/sketch.hll_registers)
+
+
+def x35_hll_registers(spark, sf):
+    """The HLL cardinality sketch's full register state under the hard
+    gate (operators/sketch.hll_registers/hll_merge — the fixed-size,
+    max-mergeable complement to x15's KMV; see the module note for why
+    both exist). Values are per-source URL-ish ids collapsed in runs
+    of 3, so duplicates genuinely exercise the max-idempotence. The
+    Spark side sketches the two doc_id parity halves SEPARATELY and
+    merges them (hll_merge), while the twin sketches the whole table
+    directly — a green row therefore ALSO proves merge ≡ direct, the
+    property that lets 10^10-URL shards sketch independently. Only the
+    float estimate (hll_estimate) stays outside the gate; it is
+    computed from exactly these integers and pytest-bounded."""
+    from .operators import sketch
+
+    docs = load(spark, sf, "documents")
+    vals = docs.select(
+        "source",
+        F.col("doc_id").alias("doc_id"),
+        F.concat(
+            F.lit("u"), (F.col("doc_id") - F.col("doc_id") % 3).cast("string")
+        ).alias("v"),
+    )
+    halves = [
+        sketch.hll_registers(vals.filter(F.col("doc_id") % 2 == i), ["source"], "v")
+        for i in (0, 1)
+    ]
+    return sketch.hll_merge(halves, ["source"]).orderBy("source", "bucket")
+
+
+X35_SQL = """
+WITH h AS (
+  SELECT source, md5('u' || (doc_id - doc_id % 3)::VARCHAR) AS hx
+  FROM documents
+),
+r AS (
+  SELECT source,
+         ('0x' || substring(hx, 1, 2))::BIGINT AS bucket,
+         ('0x' || substring(hx, 3, 14))::BIGINT AS suffix
+  FROM h
+)
+SELECT source, bucket::INT AS bucket,
+       max(CASE WHEN suffix = 0 THEN 57
+                ELSE 57 - length(bin(suffix)) END)::INT AS max_rho
+FROM r GROUP BY source, bucket ORDER BY source, bucket
+"""
+
+
+# ===========================================================================
 # registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -7468,6 +7666,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d7_mirror_hosts": d7_mirror_hosts,
     "c1_crawl_delay": c1_crawl_delay,
     "c2_rendezvous_shards": c2_rendezvous_shards,
+    "k3_cdx_latest": k3_cdx_latest,
+    "d8_cdc_chunks": d8_cdc_chunks,
+    "x35_hll_registers": x35_hll_registers,
     "t9_change_rate_recrawl": t9_change_rate_recrawl,
     "v13_sq8_topk": v13_sq8_topk,
     "x26_semdedup_blocked": x26_semdedup_blocked,
@@ -7590,6 +7791,9 @@ ORACLES: dict[str, str] = {
     "d7_mirror_hosts": D7_SQL,
     "c1_crawl_delay": C1_SQL,
     "c2_rendezvous_shards": C2_SQL,
+    "k3_cdx_latest": K3_SQL,
+    "d8_cdc_chunks": D8_SQL,
+    "x35_hll_registers": X35_SQL,
     "t9_change_rate_recrawl": T9_SQL,
     "v13_sq8_topk": V13_SQL,
     "x26_semdedup_blocked": X21_SQL,

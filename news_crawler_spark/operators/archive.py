@@ -132,3 +132,55 @@ def read_records(index: DataFrame, segments: DataFrame) -> DataFrame:
             "UTF-8",
         ).alias("text"),
     )
+
+
+def cdx_resolve(captures: DataFrame) -> DataFrame:
+    """CDX-index latest-capture resolution with revisit accounting.
+
+    A long-running crawl captures the same URL many times; the archive
+    index (Common Crawl / Wayback CDX: one line per capture, keyed by
+    SURT urlkey + timestamp + content digest) answers "what is the
+    CURRENT content of this URL, and which capture actually stores its
+    bytes?" — because a re-fetch whose digest matches an earlier capture
+    is written as a *revisit* record that points at the original instead
+    of storing the payload again (WARC ``revisit`` semantics; the
+    reference re-stores every fetch as a fresh MySQL row,
+    news_storage/news_repository.py, so it has no revisit notion).
+
+    Input: ``(urlkey, capture_ts, digest)`` — one row per capture;
+    ``capture_ts`` must be unique within a urlkey (real CDX timestamps
+    are second-resolution and deduped at write). Output, one row per
+    urlkey:
+
+    - ``n_captures`` / ``n_digests`` — total captures and distinct
+      contents; ``n_revisits = n_captures - n_digests`` (every capture
+      after the first with a given digest stored no payload).
+    - ``latest_ts`` / ``latest_digest`` — the newest capture.
+    - ``latest_payload_ts`` — where the newest capture's BYTES live:
+      the first time its digest was ever captured (the record a ranged
+      GET must read; equals latest_ts iff the newest capture was fresh).
+    - ``latest_is_revisit`` — whether the newest capture deduped.
+
+    Scale shape: two aggregations, both keyed by urlkey, both map-side
+    combined — the first collapses captures to one row per (urlkey,
+    digest), the second reduces the (few) digest rows per urlkey with
+    ``max_by`` on last-capture time. No window over the capture stream,
+    no self-join; the shuffle carries digest summaries, not captures. A
+    10^10-capture index resolves with byte traffic proportional to
+    distinct contents."""
+    per_digest = captures.groupBy("urlkey", "digest").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("capture_ts").alias("first_ts"),
+        F.max("capture_ts").alias("last_ts"),
+    )
+    return per_digest.groupBy("urlkey").agg(
+        F.sum("n").cast("long").alias("n_captures"),
+        F.count(F.lit(1)).cast("long").alias("n_digests"),
+        (F.sum("n") - F.count(F.lit(1))).cast("long").alias("n_revisits"),
+        F.max("last_ts").alias("latest_ts"),
+        F.max_by("digest", "last_ts").alias("latest_digest"),
+        F.max_by("first_ts", "last_ts").alias("latest_payload_ts"),
+        (F.max_by("first_ts", "last_ts") < F.max("last_ts")).alias(
+            "latest_is_revisit"
+        ),
+    )

@@ -1132,3 +1132,87 @@ def mirror_hosts(
             ).alias("is_mirror"),
         )
     )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 4,
+    divisor: int = 16,
+) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS/FastCDC family): split
+    each document into variable-size chunks whose boundaries depend only
+    on LOCAL content — a rolling window's hash hitting ``0 mod
+    divisor`` — so an insertion early in a document shifts every chunk
+    of a fixed-size grid but leaves all content-defined chunks after
+    the edit point IDENTICAL. That shift-resistance is what makes
+    chunk-level dedup work on re-crawled pages (same article, one new
+    paragraph): the storage layer keeps one copy of every unchanged
+    chunk. Fixed-grid token windows (``duplicate_spans``) find repeated
+    passages; CDC finds the storage-dedup partition of the corpus.
+
+    Semantics: tokens are whitespace-split; a chunk boundary falls
+    after 1-based token position ``i`` (``window ≤ i ≤ n-1``) iff the
+    48-bit md5 of the ``window``-token string ending at ``i`` is
+    ``0 mod divisor``; the document end is always a boundary. Expected
+    chunk length ≈ ``divisor`` tokens. Production CDC adds min/max
+    chunk-length clamps (FastCDC §3.2) — a sequential suppression rule
+    deliberately omitted here to keep the boundary decision stateless
+    per position (each token's boundary bit is independently
+    computable, which is what lets both engines in the correctness
+    gate agree position-by-position).
+
+    Output: one row per chunk occurrence — ``(doc_id, chunk_idx,
+    chunk_text, n_tokens)``, ``chunk_idx`` 0-based in document order.
+
+    Scale shape: boundary detection, chunk slicing, and reassembly are
+    ALL per-row higher-order expressions (tokens bound once via the
+    let-binding pattern — the captured-expression trap documented on
+    ``text.let_bound`` would otherwise re-split the text at every
+    lambda use) — zero shuffle in this function; the md5-per-position
+    cost is O(n·window) like winnowing. Downstream dedup groups by
+    ``md5(chunk_text)`` — one map-side-combined shuffle of 16-byte
+    keys, the same bill as every other dedup tier here."""
+    from .text import let_bound
+
+    def per_doc(t: Column) -> Column:
+        n = F.size(t)
+        cand = F.when(
+            n - 1 >= window, F.sequence(F.lit(window), n - 1)
+        ).otherwise(F.expr("array()").cast("array<int>"))
+        wh = lambda i: F.conv(  # noqa: E731 — boundary hash of window ending at i
+            F.substring(
+                F.md5(F.array_join(F.slice(t, i - window + 1, F.lit(window)), " ")),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        bpos = F.filter(cand, lambda i: wh(i) % divisor == 0)
+        bounds = F.concat(bpos, F.array(n))
+        starts = F.concat(
+            F.array(F.lit(0)), F.slice(bounds, 1, F.size(bounds) - 1)
+        )
+        return F.zip_with(
+            starts,
+            bounds,
+            lambda s, e: F.struct(
+                F.array_join(F.slice(t, s + 1, e - s), " ").alias("chunk_text"),
+                (e - s).cast("int").alias("n_tokens"),
+            ),
+        )
+
+    chunks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        let_bound(F.split(F.col(text_col), " "), per_doc).alias("__chunks"),
+    )
+    return chunks.select(
+        "doc_id", F.posexplode("__chunks").alias("chunk_idx", "__c")
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("__c.chunk_text").alias("chunk_text"),
+        F.col("__c.n_tokens").alias("n_tokens"),
+    )

@@ -43,6 +43,10 @@ __all__ = [
     "qsketch_bottom_k",
     "qsketch_merge",
     "qsketch_quantiles",
+    "HLL_BUCKETS",
+    "hll_registers",
+    "hll_merge",
+    "hll_estimate",
 ]
 
 # hash space: first 15 md5 hex chars = 60 bits, always positive — chosen
@@ -278,3 +282,88 @@ def qsketch_quantiles(
             name, F.element_at("__vals", rank.cast("int")).cast("long")
         )
     return out.drop("__vals")
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog — fixed-size registers, md5-derived so the gate can replay it.
+#
+# KMV (above) was chosen as the PRIMARY cardinality sketch because
+# approx_count_distinct's HLL++ registers are engine-internal; this is the
+# complementary point in the space, with the SAME determinism discipline:
+# the register construction is md5 arithmetic a SQL twin reproduces
+# bit-for-bit, so the full register STATE sits under the hard gate (x35) —
+# only the final float estimate (one transcendental per group, computed
+# from gated integers) stays pytest-land. Why keep both sketches: HLL
+# state is FIXED at m registers per group (m=256 → ≤256 tiny int rows,
+# ~1.5 kB serialized) vs KMV's k×8 B (k=256 → 2 kB, k=4096 → 32 kB for
+# 1.5 % error), and HLL merge is a plain per-bucket MAX — associative,
+# commutative, idempotent — so re-delivered shards can't bias it (KMV
+# merge needs distinct-before-bottom-k). At 10^10 URLs the frontier's
+# per-(host, day) distinct counters are exactly this shape: a groupBy
+# whose shuffle carries ≤ m ints per group regardless of group size.
+# ---------------------------------------------------------------------------
+
+HLL_BUCKETS = 256  # b = 8 index bits; relative error ≈ 1.04/√256 ≈ 6.5 %
+_HLL_FIELD_BITS = 56  # md5 hex chars 3..16 — the rho field
+
+
+def hll_registers(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """Per group: the HLL register file as rows ``(…group, bucket,
+    max_rho)`` — only OCCUPIED buckets are emitted (absent bucket ≡
+    rho 0). Bucket = first 2 md5 hex chars (8 bits); rho = 1 + count of
+    leading zeros in the next 56 bits (all-zero field → 57), computed
+    EXACTLY as ``57 - bitlength(suffix)`` via base-2 string conversion
+    — no float log anywhere. One groupBy, map-side combined: a
+    billion-row group arrives at its reducer as ≤ 256·|partitions|
+    partial maxima."""
+    h = F.md5(F.col(value_col).cast("string"))
+    suffix = F.conv(F.substring(h, 3, 14), 16, 10).cast("long")
+    rho = F.when(suffix == 0, F.lit(_HLL_FIELD_BITS + 1)).otherwise(
+        F.lit(_HLL_FIELD_BITS + 1) - F.length(F.conv(suffix, 10, 2))
+    )
+    return (
+        df.select(
+            *group_cols,
+            F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("bucket"),
+            rho.cast("int").alias("__rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("__rho").cast("int").alias("max_rho"))
+    )
+
+
+def hll_merge(sketches: list[DataFrame], group_cols: list[str]) -> DataFrame:
+    """Union register files: per-bucket MAX — associative, commutative,
+    idempotent (at-least-once shard delivery cannot bias the estimate,
+    unlike additive counters). Equals the direct sketch exactly."""
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return u.groupBy(*group_cols, "bucket").agg(
+        F.max("max_rho").cast("int").alias("max_rho")
+    )
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Registers → cardinality estimate (Flajolet et al. 2007, the
+    original bias-corrected form): ``E = α_m·m²/Z`` with ``Z = Σ 2^-ρ``
+    over all m registers (absent ⇒ ρ=0 ⇒ term 1), switching to linear
+    counting ``m·ln(m/V)`` when ``E ≤ 2.5m`` and some register is
+    empty. Adds ``(n_buckets_set, estimate)`` per group; float enters
+    HERE only — everything upstream is gate-pinned integers."""
+    m = HLL_BUCKETS
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("int").alias("n_buckets_set"),
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("__z_set"),
+    )
+    z = F.col("__z_set") + (F.lit(m) - F.col("n_buckets_set"))
+    raw = F.lit(alpha * m * m) / z
+    v = F.lit(m) - F.col("n_buckets_set")
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+    est = F.when((raw <= 2.5 * m) & (v > 0), lc).otherwise(raw)
+    return agg.select(
+        *group_cols, "n_buckets_set", est.alias("estimate")
+    )

@@ -81,3 +81,54 @@ def test_read_prunes_to_requested_segment(spark):
     one = index.where(F.col("segment_id") == 0)
     out = archive.read_records(one, segments).collect()
     assert out and all(r.segment_id == 0 for r in out)
+
+
+# ---------------------------------------------------------------- CDX
+
+
+def _caps(spark):
+    """Hand-built capture history for two urlkeys:
+
+    u1: ts 1 dA, ts 2 dB, ts 3 dA (revisit of ts1), ts 4 dB (revisit of
+        ts2) → latest = ts4/dB, payload at ts2, IS a revisit.
+    u2: ts 5 dC, ts 6 dD → latest = ts6/dD fresh (payload at ts6).
+    """
+    rows = [
+        ("u1", 1, "dA"),
+        ("u1", 2, "dB"),
+        ("u1", 3, "dA"),
+        ("u1", 4, "dB"),
+        ("u2", 5, "dC"),
+        ("u2", 6, "dD"),
+    ]
+    return spark.createDataFrame(
+        rows, "urlkey string, capture_ts long, digest string"
+    )
+
+
+def test_cdx_resolve_semantics(spark):
+    out = {r.urlkey: r for r in archive.cdx_resolve(_caps(spark)).collect()}
+    u1, u2 = out["u1"], out["u2"]
+    assert (u1.n_captures, u1.n_digests, u1.n_revisits) == (4, 2, 2)
+    assert (u1.latest_ts, u1.latest_digest) == (4, "dB")
+    assert u1.latest_payload_ts == 2 and u1.latest_is_revisit
+    assert (u2.n_captures, u2.n_digests, u2.n_revisits) == (2, 2, 0)
+    assert (u2.latest_ts, u2.latest_digest) == (6, "dD")
+    assert u2.latest_payload_ts == 6 and not u2.latest_is_revisit
+
+
+def test_cdx_resolve_single_capture(spark):
+    one = spark.createDataFrame(
+        [("u", 9, "d")], "urlkey string, capture_ts long, digest string"
+    )
+    r = archive.cdx_resolve(one).collect()[0]
+    assert (r.n_captures, r.n_revisits, r.latest_is_revisit) == (1, 0, False)
+    assert r.latest_payload_ts == 9
+
+
+def test_cdx_resolve_plan_has_no_window_or_join(spark):
+    """The scale contract: two hash aggregations on urlkey — no window
+    over the capture stream, no self-join."""
+    plan = archive.cdx_resolve(_caps(spark))._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "Join" not in plan

@@ -1631,3 +1631,92 @@ def test_mirror_hosts_ratio_cap_and_threshold(spark):
     assert got[(1, 2)] == (3, 3, 3, True)
     assert got[(3, 4)] == (2, 3, 5, False)
     assert (5, 6) not in got
+
+
+# ---------------------------------------------------------------- CDC chunks
+
+
+def _py_cdc(text: str, window: int = 4, divisor: int = 16):
+    import hashlib
+
+    t = text.split(" ")
+    n = len(t)
+    bounds = [
+        i
+        for i in range(window, n)
+        if int(
+            hashlib.md5(" ".join(t[i - window : i]).encode()).hexdigest()[:12],
+            16,
+        )
+        % divisor
+        == 0
+    ] + [n]
+    starts = [0] + bounds[:-1]
+    return [" ".join(t[s:e]) for s, e in zip(starts, bounds)]
+
+
+class TestCdcChunks:
+    def _chunks(self, spark, rows):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = dedup.cdc_chunks(df).collect()
+        got = {}
+        for r in sorted(out, key=lambda r: (r.doc_id, r.chunk_idx)):
+            got.setdefault(r.doc_id, []).append(r.chunk_text)
+        return got
+
+    def test_matches_python_oracle(self, spark, docs):
+        sample = docs.select("doc_id", "text").limit(30).collect()
+        got = self._chunks(spark, [(r.doc_id, r.text) for r in sample])
+        for r in sample:
+            assert got[r.doc_id] == _py_cdc(r.text), r.doc_id
+
+    def test_short_and_degenerate_docs(self, spark):
+        got = self._chunks(
+            spark, [(1, "a b c"), (2, "solo"), (3, "a  b")]  # incl. empty token
+        )
+        assert got[1] == ["a b c"]  # n-1 < window → single chunk
+        assert got[2] == ["solo"]
+        assert got[3] == ["a  b"]
+
+    def test_roundtrip_rebuilds_text(self, spark, docs):
+        ch = dedup.cdc_chunks(docs)
+        rebuilt = ch.groupBy("doc_id").agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_text"))),
+                    lambda s: s["chunk_text"],
+                ),
+                " ",
+            ).alias("rebuilt")
+        )
+        bad = (
+            rebuilt.join(docs.select("doc_id", "text"), "doc_id")
+            .filter(F.col("rebuilt") != F.col("text"))
+            .count()
+        )
+        assert bad == 0
+
+    def test_shift_resistance(self, spark):
+        """THE CDC property: an insertion near the front leaves every
+        chunk after the edit's window horizon identical — a fixed-size
+        grid would shift all of them."""
+        base = " ".join(f"tok{i * 7 % 101}" for i in range(400))
+        edited = "inserted " + base
+        a = _py_cdc(base)
+        b = _py_cdc(edited)
+        got = self._chunks(spark, [(1, base), (2, edited)])
+        assert got[1] == a and got[2] == b
+        # boundaries strictly after the edit's window horizon depend only
+        # on local content, so the chunk streams share their entire
+        # suffix — only the leading ≤2 chunks (which contain the edit or
+        # a boundary the edit created/destroyed) may differ
+        k = 0
+        while k < min(len(a), len(b)) and a[-1 - k] == b[-1 - k]:
+            k += 1
+        assert k >= len(a) - 2 and k >= len(b) - 2, (len(a), len(b), k)
+
+    def test_expected_chunk_length(self, spark, docs):
+        """divisor=16 → mean chunk length in the right decade (sanity
+        on the boundary rate, not an exact pin)."""
+        stats = dedup.cdc_chunks(docs).agg(F.avg("n_tokens")).collect()[0][0]
+        assert 6 < stats < 60, stats
