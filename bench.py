@@ -135,6 +135,8 @@ HEADLINE = [
     "k3_cdx_latest",
     "d8_cdc_chunks",
     "x35_hll_registers",
+    "m6_content_sniff",
+    "x36_containment",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by

@@ -7556,6 +7556,195 @@ FROM r GROUP BY source, bucket ORDER BY source, bucket
 
 
 # ===========================================================================
+# M6 — magic-byte content sniffing (operators/multimodal.sniff_content_type)
+
+# magic-prefix hex by synthesis slot (slot 9 = no magic), and the mime a
+# correct sniffer must report for each slot
+_M6_MAGICS = [
+    "255044462D",          # %PDF-
+    "89504E470D0A1A0A",    # PNG
+    "FFD8FF",              # JPEG
+    "474946383761",        # GIF87a
+    "504B0304",            # zip
+    "1F8B",                # gzip
+    "3C21444F4354595045",  # <!DOCTYPE
+    "3C68746D6C",          # <html
+    "524946460000000057454250",  # RIFF····WEBP
+    "",                    # bare text body
+]
+_M6_MIMES = [
+    "application/pdf",
+    "image/png",
+    "image/jpeg",
+    "image/gif",
+    "application/zip",
+    "application/gzip",
+    "text/html",
+    "text/html",
+    "image/webp",
+    "application/octet-stream",
+]
+
+
+def m6_content_sniff(spark, sf):
+    """Magic-byte content-type sniffing under the hard gate
+    (operators/multimodal.sniff_content_type): the crawl fetch path
+    must route payloads to decoders by their BYTES, not the
+    Content-Type header real servers routinely get wrong (the
+    reference trusts whatever requests/BS4 sees — it has no binary
+    routing at all). Payloads are synthesized binary: one of 9 magic
+    prefixes (or none) + a utf-8 body, with an independently-cycled
+    DECLARED type so header-vs-bytes mismatches genuinely occur. The
+    output is the (declared, sniffed) confusion matrix with a
+    mismatch flag — the twin rebuilds the same blobs with unhex/
+    encode and replays the prefix CASE over the hex, so a wrong
+    signature length, a missed container subtype (WEBP needs bytes
+    0-3 AND 8-11), or an order-of-checks drift each move matrix
+    counts. Scale shape: sniffing is a pure codegen projection over
+    the first 12 bytes; the only shuffle is the tiny confusion-matrix
+    groupBy."""
+    from .operators import multimodal
+
+    e = load(spark, sf, "events")
+    eid = F.col("event_id")
+    magic = None
+    for i, hx in enumerate(_M6_MAGICS):
+        c = eid % 10 == i
+        v = F.unhex(F.lit(hx))
+        magic = F.when(c, v) if magic is None else magic.when(c, v)
+    declared = None
+    for i, mime in enumerate(_M6_MIMES):
+        c = (eid * 3 + 1) % 10 == i
+        v = F.lit(mime)
+        declared = F.when(c, v) if declared is None else declared.when(c, v)
+    payload = F.concat(
+        magic, F.encode(F.concat(F.lit("body"), eid.cast("string")), "UTF-8")
+    )
+    rows = e.select(
+        declared.alias("declared"),
+        multimodal.sniff_content_type(payload).alias("sniffed"),
+    )
+    return (
+        rows.groupBy("declared", "sniffed")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn("is_match", F.col("declared") == F.col("sniffed"))
+        .orderBy("declared", "sniffed")
+    )
+
+
+_M6_MAGIC_CASE = " ".join(
+    f"WHEN event_id % 10 = {i} THEN '{hx}'" for i, hx in enumerate(_M6_MAGICS)
+)
+_M6_MIME_CASE = " ".join(
+    f"WHEN (event_id * 3 + 1) % 10 = {i} THEN '{m}'"
+    for i, m in enumerate(_M6_MIMES)
+)
+
+M6_SQL = f"""
+WITH blobs AS (
+  SELECT CASE {_M6_MIME_CASE} END AS declared,
+         unhex(CASE {_M6_MAGIC_CASE} END)
+           || encode('body' || event_id::VARCHAR) AS payload
+  FROM events
+),
+sn AS (
+  SELECT declared, substring(hex(payload), 1, 24) AS h FROM blobs
+),
+sniffed AS (
+  SELECT declared,
+         CASE
+           WHEN substring(h, 1, 10) = '255044462D' THEN 'application/pdf'
+           WHEN substring(h, 1, 16) = '89504E470D0A1A0A' THEN 'image/png'
+           WHEN substring(h, 1, 6)  = 'FFD8FF' THEN 'image/jpeg'
+           WHEN substring(h, 1, 12) = '474946383761' THEN 'image/gif'
+           WHEN substring(h, 1, 12) = '474946383961' THEN 'image/gif'
+           WHEN substring(h, 1, 8)  = '504B0304' THEN 'application/zip'
+           WHEN substring(h, 1, 4)  = '1F8B' THEN 'application/gzip'
+           WHEN substring(h, 1, 18) = '3C21444F4354595045' THEN 'text/html'
+           WHEN substring(h, 1, 10) = '3C68746D6C' THEN 'text/html'
+           WHEN substring(h, 1, 8) = '52494646'
+                AND substring(h, 17, 8) = '57454250' THEN 'image/webp'
+           ELSE 'application/octet-stream'
+         END AS sniffed
+  FROM sn
+)
+SELECT declared, sniffed, count(*)::BIGINT AS n,
+       declared = sniffed AS is_match
+FROM sniffed GROUP BY declared, sniffed ORDER BY declared, sniffed
+"""
+
+
+# ===========================================================================
+# X36 — asymmetric shingle containment (operators/dedup.containment_pairs)
+
+X36_PCT = 80
+
+
+def x36_containment(spark, sf):
+    """Asymmetric n-gram containment under the hard gate
+    (operators/dedup.containment_pairs — Broder's C(A,B) =
+    |S(A)∩S(B)|/|S(A)|): the inclusion detector Jaccard is blind to —
+    a 60%-prefix excerpt of a long article scores Jaccard ≈ 0.6·|A|/
+    |B| (arbitrarily small) but containment 1.0. The corpus is
+    documents plus a synthesized 60%-token-prefix excerpt (id
+    −(doc_id+1)) for every doc_id % 5 == 0 — guaranteed
+    high-containment/low-Jaccard pairs. Membership is integer
+    cross-multiplication (100·common ≥ pct·min(|A|,|B|)); the twin
+    recomputes shingle sets as literal strings, so a hash collision,
+    a distinct-shingle drift, or a wrong normalization side all break
+    the value hash. Shape: d2's inverted-index self-join + df_cap
+    skew guard, counts partial-aggregated."""
+    from .operators import dedup
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    t = F.split(F.col("text"), " ")
+    excerpts = (
+        docs.filter((F.col("doc_id") % 5 == 0) & (F.size(t) >= 5))
+        .select(
+            (-(F.col("doc_id") + 1)).alias("doc_id"),
+            F.array_join(
+                F.slice(t, 1, F.expr("(size(split(text, ' ')) * 3) div 5")), " "
+            ).alias("text"),
+        )
+    )
+    corpus = docs.unionByName(excerpts)
+    return dedup.containment_pairs(corpus, threshold_pct=X36_PCT).orderBy(
+        "a_id", "b_id"
+    )
+
+
+X36_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT -(doc_id + 1) AS doc_id,
+         array_to_string(t[1 : (len(t) * 3) // 5], ' ') AS text
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  WHERE doc_id % 5 = 0 AND len(t) >= 5
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+sh AS (SELECT doc_id,
+              list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                             for i in generate_series(1, len(t) - 2)]) AS s
+       FROM toks WHERE len(t) >= 3),
+e AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+sz AS (SELECT doc_id, len(s) AS n FROM sh),
+pairs AS (
+  SELECT e1.doc_id AS a_id, e2.doc_id AS b_id, count(*)::BIGINT AS common
+  FROM e e1 JOIN e e2 ON e1.shingle = e2.shingle AND e1.doc_id < e2.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id, common,
+       sa.n::BIGINT AS n_a, sb.n::BIGINT AS n_b,
+       round(common / sa.n, 4) AS c_ab,
+       round(common / sb.n, 4) AS c_ba
+FROM pairs JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+WHERE 100 * common >= {X36_PCT} * least(sa.n, sb.n)
+ORDER BY a_id, b_id
+"""
+
+
+# ===========================================================================
 # registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -7669,6 +7858,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k3_cdx_latest": k3_cdx_latest,
     "d8_cdc_chunks": d8_cdc_chunks,
     "x35_hll_registers": x35_hll_registers,
+    "m6_content_sniff": m6_content_sniff,
+    "x36_containment": x36_containment,
     "t9_change_rate_recrawl": t9_change_rate_recrawl,
     "v13_sq8_topk": v13_sq8_topk,
     "x26_semdedup_blocked": x26_semdedup_blocked,
@@ -7794,6 +7985,8 @@ ORACLES: dict[str, str] = {
     "k3_cdx_latest": K3_SQL,
     "d8_cdc_chunks": D8_SQL,
     "x35_hll_registers": X35_SQL,
+    "m6_content_sniff": M6_SQL,
+    "x36_containment": X36_SQL,
     "t9_change_rate_recrawl": T9_SQL,
     "v13_sq8_topk": V13_SQL,
     "x26_semdedup_blocked": X21_SQL,

@@ -1216,3 +1216,64 @@ def cdc_chunks(
         F.col("__c.chunk_text").alias("chunk_text"),
         F.col("__c.n_tokens").alias("n_tokens"),
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold_pct: int = 80,
+    df_cap: int | None = 100_000,
+) -> DataFrame:
+    """All pairs (a<b) where one document's shingle set is ≥
+    ``threshold_pct``% CONTAINED in the other's — the asymmetric
+    complement to ``ngram_jaccard_pairs``: Jaccard punishes size
+    mismatch (a 50-token quote inside a 5000-token article scores
+    ~0.01), so syndicated-inclusion / quoted-boilerplate / expanded-
+    rewrite relations are invisible to it. Broder's containment
+    ``C(A,B) = |S(A)∩S(B)| / |S(A)|`` is the standard fix; the pair
+    qualifies when ``max(C(A,B), C(B,A)) = common/min(|A|,|B|)``
+    crosses the threshold — evaluated as INTEGER cross-multiplication
+    (``100·common ≥ pct·min``), so no float decides membership.
+
+    Output: ``(a_id, b_id, common, n_a, n_b, c_ab, c_ba)`` with the
+    directional scores rounded to 4dp for reporting (membership never
+    reads them).
+
+    Same inverted-index shape and stop-shingle ``df_cap`` guard as the
+    Jaccard tier (one shingle in k docs is k²/2 join rows — the cap is
+    the skew ceiling); shingle sets materialize once, the self-join is
+    on 8-byte hashes, and the per-pair count partial-aggregates."""
+    sh = with_hashed_shingles(docs, text_col, id_col, n).localCheckpoint(eager=True)
+    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
+    inv = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    if df_cap is not None:
+        freq = inv.groupBy("shingle").agg(F.count("*").alias("df"))
+        inv = inv.join(freq.filter(F.col("df") <= df_cap), "shingle", "left_semi")
+    pairs = (
+        inv.alias("x")
+        .join(inv.alias("y"), "shingle")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
+        .agg(F.count("*").cast("long").alias("common"))
+    )
+    na = sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "n_a")
+    nb = sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "n_b")
+    return (
+        pairs.join(na, "a_id")
+        .join(nb, "b_id")
+        .filter(
+            F.lit(100) * F.col("common")
+            >= F.lit(threshold_pct) * F.least("n_a", "n_b")
+        )
+        .select(
+            "a_id",
+            "b_id",
+            "common",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(F.col("common") / F.col("n_a"), 4).alias("c_ab"),
+            F.round(F.col("common") / F.col("n_b"), 4).alias("c_ba"),
+        )
+    )

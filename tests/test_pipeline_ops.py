@@ -1720,3 +1720,97 @@ class TestCdcChunks:
         on the boundary rate, not an exact pin)."""
         stats = dedup.cdc_chunks(docs).agg(F.avg("n_tokens")).collect()[0][0]
         assert 6 < stats < 60, stats
+
+
+# ---------------------------------------------------------------- sniffing
+
+
+class TestContentSniff:
+    def _sniff(self, spark, payloads):
+        df = spark.createDataFrame(
+            [(i, bytearray(p)) for i, p in enumerate(payloads)],
+            "i long, payload binary",
+        )
+        out = df.select(
+            "i", multimodal.sniff_content_type(F.col("payload")).alias("ct")
+        ).collect()
+        return [r.ct for r in sorted(out, key=lambda r: r.i)]
+
+    def test_known_magics(self, spark):
+        cases = [
+            (b"%PDF-1.7 rest", "application/pdf"),
+            (b"\x89PNG\r\n\x1a\nchunk", "image/png"),
+            (b"\xff\xd8\xff\xe0jfif", "image/jpeg"),
+            (b"GIF87a....", "image/gif"),
+            (b"GIF89a....", "image/gif"),
+            (b"PK\x03\x04docx", "application/zip"),
+            (b"\x1f\x8bgz", "application/gzip"),
+            (b"<!DOCTYPE html>", "text/html"),
+            (b"<html><body>", "text/html"),
+            (b"RIFF\x00\x01\x02\x03WEBPVP8", "image/webp"),
+            (b"plain text here", "application/octet-stream"),
+            (b"RIFF\x00\x01\x02\x03WAVEfmt", "application/octet-stream"),
+        ]
+        assert self._sniff(spark, [p for p, _ in cases]) == [m for _, m in cases]
+
+    def test_short_and_empty_payloads(self, spark):
+        got = self._sniff(spark, [b"", b"\x1f", b"\x1f\x8b", b"<h"])
+        assert got == [
+            "application/octet-stream",
+            "application/octet-stream",
+            "application/gzip",
+            "application/octet-stream",
+        ]
+
+    def test_prefix_magic_inside_body_not_sniffed(self, spark):
+        """Only the PREFIX counts — magic bytes later in the payload
+        must not trigger (the sniffer reads 12 bytes, period)."""
+        got = self._sniff(spark, [b"xx%PDF-", b"ab\xff\xd8\xff"])
+        assert got == ["application/octet-stream"] * 2
+
+
+# ---------------------------------------------------------------- containment
+
+
+class TestContainmentPairs:
+    def test_excerpt_contained_but_jaccard_blind(self, spark):
+        body = " ".join(f"w{i * 13 % 997}" for i in range(300))
+        excerpt = " ".join(body.split(" ")[:60])
+        df = spark.createDataFrame(
+            [(1, body), (2, excerpt)], "doc_id long, text string"
+        )
+        rows = dedup.containment_pairs(df, threshold_pct=80).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r.a_id, r.b_id) == (1, 2)
+        assert r.c_ba == 1.0 and r.common == r.n_b  # excerpt fully inside
+        # and the symmetric tier misses it at its own threshold
+        assert dedup.ngram_jaccard_pairs(df, threshold=0.6).count() == 0
+
+    def test_threshold_is_integer_exact(self, spark):
+        """10 shingles, 8 common → exactly 80%: the >= must admit it;
+        7 common (70%) must not."""
+        # doc B = 12 tokens -> 10 shingles; doc A shares first 10/9 tokens
+        toks = [f"t{i}" for i in range(12)]
+        b = " ".join(toks)
+        a8 = " ".join(toks[:10] + ["zz", "qq", "rr", "ss"])   # 8 common shingles
+        a7 = " ".join(toks[:9] + ["zz", "qq", "rr", "ss", "uu"])  # 7 common
+        df = spark.createDataFrame(
+            [(1, a8), (2, b)], "doc_id long, text string"
+        )
+        assert dedup.containment_pairs(df, threshold_pct=80).count() == 1
+        df2 = spark.createDataFrame(
+            [(1, a7), (2, b)], "doc_id long, text string"
+        )
+        assert dedup.containment_pairs(df2, threshold_pct=80).count() == 0
+
+    def test_direction_scores(self, spark):
+        body = " ".join(f"x{i}" for i in range(50))
+        sub = " ".join(body.split(" ")[:20])
+        df = spark.createDataFrame(
+            [(10, sub), (20, body)], "doc_id long, text string"
+        )
+        r = dedup.containment_pairs(df, threshold_pct=80).collect()[0]
+        # a_id < b_id ordering; containment of the SMALL set is 1.0
+        assert (r.a_id, r.b_id) == (10, 20)
+        assert r.c_ab == 1.0 and r.c_ba < 1.0
