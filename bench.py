@@ -137,6 +137,9 @@ HEADLINE = [
     "x35_hll_registers",
     "m6_content_sniff",
     "x36_containment",
+    "k4_revalidation",
+    "k5_snapshot_diff",
+    "m7_charset_sniff",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by

@@ -7745,6 +7745,246 @@ ORDER BY a_id, b_id
 
 
 # ===========================================================================
+# K4 — conditional-GET revalidation accounting (operators/archive.
+# revalidation_plan)
+
+
+def k4_revalidation(spark, sf):
+    """Conditional-GET (If-None-Match / 304) accounting under the hard
+    gate (operators/archive.revalidation_plan): the recrawl BANDWIDTH
+    model — t8/t9 decide when to refetch, this decides what each
+    refetch transfers. A refetch whose digest equals the IMMEDIATELY
+    PREVIOUS capture's is a 304 (header-only; body bytes saved); the
+    semantic line vs k3's WARC-revisit is pinned by the same synthetic
+    capture stream (version cycling (event_id%7)%3 produces A-A runs =
+    304s AND A-B-A returns = revisits-but-NOT-304s, so the two
+    accountings genuinely differ on this corpus). The twin replays the
+    lag-window classification and the rollup, so a wrong validator
+    scope (any-earlier vs previous), an off-by-one on the first
+    capture, or bytes credited to the wrong class all break the value
+    hash. Scale shape: ONE shuffle on urlkey — the window
+    hash-partitions, the final agg reuses that partitioning (no second
+    exchange, plan-asserted in test_archive)."""
+    from .operators import archive
+
+    e = load(spark, sf, "events")
+    eid = F.col("event_id")
+    uid = eid % K3_URLS
+    urlkey = F.concat(
+        F.lit("com,site"),
+        (uid % 37).cast("string"),
+        F.lit(")/a/"),
+        uid.cast("string"),
+    )
+    caps = e.select(
+        urlkey.alias("urlkey"),
+        eid.alias("capture_ts"),
+        F.md5(
+            F.concat(urlkey, F.lit("#"), ((eid % 7) % 3).cast("string"))
+        ).alias("digest"),
+        (F.lit(100) + eid % 900).cast("long").alias("n_bytes"),
+    )
+    return archive.revalidation_plan(caps).orderBy("urlkey")
+
+
+K4_SQL = f"""
+WITH caps AS (
+  SELECT 'com,site' || ((event_id % {K3_URLS}) % 37)::VARCHAR || ')/a/'
+           || (event_id % {K3_URLS})::VARCHAR AS urlkey,
+         event_id AS capture_ts,
+         md5('com,site' || ((event_id % {K3_URLS}) % 37)::VARCHAR || ')/a/'
+           || (event_id % {K3_URLS})::VARCHAR || '#'
+           || ((event_id % 7) % 3)::VARCHAR) AS digest,
+         100 + event_id % 900 AS n_bytes
+  FROM events
+),
+cls AS (
+  SELECT urlkey, n_bytes,
+         CASE WHEN lag(digest) OVER w IS NULL THEN 1 ELSE 0 END AS is_first,
+         CASE WHEN lag(digest) OVER w = digest THEN 1 ELSE 0 END AS nm
+  FROM caps WINDOW w AS (PARTITION BY urlkey ORDER BY capture_ts)
+)
+SELECT urlkey,
+       count(*)::BIGINT AS n_captures,
+       (count(*) - sum(is_first))::BIGINT AS n_refetches,
+       sum(nm)::BIGINT AS n_not_modified,
+       (count(*) - sum(is_first) - sum(nm))::BIGINT AS n_modified,
+       sum(n_bytes * nm)::BIGINT AS bytes_saved,
+       sum(n_bytes * (1 - nm))::BIGINT AS bytes_fetched
+FROM cls GROUP BY urlkey ORDER BY urlkey
+"""
+
+
+# ===========================================================================
+# K5 — crawl snapshot diff (operators/archive.snapshot_diff)
+
+
+def k5_snapshot_diff(spark, sf):
+    """Snapshot diff under the hard gate (operators/archive.
+    snapshot_diff): the per-cycle index-maintenance classification a
+    continuous crawl publishes — added / gone / changed / unchanged —
+    over two synthesized latest-capture tables (old = urlkeys with
+    event_id%7 != 0 at content v0; new = urlkeys with event_id%11 != 3,
+    content bumped to v1 iff event_id%13 == 0), so all four statuses
+    are populated with known counts. Output = per-status count plus a
+    sum-of-embedded-ids checksum, so a row landing in the wrong class
+    moves BOTH aggregates of two classes. Scale shape: one full-outer
+    join on urlkey and a pure null-pattern projection; on the f3
+    surt-sorted layout the join is two co-ordered scans."""
+    from .operators import archive
+
+    e = load(spark, sf, "events")
+    eid = F.col("event_id")
+    urlkey = F.concat(F.lit("u"), eid.cast("string"))
+    old = e.filter(eid % 7 != 0).select(
+        urlkey.alias("urlkey"),
+        F.md5(F.concat(urlkey, F.lit("#0"))).alias("digest"),
+    )
+    new = e.filter(eid % 11 != 3).select(
+        urlkey.alias("urlkey"),
+        F.md5(
+            F.concat(
+                urlkey,
+                F.lit("#"),
+                (eid % 13 == 0).cast("int").cast("string"),
+            )
+        ).alias("digest"),
+    )
+    return (
+        archive.snapshot_diff(old, new)
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.sum(F.substring("urlkey", 2, 24).cast("long"))
+            .cast("long")
+            .alias("sum_id"),
+        )
+        .orderBy("status")
+    )
+
+
+K5_SQL = """
+WITH oldv AS (
+  SELECT 'u' || event_id::VARCHAR AS urlkey,
+         md5('u' || event_id::VARCHAR || '#0') AS d
+  FROM events WHERE event_id % 7 <> 0
+),
+newv AS (
+  SELECT 'u' || event_id::VARCHAR AS urlkey,
+         md5('u' || event_id::VARCHAR || '#' ||
+             (CASE WHEN event_id % 13 = 0 THEN 1 ELSE 0 END)::VARCHAR) AS d
+  FROM events WHERE event_id % 11 <> 3
+),
+j AS (
+  SELECT coalesce(oldv.urlkey, newv.urlkey) AS urlkey,
+         CASE WHEN oldv.urlkey IS NULL THEN 'added'
+              WHEN newv.urlkey IS NULL THEN 'gone'
+              WHEN oldv.d <> newv.d THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM oldv FULL OUTER JOIN newv ON oldv.urlkey = newv.urlkey
+)
+SELECT status, count(*)::BIGINT AS n_urls,
+       sum(substring(urlkey, 2)::BIGINT)::BIGINT AS sum_id
+FROM j GROUP BY status ORDER BY status
+"""
+
+
+# ===========================================================================
+# M7 — charset sniffing (operators/multimodal.sniff_charset)
+
+# per-slot (BOM hex, ASCII body prefix) — event_id appended to the body
+_M7_SLOTS = [('EFBBBF', '<html>bom-utf8 '), ('FEFF', 'bom-16be '), ('FFFE', 'bom-16le '), ('', '<meta ChArSeT="UTF-8"><p>'), ('', '<meta charset=ISO-8859-1><p>'), ('', '<meta http-equiv="Content-Type" content="text/html; charset=UTF8">'), ('EFBBBF', '<meta charset="koi8-r">'), ('', 'xxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxx<meta charset="utf-8">'), ('', 'plain text '), ('', "<meta charset='koi8-r'>")]
+
+
+def m7_charset_sniff(spark, sf):
+    """Charset sniffing under the hard gate (operators/multimodal.
+    sniff_charset — the decode half of the byte router, beside m6's
+    dispatch half): payloads are synthesized binary covering every
+    decision arm — the three BOMs, quoted/bare/http-equiv meta
+    declarations, WHATWG label normalization (ISO-8859-1 label MEANS
+    windows-1252; UTF8 folds to utf-8), BOM-beats-meta precedence, a
+    declaration pushed past the 1024-byte prescan window (must be
+    ignored), an undeclared page (windows-1252 default), and an
+    unknown label (koi8-r passes through). The twin rebuilds the same
+    bodies as literal strings (pure ASCII, so ISO-8859-1 decode is
+    byte-identity) and replays BOM CASE + regex + label normalization
+    + default — a wrong precedence, a regex drift, a normalization
+    miss, or a prescan-window off-by-enough each move slot counts.
+    Scale shape: a pure codegen projection over ≤1027 bytes per row;
+    the only shuffle is the tiny (slot, charset) matrix groupBy."""
+    from .operators import multimodal
+
+    e = load(spark, sf, "events")
+    eid = F.col("event_id")
+    slot = (eid % 10).cast("int")
+    bom = None
+    body = None
+    for i, (hx, prefix) in enumerate(_M7_SLOTS):
+        c = eid % 10 == i
+        b = F.unhex(F.lit(hx))
+        t = F.concat(F.lit(prefix), eid.cast("string"))
+        bom = F.when(c, b) if bom is None else bom.when(c, b)
+        body = F.when(c, t) if body is None else body.when(c, t)
+    payload = F.concat(bom, F.encode(body, "UTF-8"))
+    rows = e.select(
+        slot.alias("slot"),
+        multimodal.sniff_charset(payload).alias("charset"),
+    )
+    return (
+        rows.groupBy("slot", "charset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("slot", "charset")
+    )
+
+
+_M7_BOM_CASE = " ".join(
+    f"WHEN event_id % 10 = {i} THEN '{hx}'"
+    for i, (hx, _) in enumerate(_M7_SLOTS)
+)
+_M7_BODY_CASE = " ".join(
+    "WHEN event_id % 10 = {i} THEN '{p}' || event_id::VARCHAR".format(
+        i=i, p=prefix.replace("'", "''")
+    )
+    for i, (_, prefix) in enumerate(_M7_SLOTS)
+)
+
+M7_SQL = f"""
+WITH blobs AS (
+  SELECT (event_id % 10)::INT AS slot,
+         CASE {_M7_BOM_CASE} END AS bom,
+         CASE {_M7_BODY_CASE} END AS body
+  FROM events
+),
+lab AS (
+  SELECT slot, bom,
+         regexp_extract(lower(substring(body, 1, 1024)),
+           'charset\\s*=\\s*["'']?\\s*([a-z0-9._:+-]+)', 1) AS label
+  FROM blobs
+),
+sn AS (
+  SELECT slot,
+         CASE WHEN bom = 'EFBBBF' THEN 'utf-8'
+              WHEN bom = 'FEFF' THEN 'utf-16be'
+              WHEN bom = 'FFFE' THEN 'utf-16le'
+              WHEN label IN ('utf-8', 'utf8', 'unicode-1-1-utf-8')
+                THEN 'utf-8'
+              WHEN label IN ('iso-8859-1', 'iso8859-1', 'latin1', 'l1',
+                             'us-ascii', 'ascii', 'windows-1252',
+                             'cp1252', 'x-cp1252')
+                THEN 'windows-1252'
+              WHEN label IN ('utf-16', 'utf-16le', 'unicodefeff')
+                THEN 'utf-16le'
+              WHEN label = 'utf-16be' THEN 'utf-16be'
+              WHEN label = '' THEN 'windows-1252'
+              ELSE label END AS charset
+  FROM lab
+)
+SELECT slot, charset, count(*)::BIGINT AS n
+FROM sn GROUP BY slot, charset ORDER BY slot, charset
+"""
+
+
+# ===========================================================================
 # registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -7872,6 +8112,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m5_image_neardup": m5_image_neardup,
     "x29_cluster_reps": x29_cluster_reps,
     "x30_shard_manifest": x30_shard_manifest,
+    "k4_revalidation": k4_revalidation,
+    "k5_snapshot_diff": k5_snapshot_diff,
+    "m7_charset_sniff": m7_charset_sniff,
 }
 
 ORACLES: dict[str, str] = {
@@ -7999,4 +8242,7 @@ ORACLES: dict[str, str] = {
     "m5_image_neardup": M5_SQL,
     "x29_cluster_reps": X29_SQL,
     "x30_shard_manifest": X30_SQL,
+    "k4_revalidation": K4_SQL,
+    "k5_snapshot_diff": K5_SQL,
+    "m7_charset_sniff": M7_SQL,
 }

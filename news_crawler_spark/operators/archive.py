@@ -184,3 +184,100 @@ def cdx_resolve(captures: DataFrame) -> DataFrame:
             "latest_is_revisit"
         ),
     )
+
+
+def revalidation_plan(captures: DataFrame) -> DataFrame:
+    """Conditional-GET (If-None-Match / 304) accounting per urlkey —
+    how much of the recrawl bill a validator-aware fetcher avoids.
+
+    A recrawl scheduler (t8/t9) decides WHEN to refetch; HTTP
+    revalidation decides HOW MUCH a refetch costs: send the previous
+    capture's validator (ETag ≡ content digest here) and a
+    well-behaved origin answers ``304 Not Modified`` with NO body
+    whenever the content is unchanged *since the immediately previous
+    capture*. That "since the previous capture" is the semantic line
+    between this and ``cdx_resolve``'s WARC-revisit accounting: a
+    revisit dedups against ANY earlier capture (an A-B-A history makes
+    the second A a revisit), but a conditional GET only carries the
+    LAST capture's validator, so the second A transfers its full body
+    (the previous digest was B). The reference refetches
+    unconditionally and re-stores every body
+    (collectors/*/news_crawler.py + news_storage writers — no
+    validator is kept anywhere), so at 10^10 URLs its recrawl bill is
+    every page, every time.
+
+    Input: ``(urlkey, capture_ts, digest, n_bytes)`` — one row per
+    capture, ``capture_ts`` unique within a urlkey, ``n_bytes`` the
+    body size that capture transferred (or would have). Output, one
+    row per urlkey:
+
+    - ``n_captures`` / ``n_refetches`` — total captures; captures
+      after the first (only those can revalidate).
+    - ``n_not_modified`` — refetches whose digest equals the previous
+      capture's (a 304: header-only exchange).
+    - ``n_modified = n_refetches − n_not_modified``.
+    - ``bytes_saved`` — sum of body bytes over 304s (never sent).
+    - ``bytes_fetched`` — first capture + every modified body.
+
+    Scale shape: ONE shuffle on urlkey — the lag window hash-partitions
+    on urlkey and the final aggregation reuses that partitioning
+    (Catalyst emits no second exchange; plan-asserted in tests). The
+    shuffle carries captures once; no self-join, no second pass."""
+    w = Window.partitionBy("urlkey").orderBy("capture_ts")
+    not_mod = (
+        F.lag("digest").over(w).isNotNull()
+        & (F.col("digest") == F.lag("digest").over(w))
+    ).cast("int")
+    first = F.lag("digest").over(w).isNull().cast("int")
+    classified = captures.select(
+        "urlkey",
+        "n_bytes",
+        not_mod.alias("__nm"),
+        first.alias("__first"),
+    )
+    return classified.groupBy("urlkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_captures"),
+        (F.count(F.lit(1)) - F.sum("__first")).cast("long").alias("n_refetches"),
+        F.sum("__nm").cast("long").alias("n_not_modified"),
+        (F.count(F.lit(1)) - F.sum("__first") - F.sum("__nm"))
+        .cast("long")
+        .alias("n_modified"),
+        F.sum(F.col("n_bytes") * F.col("__nm")).cast("long").alias("bytes_saved"),
+        F.sum(F.col("n_bytes") * (1 - F.col("__nm")))
+        .cast("long")
+        .alias("bytes_fetched"),
+    )
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Classify every URL across two crawl snapshots: ``added`` (new
+    only), ``gone`` (old only), ``changed`` (both, digest differs),
+    ``unchanged`` — the index-maintenance diff a continuous crawl
+    publishes per cycle (what must be re-extracted, what must be
+    tombstoned downstream). The reference has no snapshot notion at
+    all — its MySQL table only ever accretes rows.
+
+    Inputs: two frames of ``(urlkey, digest)``, one row per URL per
+    snapshot (the shape ``cdx_resolve``'s latest_digest produces).
+    Output: ``(urlkey, status, old_digest, new_digest)``, one row per
+    URL present in either snapshot.
+
+    Scale shape: ONE full-outer join on urlkey and nothing else. Both
+    sides are latest-capture tables (|URLs|, not |captures|); stored
+    surt-sorted/bucketed on urlkey (the f3 layout) the join needs no
+    shuffle at all — two co-ordered scans merge. Statuses are a pure
+    projection over the join's null pattern."""
+    o = old.select(
+        F.col("urlkey"), F.col("digest").alias("old_digest")
+    )
+    n = new.select(
+        F.col("urlkey"), F.col("digest").alias("new_digest")
+    )
+    j = o.join(n, "urlkey", "full_outer")
+    status = (
+        F.when(F.col("old_digest").isNull(), "added")
+        .when(F.col("new_digest").isNull(), "gone")
+        .when(F.col("old_digest") != F.col("new_digest"), "changed")
+        .otherwise("unchanged")
+    )
+    return j.select("urlkey", status.alias("status"), "old_digest", "new_digest")

@@ -132,3 +132,83 @@ def test_cdx_resolve_plan_has_no_window_or_join(spark):
     plan = archive.cdx_resolve(_caps(spark))._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "Join" not in plan
+
+
+# ------------------------------------------------------------- revalidation
+
+
+def _revcaps(spark):
+    # u1: A-B-A — the third capture is a WARC revisit (digest seen
+    # before) but NOT a 304 (previous digest was B); u2: A-A — a 304.
+    return spark.createDataFrame(
+        [
+            ("u1", 1, "A", 100),
+            ("u1", 2, "B", 110),
+            ("u1", 3, "A", 120),
+            ("u2", 1, "A", 50),
+            ("u2", 2, "A", 55),
+            ("u3", 9, "Z", 70),
+        ],
+        "urlkey string, capture_ts int, digest string, n_bytes int",
+    )
+
+
+def test_revalidation_vs_revisit_semantics(spark):
+    """The semantic line this operator exists for: conditional GET only
+    carries the PREVIOUS capture's validator, so an A-B-A return
+    transfers its full body even though cdx_resolve counts it as a
+    revisit."""
+    out = {r.urlkey: r for r in archive.revalidation_plan(_revcaps(spark)).collect()}
+    u1 = out["u1"]
+    assert (u1.n_captures, u1.n_refetches) == (3, 2)
+    assert (u1.n_not_modified, u1.n_modified) == (0, 2)
+    assert (u1.bytes_saved, u1.bytes_fetched) == (0, 330)
+    # cdx_resolve sees one revisit in the same history
+    cdx = {r.urlkey: r for r in archive.cdx_resolve(
+        _revcaps(spark).drop("n_bytes")).collect()}
+    assert cdx["u1"].n_revisits == 1
+    u2 = out["u2"]
+    assert (u2.n_not_modified, u2.bytes_saved, u2.bytes_fetched) == (1, 55, 50)
+
+
+def test_revalidation_single_capture(spark):
+    u3 = {r.urlkey: r for r in archive.revalidation_plan(_revcaps(spark)).collect()}["u3"]
+    assert (u3.n_captures, u3.n_refetches, u3.n_not_modified) == (1, 0, 0)
+    assert (u3.bytes_saved, u3.bytes_fetched) == (0, 70)
+
+
+def test_revalidation_plan_single_exchange(spark):
+    """The scale contract: the lag window hash-partitions on urlkey and
+    the rollup reuses that partitioning — captures shuffle ONCE."""
+    plan = (
+        archive.revalidation_plan(_revcaps(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+
+
+# ------------------------------------------------------------ snapshot diff
+
+
+def test_snapshot_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [("a", "d1"), ("b", "d2"), ("c", "d3")], "urlkey string, digest string"
+    )
+    new = spark.createDataFrame(
+        [("b", "d2"), ("c", "dX"), ("d", "d9")], "urlkey string, digest string"
+    )
+    got = {r.urlkey: r for r in archive.snapshot_diff(old, new).collect()}
+    assert {k: v.status for k, v in got.items()} == {
+        "a": "gone", "b": "unchanged", "c": "changed", "d": "added"
+    }
+    assert got["a"].new_digest is None and got["d"].old_digest is None
+    assert (got["c"].old_digest, got["c"].new_digest) == ("d3", "dX")
+
+
+def test_snapshot_diff_empty_old_is_all_added(spark):
+    old = spark.createDataFrame([], "urlkey string, digest string")
+    new = spark.createDataFrame([("x", "d")], "urlkey string, digest string")
+    rows = archive.snapshot_diff(old, new).collect()
+    assert len(rows) == 1 and rows[0].status == "added"

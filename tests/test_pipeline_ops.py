@@ -1814,3 +1814,61 @@ class TestContainmentPairs:
         # a_id < b_id ordering; containment of the SMALL set is 1.0
         assert (r.a_id, r.b_id) == (10, 20)
         assert r.c_ab == 1.0 and r.c_ba < 1.0
+
+
+# ---------------------------------------------------------------- charset
+
+
+class TestCharsetSniff:
+    def _sniff(self, spark, payloads, **kw):
+        df = spark.createDataFrame(
+            [(i, bytearray(p)) for i, p in enumerate(payloads)],
+            "i long, payload binary",
+        )
+        out = df.select(
+            "i", multimodal.sniff_charset(F.col("payload"), **kw).alias("cs")
+        ).collect()
+        return [r.cs for r in sorted(out, key=lambda r: r.i)]
+
+    def test_bom_detection(self, spark):
+        got = self._sniff(
+            spark,
+            [b"\xef\xbb\xbfx", b"\xfe\xffx", b"\xff\xfex", b"no bom"],
+        )
+        assert got == ["utf-8", "utf-16be", "utf-16le", "windows-1252"]
+
+    def test_meta_declarations(self, spark):
+        cases = [
+            (b'<meta charset="utf-8">', "utf-8"),
+            (b"<meta charset=UTF8>", "utf-8"),          # bare + fold
+            (b"<meta charset='iso-8859-1'>", "windows-1252"),  # WHATWG map
+            (b"<META CHARSET = ascii >x", "windows-1252"),
+            (
+                b'<meta http-equiv="Content-Type" '
+                b'content="text/html; charset=utf-16">',
+                "utf-16le",                              # bare utf-16 is LE
+            ),
+            (b'<meta charset="koi8-r">', "koi8-r"),      # passthrough
+        ]
+        assert self._sniff(spark, [p for p, _ in cases]) == [
+            c for _, c in cases
+        ]
+
+    def test_bom_beats_meta(self, spark):
+        got = self._sniff(spark, [b'\xef\xbb\xbf<meta charset="koi8-r">'])
+        assert got == ["utf-8"]
+
+    def test_prescan_window_bounds_the_scan(self, spark):
+        inside = b"x" * 100 + b'<meta charset="utf-8">'
+        outside = b"x" * 1100 + b'<meta charset="utf-8">'
+        assert self._sniff(spark, [inside, outside]) == [
+            "utf-8", "windows-1252"
+        ]
+        # the window is a parameter: widen it and the same bytes decode
+        assert self._sniff(spark, [outside], scan_bytes=2048) == ["utf-8"]
+
+    def test_non_ascii_bytes_before_meta_are_harmless(self, spark):
+        # ISO-8859-1 decode is total: arbitrary high bytes before the
+        # declaration can't break the scan
+        got = self._sniff(spark, [b"\x80\x81\xfe<meta charset=utf-8>"])
+        assert got == ["utf-8"]
