@@ -140,6 +140,8 @@ HEADLINE = [
     "k4_revalidation",
     "k5_snapshot_diff",
     "m7_charset_sniff",
+    "c5_drain_eta",
+    "t10_sitemap_staleness",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by

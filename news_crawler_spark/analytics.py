@@ -7985,6 +7985,114 @@ FROM sn GROUP BY slot, charset ORDER BY slot, charset
 
 
 # ===========================================================================
+# C5 — per-host frontier drain ETA (operators/frontier.drain_eta)
+
+
+def c5_drain_eta(spark, sf):
+    """Frontier drain ETA under the hard gate (operators/frontier.
+    drain_eta): the capacity-planning signal politeness creates —
+    pending backlog ÷ per-round token budget = rounds before a host's
+    queue empties; a host over the cap is bottlenecked by POLITENESS,
+    not compute, and adding executors cannot help it (the inverse of
+    the X4 skew lesson: salting fixes hot-host COMPUTE skew, nothing
+    fixes a token-bucket ceiling but budget policy). Frontier
+    synthesized from events (97 hosts, 2/3 pending); budgets cover
+    the first 48 hosts (5-11 tokens), the rest exercise the default
+    branch. The twin replays the ceil-div and cap exactly. Scale
+    shape: ONE combiner-reduced groupBy(host) over the frontier +
+    a broadcast budget dim; pure integer projection after."""
+    from .operators import frontier
+
+    e = load(spark, sf, "events")
+    eid = F.col("event_id")
+    fr = e.select(
+        F.concat(F.lit("h"), (eid % 97).cast("string")).alias("host"),
+        F.when(eid % 3 != 0, "pending").otherwise("completed").alias("status"),
+    )
+    budgets = spark.range(48).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+        (F.lit(5) + F.col("id") % 7).cast("long").alias("budget"),
+    )
+    return frontier.drain_eta(fr, budgets, default_budget=20, rounds_cap=150).orderBy(
+        "host"
+    )
+
+
+C5_SQL = """
+WITH fr AS (
+  SELECT 'h' || (event_id % 97)::VARCHAR AS host
+  FROM events WHERE event_id % 3 <> 0
+),
+p AS (SELECT host, count(*)::BIGINT AS n_pending FROM fr GROUP BY host),
+b AS (SELECT 'h' || id::VARCHAR AS host, (5 + id % 7)::BIGINT AS budget
+      FROM range(48) t(id))
+SELECT p.host, p.n_pending,
+       coalesce(b.budget, 20)::BIGINT AS budget,
+       ((p.n_pending + coalesce(b.budget, 20) - 1)
+         // coalesce(b.budget, 20))::BIGINT AS rounds_to_drain,
+       ((p.n_pending + coalesce(b.budget, 20) - 1)
+         // coalesce(b.budget, 20)) > 150 AS over_cap
+FROM p LEFT JOIN b USING (host) ORDER BY host
+"""
+
+
+# ===========================================================================
+# T10 — sitemap-lastmod staleness (sources.sitemap_staleness)
+
+
+def t10_sitemap_staleness(spark, sf):
+    """Sitemap-driven recrawl selection under the hard gate
+    (sources.sitemap_staleness): what the origin ADVERTISES changed
+    (sitemap lastmod) vs what the archive HOLDS (latest capture) —
+    the third recrawl loop beside t8 (observed discovery rate) and t9
+    (per-page change history), and the cheapest (one sitemap fetch
+    covers 50k URLs). Entries are synthesized with DUPLICATE urls
+    (many event_ids map to one url — pins the max-lastmod collapse);
+    captures skip every 11th url (pins 'unseen') and carry an
+    independent timestamp stream so stale and fresh both populate.
+    The twin replays the collapse, the left join, and the
+    classification. Scale shape: the archive side is never shuffled —
+    broadcast left-semi prune to ≤|entries| rows, then a broadcast
+    left join that preserves every advertised URL."""
+    from . import sources as src
+
+    e = load(spark, sf, "events")
+    eid = F.col("event_id")
+    url = F.concat(F.lit("u"), (eid % 700).cast("string"))
+    entries = e.filter(eid % 2 == 0).select(
+        url.alias("url"),
+        (eid % 90000 + 10000).cast("long").alias("lastmod_ts"),
+    )
+    captures = (
+        e.filter((eid % 700) % 11 != 2)
+        .groupBy(url.alias("url"))
+        .agg(F.max(eid % 95000).cast("long").alias("latest_ts"))
+    )
+    return src.sitemap_staleness(entries, captures).orderBy("url")
+
+
+T10_SQL = """
+WITH e AS (
+  SELECT 'u' || (event_id % 700)::VARCHAR AS url,
+         max(event_id % 90000 + 10000)::BIGINT AS lastmod_ts
+  FROM events WHERE event_id % 2 = 0 GROUP BY 1
+),
+c AS (
+  SELECT 'u' || (event_id % 700)::VARCHAR AS url,
+         max(event_id % 95000)::BIGINT AS latest_ts
+  FROM events WHERE (event_id % 700) % 11 <> 2 GROUP BY 1
+)
+SELECT e.url, e.lastmod_ts, c.latest_ts,
+       CASE WHEN c.latest_ts IS NULL THEN 'unseen'
+            WHEN e.lastmod_ts > c.latest_ts THEN 'stale'
+            ELSE 'fresh' END AS status,
+       (CASE WHEN c.latest_ts IS NOT NULL AND e.lastmod_ts > c.latest_ts
+             THEN e.lastmod_ts - c.latest_ts ELSE 0 END)::BIGINT AS staleness_s
+FROM e LEFT JOIN c USING (url) ORDER BY url
+"""
+
+
+# ===========================================================================
 # registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -8115,6 +8223,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k4_revalidation": k4_revalidation,
     "k5_snapshot_diff": k5_snapshot_diff,
     "m7_charset_sniff": m7_charset_sniff,
+    "c5_drain_eta": c5_drain_eta,
+    "t10_sitemap_staleness": t10_sitemap_staleness,
 }
 
 ORACLES: dict[str, str] = {
@@ -8245,4 +8355,6 @@ ORACLES: dict[str, str] = {
     "k4_revalidation": K4_SQL,
     "k5_snapshot_diff": K5_SQL,
     "m7_charset_sniff": M7_SQL,
+    "c5_drain_eta": C5_SQL,
+    "t10_sitemap_staleness": T10_SQL,
 }

@@ -350,3 +350,58 @@ def change_rate_schedule(
     return lam.select(
         "page_id", "n_polls", "n_changed", "lam_micro", nxt.alias("next_interval_s")
     )
+
+
+def sitemap_staleness(
+    entries: DataFrame, captures: DataFrame
+) -> DataFrame:
+    """Sitemap-lastmod-driven recrawl selection: join what the host
+    ADVERTISES changed (sitemap ``<lastmod>``) against what the archive
+    HOLDS (the latest-capture table ``archive.cdx_resolve`` produces)
+    and classify every advertised URL — ``unseen`` (never captured →
+    crawl), ``stale`` (lastmod newer than our latest capture →
+    refetch; ``staleness_s`` = how far behind), ``fresh`` (no fetch
+    needed). This closes the third recrawl loop: ``recrawl_schedule``
+    paces by observed discovery rate, ``change_rate_schedule`` by
+    per-page change history, and this one by what the origin itself
+    declares — the cheapest signal (one sitemap fetch covers 50k URLs)
+    and the reference ignores it entirely (its sitemap collectors read
+    URLs and dates for DISCOVERY only; nothing compares lastmod to
+    stored state).
+
+    Input: ``entries (url, lastmod_ts)`` — a sitemap batch (duplicate
+    urls collapse to max lastmod here: sitemap files may repeat a URL);
+    ``captures (url, latest_ts)`` — the latest-capture table. Output:
+    one row per advertised URL: ``(url, lastmod_ts, latest_ts, status,
+    staleness_s)``.
+
+    Scale shape: the archive side is NEVER shuffled — a sitemap batch
+    is bounded (≤50k URLs/file by spec), so the capture table is
+    pruned with a broadcast left-semi join (the scan streams past the
+    broadcast URL set; on a urlkey-partitioned layout the runtime
+    filter prunes files too), and the surviving ≤|entries| capture
+    rows broadcast back into the left join that preserves every entry.
+    Two broadcasts of the bounded side; zero exchanges of the big
+    one."""
+    e = entries.groupBy("url").agg(F.max("lastmod_ts").alias("lastmod_ts"))
+    matched = captures.join(
+        F.broadcast(e.select("url")), "url", "left_semi"
+    ).select("url", "latest_ts")
+    j = e.join(F.broadcast(matched), "url", "left")
+    status = (
+        F.when(F.col("latest_ts").isNull(), "unseen")
+        .when(F.col("lastmod_ts") > F.col("latest_ts"), "stale")
+        .otherwise("fresh")
+    )
+    staleness = F.when(
+        F.col("latest_ts").isNotNull()
+        & (F.col("lastmod_ts") > F.col("latest_ts")),
+        F.col("lastmod_ts") - F.col("latest_ts"),
+    ).otherwise(F.lit(0))
+    return j.select(
+        "url",
+        "lastmod_ts",
+        "latest_ts",
+        status.alias("status"),
+        staleness.cast("long").alias("staleness_s"),
+    )

@@ -7,8 +7,15 @@ import struct
 import pytest
 from pyspark.sql import functions as F
 
+from news_crawler_spark import sources
 from news_crawler_spark.functions.xxh64 import xxh64
-from news_crawler_spark.operators import dedup, multimodal, similarity, text
+from news_crawler_spark.operators import (
+    dedup,
+    frontier,
+    multimodal,
+    similarity,
+    text,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -1872,3 +1879,85 @@ class TestCharsetSniff:
         # declaration can't break the scan
         got = self._sniff(spark, [b"\x80\x81\xfe<meta charset=utf-8>"])
         assert got == ["utf-8"]
+
+
+# ---------------------------------------------------------------- drain ETA
+
+
+class TestDrainEta:
+    def _run(self, spark, **kw):
+        fr = spark.createDataFrame(
+            [("a", "pending")] * 7
+            + [("a", "completed")] * 3
+            + [("b", "pending")] * 41
+            + [("c", "completed")],
+            "host string, status string",
+        )
+        budgets = spark.createDataFrame(
+            [("a", 3), ("b", 2)], "host string, budget long"
+        )
+        out = frontier.drain_eta(fr, budgets, **kw)
+        return {r.host: r for r in out.collect()}
+
+    def test_ceil_div_and_cap(self, spark):
+        got = self._run(spark, rounds_cap=10)
+        # a: 7 pending / budget 3 -> ceil = 3 rounds, under cap
+        assert (got["a"].n_pending, got["a"].rounds_to_drain) == (7, 3)
+        assert not got["a"].over_cap
+        # b: 41 / 2 -> 21 rounds, over cap
+        assert (got["b"].rounds_to_drain, got["b"].over_cap) == (21, True)
+        # c has no pending rows -> absent entirely
+        assert "c" not in got
+
+    def test_default_budget_branch(self, spark):
+        fr = spark.createDataFrame(
+            [("zz", "pending")] * 5, "host string, status string"
+        )
+        budgets = spark.createDataFrame([], "host string, budget long")
+        r = frontier.drain_eta(fr, budgets, default_budget=4).collect()[0]
+        assert (r.budget, r.rounds_to_drain) == (4, 2)
+
+
+# ----------------------------------------------------------- sitemap stale
+
+
+class TestSitemapStaleness:
+    def test_classification_and_dup_collapse(self, spark):
+        entries = spark.createDataFrame(
+            [
+                ("u1", 100), ("u1", 250),   # dup url -> max lastmod 250
+                ("u2", 100),
+                ("u3", 100),
+            ],
+            "url string, lastmod_ts long",
+        )
+        captures = spark.createDataFrame(
+            [("u1", 200), ("u2", 500)], "url string, latest_ts long"
+        )
+        got = {r.url: r for r in sources.sitemap_staleness(
+            entries, captures).collect()}
+        assert got["u1"].status == "stale" and got["u1"].staleness_s == 50
+        assert got["u2"].status == "fresh" and got["u2"].staleness_s == 0
+        assert got["u3"].status == "unseen" and got["u3"].latest_ts is None
+        assert got["u1"].lastmod_ts == 250  # dup collapsed to max
+
+    def test_archive_side_never_shuffled(self, spark):
+        """The scale contract: both joins broadcast the bounded sitemap
+        side — the capture table must not appear under a SortMergeJoin
+        or an Exchange feeding one."""
+        entries = spark.createDataFrame(
+            [("u1", 1)], "url string, lastmod_ts long"
+        )
+        captures = spark.createDataFrame(
+            [("u1", 2)], "url string, latest_ts long"
+        )
+        plan = (
+            sources.sitemap_staleness(entries, captures)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "SortMergeJoin" not in plan
+        assert plan.count("BroadcastHashJoin") == 2 or plan.count(
+            "BroadcastExchange"
+        ) >= 2, plan
