@@ -769,3 +769,31 @@ class CrawlEngine:
 
     def documents(self) -> DataFrame:
         return self.catalog.read_all("docs")
+
+    def drain_report(self, rounds_cap: int = 100) -> DataFrame:
+        """Per-host drain ETA over the live frontier — the c5 planning
+        operator (operators/frontier.drain_eta) wired to engine state:
+        robots-eligible pending backlog ÷ the NEXT round's token budget
+        (carry + refill, capped — exactly what step() would issue), with
+        the over-cap flag marking hosts whose queue cannot drain within
+        ``rounds_cap`` rounds no matter the executor count (their
+        ceiling is politeness, not compute). Steady-state note: the
+        budget is round-one's; hosts at bucket cap drain slightly
+        faster than the estimate, never slower — the flag is
+        conservative in the safe direction."""
+        last = self.catalog.latest_round()
+        if last is None:
+            raise FileNotFoundError("no committed rounds — ingest() first")
+        pending = self._read_pending(last)
+        eligible = frontier_ops.eligible(pending, self.max_retries)
+        if self.robots_grammar == "rfc9309":
+            allowed = frontier_ops.allowed_by_robots_wildcards(
+                eligible,
+                self.robots.withColumnRenamed("path_prefix", "pattern"),
+            )
+        else:
+            allowed = frontier_ops.allowed_by_robots(eligible, self.robots)
+        budgets = self._budgets(allowed, self.catalog.read("tokens", last))
+        return frontier_ops.drain_eta(
+            allowed, budgets, self.default_refill, rounds_cap
+        )

@@ -491,3 +491,38 @@ def test_rendezvous_resize_moves_only_to_the_new_shard(spark):
     assert 25 <= len(moved) <= 95
     # balance: every shard owns someone in the 8-world
     assert set(s8.values()) == set(range(8))
+
+
+def test_drain_report_matches_frontier_state(
+    spark, engine_run, tmp_path_factory
+):
+    """Fresh ingest: the report covers exactly the robots-eligible
+    pending backlog at round-1 budgets, the forecast upper-bounds the
+    real drain (budgets only grow with carry), and a quiesced engine
+    reports empty."""
+    import math
+
+    from news_crawler_spark.operators import frontier as frontier_ops
+
+    wd = str(tmp_path_factory.mktemp("drain"))
+    eng = CrawlEngine(spark, wd)
+    eng.ingest(synth.build_seed_list(spark, 300))
+    report = {r.host: r for r in eng.drain_report(rounds_cap=3).collect()}
+    assert report, "fresh ingest must have pending backlog"
+    # per-host backlog must equal the robots-eligible pending count
+    pending = eng.final_frontier().filter(F.col("status") == "pending")
+    allowed = frontier_ops.allowed_by_robots(
+        frontier_ops.eligible(pending), eng.robots
+    )
+    truth = {r.host: r.n for r in allowed.groupBy("host").count()
+             .withColumnRenamed("count", "n").collect()}
+    assert {h: r.n_pending for h, r in report.items()} == truth
+    for r in report.values():
+        assert r.budget > 0
+        assert r.rounds_to_drain == math.ceil(r.n_pending / r.budget)
+        assert r.over_cap == (r.rounds_to_drain > 3)
+    # the forecast never claims a faster drain than actually happened
+    done_eng, stats = engine_run
+    assert max(r.rounds_to_drain for r in report.values()) <= len(stats) * 2
+    # quiesced engine: robots-denied leftovers are filtered -> empty
+    assert done_eng.drain_report().collect() == []
