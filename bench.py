@@ -142,6 +142,7 @@ HEADLINE = [
     "m7_charset_sniff",
     "c5_drain_eta",
     "t10_sitemap_staleness",
+    "p16_dust_rules",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by

@@ -8092,6 +8092,116 @@ FROM e LEFT JOIN c USING (url) ORDER BY url
 """
 
 
+def p16_dust_rules(spark, sf):
+    """DUST parameter-rule mining under the hard gate
+    (operators/dust.mine_param_rules): learn per-host which query
+    parameters are content-neutral from (url, digest) evidence — the
+    learned upgrade of the canonicalizer's static tracking-strip list
+    (the reference dedups links on the raw URL string,
+    news_fresh_links_scheduler.py:53-54, so a session param re-admits
+    the page forever). Synthetic corpus: per item, all 8 presence
+    combos of {sid (item-keyed value), ref=aff, page=2}; the digest
+    depends on (host, item, page) only — so removing sid or ref always
+    finds the residual combo with the SAME digest (support), removing
+    page always finds it with a DIFFERENT one (violation), and the
+    twin replays the explode → signature join → evidence counts on raw
+    signature strings where the operator joins on their xxhash64.
+    Scale shape: explode factor |params| ≤ 3, an equi-join on 8-byte
+    hashes against a distinct signature table, partial-agg counts —
+    never the classic DUST O(n²) pairwise walk."""
+    from .operators import dust
+
+    e = load(spark, sf, "events")
+    eid = F.col("event_id")
+    h = F.expr("(event_id div 8) % 4").cast("string")
+    item = F.expr("event_id div 8")
+    v = eid % 8
+    empty = F.array().cast("array<string>")
+    params = F.array_sort(
+        F.concat(
+            F.when(
+                v % 2 == 1,
+                F.array(F.concat(F.lit("sid="), (item % 97).cast("string"))),
+            ).otherwise(empty),
+            F.when((v % 4) >= 2, F.array(F.lit("ref=aff"))).otherwise(empty),
+            F.when(v >= 4, F.array(F.lit("page=2"))).otherwise(empty),
+        )
+    )
+    url = F.concat(
+        F.lit("https://h"),
+        h,
+        F.lit(".example/i/"),
+        item.cast("string"),
+        F.when(
+            F.size(params) > 0, F.concat(F.lit("?"), F.concat_ws("&", params))
+        ).otherwise(F.lit("")),
+    )
+    digest = F.md5(
+        F.concat(
+            F.lit("d"),
+            h,
+            F.lit(":"),
+            item.cast("string"),
+            F.when(v >= 4, F.lit(":p2")).otherwise(F.lit("")),
+        )
+    )
+    pages = e.select(url.alias("url"), digest.alias("digest"))
+    return dust.mine_param_rules(pages, min_support=3).orderBy("host", "param")
+
+
+P16_SQL = """
+WITH u AS (
+  SELECT ((event_id // 8) % 4)::VARCHAR AS h,
+         (event_id // 8)::VARCHAR AS item,
+         event_id % 8 AS v
+  FROM events
+),
+urls AS (
+  SELECT 'h' || h || '.example' AS host,
+         '/i/' || item AS path,
+         list_sort(
+           (CASE WHEN v % 2 = 1
+                 THEN ['sid=' || (item::BIGINT % 97)::VARCHAR]
+                 ELSE []::VARCHAR[] END)
+           || (CASE WHEN (v % 4) >= 2 THEN ['ref=aff'] ELSE []::VARCHAR[] END)
+           || (CASE WHEN v >= 4 THEN ['page=2'] ELSE []::VARCHAR[] END)
+         ) AS params,
+         md5('d' || h || ':' || item
+             || CASE WHEN v >= 4 THEN ':p2' ELSE '' END) AS digest
+  FROM u
+),
+targets AS (
+  SELECT DISTINCT
+         host || path || '?'
+           || coalesce(array_to_string(params, '&'), '') AS sig,
+         digest AS t_digest
+  FROM urls
+),
+cand AS (
+  SELECT host,
+         split_part(p, '=', 1) AS param,
+         -- array_to_string([]) is NULL in DuckDB (Spark's concat_ws is '')
+         host || path || '?'
+           || coalesce(
+                array_to_string(list_filter(params, x -> x <> p), '&'), '')
+           AS rsig,
+         digest
+  FROM (SELECT host, path, params, digest, unnest(params) AS p FROM urls)
+)
+SELECT c.host, c.param,
+       sum(CASE WHEN c.digest = t.t_digest THEN 1 ELSE 0 END)::BIGINT
+         AS support,
+       sum(CASE WHEN c.digest <> t.t_digest THEN 1 ELSE 0 END)::BIGINT
+         AS violations,
+       (sum(CASE WHEN c.digest <> t.t_digest THEN 1 ELSE 0 END) = 0
+        AND sum(CASE WHEN c.digest = t.t_digest THEN 1 ELSE 0 END) >= 3)
+         AS removable
+FROM cand c JOIN targets t ON c.rsig = t.sig
+GROUP BY 1, 2
+ORDER BY host, param
+"""
+
+
 # ===========================================================================
 # registry
 
@@ -8225,6 +8335,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m7_charset_sniff": m7_charset_sniff,
     "c5_drain_eta": c5_drain_eta,
     "t10_sitemap_staleness": t10_sitemap_staleness,
+    "p16_dust_rules": p16_dust_rules,
 }
 
 ORACLES: dict[str, str] = {
@@ -8357,4 +8468,5 @@ ORACLES: dict[str, str] = {
     "m7_charset_sniff": M7_SQL,
     "c5_drain_eta": C5_SQL,
     "t10_sitemap_staleness": T10_SQL,
+    "p16_dust_rules": P16_SQL,
 }

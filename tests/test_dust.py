@@ -1,0 +1,119 @@
+"""DUST parameter-rule mining (operators/dust.py).
+
+Hand-built corpus where the truth is known by construction: ``sid`` and
+``ref`` never change the digest, ``page`` always does, ``lone`` appears
+only once (no residual target — no evidence at all)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from news_crawler_spark.operators import dust
+
+
+def _pages(spark):
+    rows = []
+    # 5 items x all 4 combos of {sid, ref}; digest depends on item only
+    for item in range(5):
+        sid = f"sid={item * 7}"
+        for has_sid in (0, 1):
+            for has_ref in (0, 1):
+                params = sorted(
+                    ([sid] if has_sid else []) + (["ref=aff"] if has_ref else [])
+                )
+                q = "?" + "&".join(params) if params else ""
+                rows.append(
+                    (f"https://a.example/i/{item}{q}", f"d{item}")
+                )
+    # page param CHANGES content: both versions crawled for 3 items
+    for item in range(3):
+        rows.append((f"https://a.example/p/{item}", f"d{item}"))
+        rows.append((f"https://a.example/p/{item}?page=2", f"d{item}p2"))
+    # a param with no residual evidence (its base combo never crawled)
+    rows.append(("https://a.example/only?lone=1", "dx"))
+    return spark.createDataFrame(rows, "url string, digest string")
+
+
+def test_mine_param_rules_learns_neutral_params(spark):
+    rules = {
+        r.param: r
+        for r in dust.mine_param_rules(_pages(spark), min_support=3).collect()
+    }
+    assert rules["sid"].removable and rules["sid"].violations == 0
+    assert rules["ref"].removable and rules["ref"].violations == 0
+    # sid removal is witnessed from {sid} and {sid,ref} URLs: 2 per item
+    assert rules["sid"].support == 10
+    assert rules["ref"].support == 10
+    # page matched its base combo but the digest differed every time
+    assert not rules["page"].removable
+    assert rules["page"].support == 0 and rules["page"].violations == 3
+    # no evidence row at all for the orphan param
+    assert "lone" not in rules
+
+
+def test_min_support_gates_the_rule(spark):
+    rules = {
+        r.param: r
+        for r in dust.mine_param_rules(_pages(spark), min_support=11).collect()
+    }
+    assert not rules["sid"].removable  # support 10 < 11
+    assert rules["sid"].violations == 0
+
+
+def test_param_order_does_not_matter(spark):
+    a = spark.createDataFrame(
+        [
+            ("https://h.example/x?b=2&a=1&sid=9", "d1"),
+            ("https://h.example/x?a=1&b=2", "d1"),
+            ("https://h.example/y?sid=3&b=2&a=1", "d2"),
+            ("https://h.example/y?b=2&a=1", "d2"),
+            ("https://h.example/z?a=1&sid=4&b=2", "d3"),
+            ("https://h.example/z?a=1&b=2", "d3"),
+        ],
+        "url string, digest string",
+    )
+    rules = {r.param: r for r in dust.mine_param_rules(a).collect()}
+    assert rules["sid"].removable and rules["sid"].support == 3
+
+
+def test_same_sig_two_digests_counts_as_violation(spark):
+    # an unstable page: identical URL params, flapping content
+    a = spark.createDataFrame(
+        [
+            ("https://h.example/x?sid=1", "d1"),
+            ("https://h.example/x", "d1"),
+            ("https://h.example/x", "d2"),
+        ],
+        "url string, digest string",
+    )
+    r = {x.param: x for x in dust.mine_param_rules(a, min_support=1).collect()}
+    assert r["sid"].support == 1 and r["sid"].violations == 1
+    assert not r["sid"].removable
+
+
+def test_apply_param_rules_rewrites_learned_aliases(spark):
+    rules = dust.mine_param_rules(_pages(spark), min_support=3)
+    urls = spark.createDataFrame(
+        [
+            ("https://a.example/i/99?page=2&ref=aff&sid=42",),
+            ("https://a.example/i/99?sid=42",),
+            ("https://b.example/i/1?sid=42",),  # host with no learned rules
+            ("https://a.example/plain",),
+        ],
+        "url string",
+    )
+    out = {
+        r.url: r.rewritten_url
+        for r in dust.apply_param_rules(urls, rules).collect()
+    }
+    assert out["https://a.example/i/99?page=2&ref=aff&sid=42"] == (
+        "https://a.example/i/99?page=2"
+    )
+    assert out["https://a.example/i/99?sid=42"] == "https://a.example/i/99"
+    assert out["https://b.example/i/1?sid=42"] == "https://b.example/i/1?sid=42"
+    assert out["https://a.example/plain"] == "https://a.example/plain"
+
+
+def test_mine_plan_has_no_cartesian_and_bounded_shuffle(spark):
+    plan = dust.mine_param_rules(_pages(spark))._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
