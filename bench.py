@@ -143,6 +143,7 @@ HEADLINE = [
     "c5_drain_eta",
     "t10_sitemap_staleness",
     "p16_dust_rules",
+    "g10_connected_components",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by

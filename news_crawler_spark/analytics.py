@@ -8202,6 +8202,56 @@ ORDER BY host, param
 """
 
 
+def g10_connected_components(spark, sf):
+    """Two-star connected components under the hard gate
+    (operators/graph.connected_components_twostar — Kiveris et al.'s
+    alternating large-star/small-star, the O(log²)-round, hub-absorbing
+    alternative to d5's O(diameter) min-label propagation). Synthetic
+    graph: 10-node chains over a 2990-node id space, with every
+    100-block's base additionally wired to its +20 and +50 chains — so
+    components of three merged chains coexist with untouched chains,
+    duplicate edges arrive from event multiplicity, and the diameter
+    (≥12 through a merged component) forces real alternation rounds.
+    The oracle is algorithm-independent: a recursive label-spread CTE
+    computing min(reachable id) per node — so a value-hash match proves
+    the star contraction lands on exactly the component minima."""
+    from .operators.graph import connected_components_twostar
+
+    e = load(spark, sf, "events")
+    u = (F.col("event_id") % 2990).cast("long")
+    chain = e.filter(u % 10 != 9).select(u.alias("u"), (u + 1).alias("v"))
+    m20 = e.filter(u % 100 == 0).select(u.alias("u"), (u + 20).alias("v"))
+    m50 = e.filter(u % 100 == 0).select(u.alias("u"), (u + 50).alias("v"))
+    edges = chain.unionByName(m20).unionByName(m50)
+    return connected_components_twostar(edges).orderBy("node")
+
+
+G10_SQL = """
+WITH RECURSIVE base AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT event_id % 2990 AS u, event_id % 2990 + 1 AS v
+    FROM events WHERE (event_id % 2990) % 10 <> 9
+    UNION ALL
+    SELECT event_id % 2990, event_id % 2990 + 20
+    FROM events WHERE (event_id % 2990) % 100 = 0
+    UNION ALL
+    SELECT event_id % 2990, event_id % 2990 + 50
+    FROM events WHERE (event_id % 2990) % 100 = 0
+  )
+),
+sym AS (
+  SELECT u, v FROM base UNION SELECT v AS u, u AS v FROM base
+),
+reach AS (
+  SELECT u AS node, u AS lab FROM sym
+  UNION
+  SELECT s.v AS node, r.lab FROM reach r JOIN sym s ON s.u = r.node
+)
+SELECT node::BIGINT AS node, min(lab)::BIGINT AS component
+FROM reach GROUP BY node ORDER BY node
+"""
+
+
 # ===========================================================================
 # registry
 
@@ -8336,6 +8386,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c5_drain_eta": c5_drain_eta,
     "t10_sitemap_staleness": t10_sitemap_staleness,
     "p16_dust_rules": p16_dust_rules,
+    "g10_connected_components": g10_connected_components,
 }
 
 ORACLES: dict[str, str] = {
@@ -8469,4 +8520,5 @@ ORACLES: dict[str, str] = {
     "c5_drain_eta": C5_SQL,
     "t10_sitemap_staleness": T10_SQL,
     "p16_dust_rules": P16_SQL,
+    "g10_connected_components": G10_SQL,
 }

@@ -1,0 +1,91 @@
+"""Two-star connected components (operators/graph.py).
+
+Truth is pinned three ways: hand-built graphs with known components, a
+cross-check against dedup.duplicate_clusters (min-label propagation —
+an INDEPENDENT algorithm for the same contract), and a long-chain case
+where label propagation needs O(n) rounds but two-star stays O(log²)."""
+
+import warnings
+
+import pytest
+from pyspark.sql import functions as F
+
+from news_crawler_spark.operators import dedup
+from news_crawler_spark.operators.graph import connected_components_twostar
+
+
+def _cc(spark, edge_list, **kw):
+    e = spark.createDataFrame(edge_list, "u long, v long")
+    return {
+        r.node: r.component
+        for r in connected_components_twostar(e, **kw).collect()
+    }
+
+
+def test_basic_shapes(spark):
+    # chain 0-1-2-3, triangle 10-11-12, pair 20-21, star 30<-{31,32,33}
+    edges = [
+        (0, 1), (1, 2), (2, 3),
+        (10, 11), (11, 12), (12, 10),
+        (21, 20),
+        (31, 30), (32, 30), (33, 30),
+    ]
+    out = _cc(spark, edges)
+    assert out == {
+        0: 0, 1: 0, 2: 0, 3: 0,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+        30: 30, 31: 30, 32: 30, 33: 30,
+    }
+
+
+def test_duplicate_and_reversed_edges_are_harmless(spark):
+    out = _cc(spark, [(1, 2), (2, 1), (1, 2), (2, 3), (3, 2)])
+    assert out == {1: 1, 2: 1, 3: 1}
+
+
+def test_long_chain_converges_in_logarithmic_rounds(spark):
+    # a 200-node chain: min-label propagation needs ~200 rounds; the
+    # two-star recurrence must finish well inside 20
+    edges = [(i, i + 1) for i in range(200)]
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # non-convergence warns -> fail
+        out = _cc(spark, edges, max_rounds=20)
+    assert set(out.values()) == {0}
+    assert len(out) == 201
+
+
+def test_hub_skew(spark):
+    # one 500-degree hub plus a disjoint pair
+    edges = [(5000, i) for i in range(500)] + [(9000, 9001)]
+    out = _cc(spark, edges)
+    assert out[5000] == 0 and out[499] == 0
+    assert out[9000] == 9000 and out[9001] == 9000
+
+
+def test_agrees_with_min_label_propagation(spark):
+    # deterministic pseudo-random graph: both algorithms must emit the
+    # identical (node -> min-of-component) map
+    edges = []
+    x = 7
+    for _ in range(300):
+        x = (x * 1103515245 + 12345) % (2**31)
+        u, v = x % 97, (x // 97) % 97
+        if u != v:
+            edges.append((u, v))
+    star = _cc(spark, edges)
+    pairs = spark.createDataFrame(
+        [(u, v) for u, v in edges], "a_id long, b_id long"
+    )
+    prop = {
+        r.doc_id: r.cluster_id
+        for r in dedup.duplicate_clusters(pairs).collect()
+    }
+    assert star == prop
+
+
+def test_nonconvergence_warns(spark):
+    edges = [(i, i + 1) for i in range(64)]
+    e = spark.createDataFrame(edges, "u long, v long")
+    with pytest.warns(RuntimeWarning, match="did not stabilize"):
+        connected_components_twostar(e, max_rounds=1).collect()
