@@ -144,6 +144,7 @@ HEADLINE = [
     "t10_sitemap_staleness",
     "p16_dust_rules",
     "g10_connected_components",
+    "s8_sitemap_tree",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by

@@ -8252,6 +8252,103 @@ FROM reach GROUP BY node ORDER BY node
 """
 
 
+def s8_sitemap_tree(spark, sf):
+    """Nested sitemap-index expansion under the hard gate
+    (sources.sitemap_tree): robots.txt advertises INDEX files
+    (c3_robots_sitemaps), indexes list more sitemaps, urlsets list
+    pages — the 50k-entries-per-file cap forces every big site into
+    this tree, and the reference's flat per-source sitemap readers
+    never recurse. Synthetic forest from events: four roots, each with
+    three child indexes and two leaf sitemaps per child, PLUS a diamond
+    (i0 also lists its sibling's leaf — min-depth dedup), a cycle (i2
+    points back at its root — visited-set cut), urls attached at every
+    file level, and the same url string appearing in many files. The
+    oracle is a recursive CTE walking the index edges to min file
+    depth, then joining urlset entries — algorithm-independent of the
+    operator's level-unrolled visited-set BFS."""
+    from . import sources as src
+
+    e = load(spark, sf, "events")
+    eid = F.col("event_id")
+    a = (eid % 4).cast("string")
+    b = ((eid / 4).cast("long") % 3).cast("string")
+    c = ((eid / 12).cast("long") % 2).cast("string")
+    r_loc = F.concat(F.lit("r"), a)
+    i_loc = F.concat(F.lit("i"), a, F.lit("_"), b)
+    s_loc = F.concat(i_loc, F.lit("_"), c)
+    url = F.concat(F.lit("u"), (eid % 5000).cast("string"))
+    idx1 = e.select(r_loc.alias("loc"), i_loc.alias("child")).distinct()
+    idx2 = e.select(i_loc.alias("loc"), s_loc.alias("child")).distinct()
+    diamond = (
+        e.filter(eid % 4 == 0)
+        .select(
+            F.lit("i0_0").alias("loc"),
+            F.concat(F.lit("i0_1_"), c).alias("child"),
+        )
+        .distinct()
+    )
+    cycle = e.select(
+        F.concat(F.lit("i"), a, F.lit("_2")).alias("loc"), r_loc.alias("child")
+    ).distinct()
+    kind_s = F.lit("sitemap").alias("kind")
+    leaf_s = e.select(s_loc.alias("loc"), url.alias("child"))
+    leaf_r = e.filter(eid % 17 == 0).select(r_loc.alias("loc"), url.alias("child"))
+    edges = (
+        idx1.unionByName(idx2)
+        .unionByName(diamond)
+        .unionByName(cycle)
+        .select("loc", "child", kind_s)
+        .unionByName(
+            leaf_s.unionByName(leaf_r).select(
+                "loc", "child", F.lit("url").alias("kind")
+            )
+        )
+    )
+    roots = e.select(r_loc.alias("root")).distinct()
+    return src.sitemap_tree(edges, roots, max_depth=5).orderBy(
+        "root", "url", "depth"
+    )
+
+
+S8_SQL = """
+WITH RECURSIVE
+ev AS (
+  SELECT event_id % 4 AS a, (event_id // 4) % 3 AS b,
+         (event_id // 12) % 2 AS c, event_id % 5000 AS un,
+         event_id AS eid
+  FROM events
+),
+idx AS (
+  SELECT DISTINCT 'r' || a::VARCHAR AS loc,
+         'i' || a::VARCHAR || '_' || b::VARCHAR AS child FROM ev
+  UNION
+  SELECT DISTINCT 'i' || a::VARCHAR || '_' || b::VARCHAR,
+         'i' || a::VARCHAR || '_' || b::VARCHAR || '_' || c::VARCHAR FROM ev
+  UNION
+  SELECT DISTINCT 'i0_0', 'i0_1_' || c::VARCHAR FROM ev WHERE a = 0
+  UNION
+  SELECT DISTINCT 'i' || a::VARCHAR || '_2', 'r' || a::VARCHAR FROM ev
+),
+leaves AS (
+  SELECT 'i' || a::VARCHAR || '_' || b::VARCHAR || '_' || c::VARCHAR AS loc,
+         'u' || un::VARCHAR AS url FROM ev
+  UNION ALL
+  SELECT 'r' || a::VARCHAR, 'u' || un::VARCHAR FROM ev WHERE eid % 17 = 0
+),
+roots AS (SELECT DISTINCT 'r' || a::VARCHAR AS root FROM ev),
+walk AS (
+  SELECT root, root AS loc, 1 AS depth FROM roots
+  UNION
+  SELECT w.root, i.child, w.depth + 1
+  FROM walk w JOIN idx i ON i.loc = w.loc WHERE w.depth < 5
+),
+files AS (SELECT root, loc, min(depth) AS depth FROM walk GROUP BY 1, 2)
+SELECT f.root, l.url, min(f.depth)::BIGINT AS depth
+FROM files f JOIN leaves l ON l.loc = f.loc
+GROUP BY 1, 2 ORDER BY root, url, depth
+"""
+
+
 # ===========================================================================
 # registry
 
@@ -8387,6 +8484,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t10_sitemap_staleness": t10_sitemap_staleness,
     "p16_dust_rules": p16_dust_rules,
     "g10_connected_components": g10_connected_components,
+    "s8_sitemap_tree": s8_sitemap_tree,
 }
 
 ORACLES: dict[str, str] = {
@@ -8521,4 +8619,5 @@ ORACLES: dict[str, str] = {
     "t10_sitemap_staleness": T10_SQL,
     "p16_dust_rules": P16_SQL,
     "g10_connected_components": G10_SQL,
+    "s8_sitemap_tree": S8_SQL,
 }
