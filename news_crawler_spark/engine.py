@@ -797,3 +797,25 @@ class CrawlEngine:
         return frontier_ops.drain_eta(
             allowed, budgets, self.default_refill, rounds_cap
         )
+
+    def dust_rules(self, min_support: int = 3) -> DataFrame:
+        """Mine per-host content-neutral query parameters from THIS
+        crawl's own output (operators/dust.mine_param_rules): url +
+        span-sequence digest — the north-rule identity column — as the
+        evidence table. The loop this closes: a site-local session
+        param defeats both the static tracking strip-list
+        (functions/urls.py) and the seen-set (every alias is a new
+        64-bit key), so each crawl cycle refetches pages it already
+        holds; rules learned here feed dust.apply_param_rules ahead of
+        the NEXT cycle's canonicalization, turning yesterday's wasted
+        fetches into tomorrow's strip rules. Evidence never leaves the
+        cluster: one explode + one 8-byte-key equi-join + one tiny
+        groupBy over the docs table (see PLANS.md p16)."""
+        from .operators import dust as dust_ops
+
+        docs = self.catalog.read_all("docs")
+        pages = docs.select(
+            "url",
+            F.xxhash64(F.to_json("spans")).cast("string").alias("digest"),
+        )
+        return dust_ops.mine_param_rules(pages, min_support)

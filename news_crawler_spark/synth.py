@@ -158,9 +158,24 @@ def build_seed_list(
 # ---------------------------------------------------------------------------
 # synthetic pages (the "network")
 
+def content_key(canonical_url: str) -> str:
+    """The synthetic network's notion of page IDENTITY: the URL minus
+    its ``nsid`` session parameter. Real sites serve the same content to
+    every session id; modeling that is what lets the engine LEARN the
+    strip rule from its own crawl (operators/dust + engine.dust_rules)
+    instead of being handed a list. URLs without ``nsid`` — every URL
+    the stock generators emit — return unchanged, so nothing downstream
+    of the existing corpus shifts by a byte."""
+    if "nsid=" not in canonical_url:
+        return canonical_url
+    base, _, q = canonical_url.partition("?")
+    kept = [p for p in q.split("&") if not p.startswith("nsid=")]
+    return base + ("?" + "&".join(kept) if kept else "")
+
+
 def page_ok(canonical_url: str) -> bool:
     """~5% of fetches fail, hash-selected (failure injection)."""
-    return _u(xxh64_str(f"page:{canonical_url}")) % 20 != 0
+    return _u(xxh64_str(f"page:{content_key(canonical_url)}")) % 20 != 0
 
 
 # Per-source markup dialects (F12): the reference ships five hand-written
@@ -208,16 +223,17 @@ def page_payload(canonical_url: str) -> str:
     engine parser / oracle parser / any dialect holds on (kind, text,
     media_ref, offset)."""
     wrap = _DIALECT_WRAP[SOURCE_DIALECT[source_of_url(canonical_url)]]
-    h = _u(xxh64_str(f"page:{canonical_url}"))
+    ck = content_key(canonical_url)  # session-id aliases serve one page
+    h = _u(xxh64_str(f"page:{ck}"))
     n_blocks = 3 + h % 6
     parts = [wrap["title"].format(f"{_slug(h % 100000)} {h % 997}")]
     for b in range(n_blocks):
-        hb = _u(xxh64_str(f"span:{canonical_url}:{b}"))
+        hb = _u(xxh64_str(f"span:{ck}:{b}"))
         if hb % 4 == 0:
             parts.append(wrap["image"].format(f"img://{hb % 1000000}.jpg"))
         else:
             words = " ".join(
-                _WORDS[_u(xxh64_str(f"pw:{canonical_url}:{b}:{k}")) % len(_WORDS)]
+                _WORDS[_u(xxh64_str(f"pw:{ck}:{b}:{k}")) % len(_WORDS)]
                 for k in range(4 + hb % 12)
             )
             parts.append(wrap["text"].format(words))

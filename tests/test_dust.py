@@ -117,3 +117,44 @@ def test_mine_plan_has_no_cartesian_and_bounded_shuffle(spark):
     plan = dust.mine_param_rules(_pages(spark))._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_synthetic_net_session_param_is_content_neutral():
+    from news_crawler_spark import synth
+
+    u = "https://www.isna.ir/news/1402060503999/x"
+    assert synth.content_key(u) == u
+    assert synth.content_key(u + "?nsid=abc") == u
+    assert synth.content_key(u + "?nsid=abc&page=2") == u + "?page=2"
+    assert synth.page_payload(u + "?nsid=abc") == synth.page_payload(u)
+    assert synth.page_ok(u + "?nsid=abc") == synth.page_ok(u)
+    assert synth.page_payload(u + "?page=2") != synth.page_payload(u)
+
+
+def test_engine_learns_dust_rules_from_own_crawl(spark, tmp_path_factory):
+    """End-to-end loop: crawl a corpus woven with session-id aliases and
+    content-bearing page params, then mine rules from the engine's own
+    documents table — nsid must come out removable, page must not."""
+    from news_crawler_spark.engine import CrawlEngine
+    from news_crawler_spark import synth
+
+    wd = str(tmp_path_factory.mktemp("dust_engine"))
+    eng = CrawlEngine(spark, wd)
+    base = synth.build_seed_list(spark, 40)
+    variants = []
+    for i, r in enumerate(base.limit(30).collect()):  # bounded test weave
+        d = r.asDict()
+        sep = "&" if "?" in d["url"] else "?"
+        variants.append({**d, "url": d["url"] + sep + f"nsid=s{i}x"})
+        variants.append({**d, "url": d["url"] + sep + "page=2"})
+    seeds = base.unionByName(
+        spark.createDataFrame(variants, base.schema)
+    )
+    eng.ingest(seeds)
+    for _ in eng.run():
+        pass
+    rules = {r.param: r for r in eng.dust_rules(min_support=2).collect()}
+    nsid = [v for k, v in rules.items() if k == "nsid"]
+    assert nsid and all(v.removable and v.violations == 0 for v in nsid)
+    assert "page" in rules
+    assert not rules["page"].removable and rules["page"].violations > 0
