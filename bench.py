@@ -145,6 +145,7 @@ HEADLINE = [
     "p16_dust_rules",
     "g10_connected_components",
     "s8_sitemap_tree",
+    "t11_refresh_allocation",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by

@@ -8349,6 +8349,60 @@ GROUP BY 1, 2 ORDER BY root, url, depth
 """
 
 
+def t11_refresh_allocation(spark, sf):
+    """Budget-optimal refresh frequencies under the hard gate
+    (sources.refresh_allocation — Cho & Garcia-Molina TODS'03): t8/t9/
+    t10 SCORE pages for recrawl; this ALLOCATES a global crawl budget
+    across them by exact greedy marginal-freshness gain, via a
+    Lagrange-threshold binary search (O(log scale) combiner-reduced
+    probes; only the tie boundary is ever sorted — see PLANS.md t11).
+    Pages = 4000 ids with change rates 1+(id*7919) mod 50; budget 9000
+    of 32000 possible crawl steps, cutting mid-table so the θ search,
+    the zero-gain floor, and the (page_id, f) tie-break all land under
+    the value hash. The twin is the explode + global-rank greedy — the
+    textbook formulation the operator deliberately avoids at scale —
+    so a match proves the θ-search IS the greedy optimum."""
+    from . import sources as src
+
+    e = load(spark, sf, "events")
+    pages = (
+        e.select((F.col("event_id") % 4000).cast("long").alias("page_id"))
+        .distinct()
+        .select(
+            "page_id",
+            (1 + (F.col("page_id") * 7919) % 50).cast("long").alias("lam"),
+        )
+    )
+    return src.refresh_allocation(pages, budget=9000, f_max=8).orderBy(
+        "page_id"
+    )
+
+
+T11_SQL = """
+WITH p AS (
+  SELECT page_id, 1 + (page_id * 7919) % 50 AS lam
+  FROM (SELECT DISTINCT event_id % 4000 AS page_id FROM events)
+),
+steps AS (
+  SELECT page_id, lam, f,
+         (1000000000::BIGINT * lam) // ((lam + f) * (lam + f - 1)) AS gain
+  FROM p, generate_series(1, 8) AS t(f)
+),
+sel AS (
+  SELECT page_id,
+         row_number() OVER (ORDER BY gain DESC, page_id, f) AS rn
+  FROM steps WHERE gain >= 1
+),
+won AS (
+  SELECT page_id, count(*) AS n FROM sel WHERE rn <= 9000 GROUP BY 1
+)
+SELECT p.page_id::BIGINT AS page_id, p.lam::BIGINT AS lam,
+       coalesce(won.n, 0)::BIGINT AS f_alloc
+FROM p LEFT JOIN won USING (page_id)
+ORDER BY page_id
+"""
+
+
 # ===========================================================================
 # registry
 
@@ -8485,6 +8539,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p16_dust_rules": p16_dust_rules,
     "g10_connected_components": g10_connected_components,
     "s8_sitemap_tree": s8_sitemap_tree,
+    "t11_refresh_allocation": t11_refresh_allocation,
 }
 
 ORACLES: dict[str, str] = {
@@ -8620,4 +8675,5 @@ ORACLES: dict[str, str] = {
     "p16_dust_rules": P16_SQL,
     "g10_connected_components": G10_SQL,
     "s8_sitemap_tree": S8_SQL,
+    "t11_refresh_allocation": T11_SQL,
 }
