@@ -95,6 +95,19 @@ beats *, try_cast under ANSI), c2 rendezvous host→shard ownership (a
 pure zero-shuffle projection whose N→N+1 resize moves only the new
 shard's keys), and t9 per-page adaptive recrawl via the
 Cho–Garcia-Molina change-rate estimator in exact integer micro-nats.
+
+The final additions round out the adaptive-crawl loop end to end: p16
+DUST parameter-rule mining (learn per-host content-neutral query
+params from (url, digest) evidence — residual-signature equi-join, no
+pairwise walk; the engine mines its own crawl via dust_rules()), g10
+two-star connected components (Kiveris et al. — O(log²)-round,
+hub-skew-absorbing; oracle is an algorithm-independent recursive
+label-spread CTE), s8 nested sitemap-INDEX tree expansion with root
+attribution (visited-set BFS over bounded FILES, URLs only emitted;
+recursive-CTE twin), and t11 budget-optimal refresh allocation (Cho &
+Garcia-Molina freshness greedy via Lagrange-threshold binary search —
+no global sort; the twin IS the textbook global-rank greedy, so the
+match proves the θ-search equals the optimum).
 """
 
 from __future__ import annotations

@@ -56,6 +56,13 @@ def main() -> None:
                     help="robots rule grammar: plain path prefixes, or "
                          "the full RFC 9309 wildcard grammar ('*', "
                          "trailing '$') big sites ship")
+    ap.add_argument("--dust-rules", action="store_true",
+                    help="after the crawl, mine per-host content-neutral "
+                         "query params from this crawl's own documents "
+                         "(operators/dust) and print the learned rules")
+    ap.add_argument("--drain-report", action="store_true",
+                    help="before crawling, print the per-host drain ETA "
+                         "forecast for the pending backlog")
     args = ap.parse_args()
 
     spark = get_spark(app_name="crawl_run", cores=args.cpus, master=args.master)
@@ -73,6 +80,14 @@ def main() -> None:
         print(
             f"resuming from round {eng.catalog.latest_round()}", file=sys.stderr
         )
+    if args.drain_report:
+        for r in eng.drain_report().collect():
+            print(
+                f"drain {r.host}: {r.n_pending} pending / budget "
+                f"{r.budget} -> {r.rounds_to_drain} rounds"
+                f"{' (over cap)' if r.over_cap else ''}",
+                file=sys.stderr,
+            )
     stats = eng.run(max_rounds=args.rounds)
     dt = time.perf_counter() - t0
     fetched = sum(s.fetched_ok + s.fetched_fail for s in stats)
@@ -87,6 +102,13 @@ def main() -> None:
             }
         )
     )
+    if args.dust_rules:
+        for r in eng.dust_rules().orderBy("host", "param").collect():
+            print(
+                f"dust {r.host} {r.param}: support={r.support} "
+                f"violations={r.violations} removable={r.removable}",
+                file=sys.stderr,
+            )
     spark.stop()
 
 
