@@ -626,3 +626,63 @@ def test_v13_sq8_scan_is_takeordered(spark):
     p = explain_formatted(df)
     assert "TakeOrderedAndProject" in p
     assert "EvalPython" not in p
+
+
+def test_s8_sitemap_tree_iterates_files_broadcast(spark):
+    """The URL side must never be iterated: every join in the expansion
+    broadcasts the (bounded) file frontier; page URLs only flow through
+    the final min-depth aggregate."""
+    from news_crawler_spark import sources
+
+    edges = spark.createDataFrame(
+        [("r", "i%d" % i, "sitemap") for i in range(20)]
+        + [("i%d" % i, "u%d_%d" % (i, j), "url")
+           for i in range(20) for j in range(50)],
+        "loc string, child string, kind string",
+    )
+    roots = spark.createDataFrame([("r",)], "root string")
+    out = sources.sitemap_tree(edges, roots, max_depth=3)
+    out.collect()  # run THIS df's own QE so its AQE plan finalizes
+                   # (count() would plan a separate aggregate query)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    # AQE's toString appends the pre-adaptive "Initial Plan" (which
+    # legitimately shows SortMergeJoin); judge the Final Plan section
+    final = p.split("Initial Plan")[0]
+    assert "isFinalPlan=true" in final
+    assert "BroadcastHashJoin" in final
+    assert "SortMergeJoin" not in final, final
+
+
+def test_p16_dust_mine_joins_on_hashed_signature(spark):
+    """The evidence join must be an equi-join on the 8-byte xxhash64
+    signature — never a cartesian/nested-loop pairwise walk."""
+    from news_crawler_spark.operators import dust
+
+    pages = spark.createDataFrame(
+        [("https://h.example/p%d?sid=%d" % (i % 7, i), "d%d" % (i % 7))
+         for i in range(50)],
+        "url string, digest string",
+    )
+    p = plan(dust.mine_param_rules(pages))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "xxhash64" in p
+
+
+def test_t11_refresh_allocation_has_no_global_sort_of_pages(spark):
+    """The page table must never be globally sorted: the θ search is
+    aggregate probes, the allocation a pure array projection; only the
+    tie sliver (gain == θ*−1) may see a window."""
+    from news_crawler_spark import sources
+
+    pages = spark.createDataFrame(
+        [(i, 1 + (i * 13) % 20) for i in range(500)],
+        "page_id long, lam long",
+    )
+    out = sources.refresh_allocation(pages, budget=600, f_max=4)
+    p = plan(out)
+    # a GLOBAL sort would plan Exchange rangepartitioning; the tie
+    # sliver's row_number is allowed to collapse into a
+    # TakeOrderedAndProject (per-partition top-k + single merge of the
+    # boundary rows — exactly the bounded-sort contract)
+    assert "Exchange rangepartitioning" not in p, p
+    assert p.count("TakeOrderedAndProject") <= 1, p
