@@ -116,6 +116,7 @@ class CrawlEngine:
         filter_buckets: int = 64,
         filter_capacity: int = 1 << 17,
         robots_grammar: str = "prefix",
+        param_rules: DataFrame | None = None,
     ):
         """``merge_mode``:
 
@@ -141,6 +142,12 @@ class CrawlEngine:
         # prefix-only rule sets the two modes produce the identical
         # crawl (order-equivalence pinned in test_crawl_engine).
         self.robots_grammar = robots_grammar
+        # learned DUST strip rules (a prior crawl's dust_rules() output):
+        # applied to absolute seed URLs BEFORE canonicalization, so
+        # learned session-id aliases collapse into one seen-set key and
+        # are never fetched twice (dust.apply_param_rules; rules are
+        # broadcast — the seed stream is never shuffled by this)
+        self.param_rules = param_rules
         self.robots = robots if robots is not None else synth.robots_df(spark)
         self.politeness = (
             politeness if politeness is not None else synth.politeness_df(spark)
@@ -349,12 +356,27 @@ class CrawlEngine:
         )
 
     # ------------------------------------------------------------------ ingest
+    def _with_learned_rules(self, seed: DataFrame) -> DataFrame:
+        """Apply learned DUST strip rules (if configured) to the seed
+        batch's absolute URLs before canonicalization — the consumption
+        side of :meth:`dust_rules`. Rules are broadcast; scheme-less
+        dirty spellings pass through untouched (the canonicalizer owns
+        those)."""
+        if self.param_rules is None:
+            return seed
+        from .operators import dust as dust_ops
+
+        out = dust_ops.apply_param_rules(seed, self.param_rules)
+        return out.withColumn("url", F.col("rewritten_url")).drop(
+            "rewritten_url"
+        )
+
     def ingest(self, seed: DataFrame) -> None:
         """Seed list → frontier round 0: canonicalize, hash, first-wins
         dedup (the URL-seen set), initial pending state, seen-keys base,
         filter state, per-source cursors.
         """
-        cand = with_url_columns(seed, "url")
+        cand = with_url_columns(self._with_learned_rules(seed), "url")
         fresh = seen_set.ingest_batch(cand, seen=None)
         frontier = fresh.select(
             "url",
@@ -422,7 +444,7 @@ class CrawlEngine:
         round_no = prev + 1
         prev_pending = self._read_pending(prev)
         seen = self._read_seen_keys(prev)
-        cand = with_url_columns(seed, "url")
+        cand = with_url_columns(self._with_learned_rules(seed), "url")
         fresh = seen_set.dedup_first_wins(cand)
         if self.filter_store is not None:
             self._ensure_filter_fresh(prev, seen)

@@ -51,9 +51,16 @@ def split_url(url: Column) -> tuple[Column, Column, Column]:
     a missing query yields an empty param array. Parameters are sorted
     so signature equality means set equality (duplicate identical
     ``k=v`` strings collapse in evidence counting, which only ever
-    strengthens a violation, never hides one).
+    strengthens a violation, never hides one). ``host`` is normalized
+    for KEYING — lowercased, port stripped — so rules mined from
+    canonical URLs apply to ported/uppercased raw spellings too; it is
+    not suitable for URL reconstruction (apply keeps the raw authority).
     """
-    host = F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]+)", 1))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]+)", 1)),
+        r":\d+$",
+        "",
+    )
     path = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]+([^?#]*)", 1)
     query = F.regexp_extract(url, r"\?([^#]*)", 1)
     params = F.when(query == "", _empty_str_array()).otherwise(
@@ -141,15 +148,23 @@ def apply_param_rules(urls: DataFrame, rules: DataFrame) -> DataFrame:
         ),
     )
     rebuilt = F.concat(
-        F.regexp_extract("url", r"^([a-zA-Z][a-zA-Z0-9+.\-]*://)", 1),
-        F.col("__host"),
+        # raw scheme+authority verbatim (the keyed __host is lowercased
+        # and port-stripped; reconstruction must not touch either —
+        # that is the canonicalizer's decision, not this operator's)
+        F.regexp_extract("url", r"^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]+)", 1),
         F.col("__path"),
         F.when(F.size(kept) > 0, F.concat(F.lit("?"), F.concat_ws("&", kept))).otherwise(
             F.lit("")
         ),
     )
+    # rewrite ONLY when the URL parsed as absolute AND actually loses a
+    # param; dirty spellings (scheme-less, protocol-relative — the
+    # canonicalizer's job, not ours) pass through byte-identical
+    safe = F.when(
+        (F.col("__host") != "") & (F.size(kept) < F.size("__params")), rebuilt
+    ).otherwise(F.col("url"))
     return (
         parsed.join(F.broadcast(drop), parsed["__host"] == drop["host"], "left")
-        .withColumn("rewritten_url", rebuilt)
+        .withColumn("rewritten_url", safe)
         .drop("__host", "__path", "__params", "host", "drop_keys")
     )

@@ -158,3 +158,64 @@ def test_engine_learns_dust_rules_from_own_crawl(spark, tmp_path_factory):
     assert nsid and all(v.removable and v.violations == 0 for v in nsid)
     assert "page" in rules
     assert not rules["page"].removable and rules["page"].violations > 0
+
+
+def test_learned_rules_feed_the_next_crawl(spark, tmp_path_factory):
+    """Full circle: crawl #1 over session-aliased seeds -> mine rules ->
+    crawl #2 configured with those rules admits each aliased page ONCE
+    (the nsid variants collapse onto their clean twins at ingest), while
+    content-bearing page variants stay distinct."""
+    from news_crawler_spark.engine import CrawlEngine
+    from news_crawler_spark import synth
+
+    base = synth.build_seed_list(spark, 40)
+    # weave only ABSOLUTE spellings: learned rules deliberately skip
+    # scheme-less/protocol-relative dirt (the canonicalizer owns those)
+    absolute = [
+        r.asDict()
+        for r in base.collect()
+        if r.url.startswith("http")
+    ][:30]
+    assert len(absolute) >= 10
+    variants = []
+    for i, d in enumerate(absolute):
+        sep = "&" if "?" in d["url"] else "?"
+        variants.append({**d, "url": d["url"] + sep + f"nsid=s{i}x"})
+        variants.append({**d, "url": d["url"] + sep + "page=2"})
+    seeds = base.unionByName(spark.createDataFrame(variants, base.schema))
+
+    wd1 = str(tmp_path_factory.mktemp("dust_c1"))
+    e1 = CrawlEngine(spark, wd1)
+    e1.ingest(seeds)
+    n1 = e1.final_frontier().count()
+    for _ in e1.run():
+        pass
+    # min_support=1: hosts with few woven rows (plus 5% failure
+    # injection) can have a single witness; the violation gate still
+    # rejects `page` — support thresholds are a production knob, the
+    # loop under test is mine -> configure -> collapse
+    rules = e1.dust_rules(min_support=1)
+
+    wd2 = str(tmp_path_factory.mktemp("dust_c2"))
+    e2 = CrawlEngine(spark, wd2, param_rules=rules)
+    e2.ingest(seeds)
+    n2 = e2.final_frontier().count()
+    # expectations from the pure-python canonicalizer twin: crawl #2
+    # must admit exactly the distinct canonicals of base+page variants
+    # (every surviving nsid alias would show up as n2 > exp2). Fragment
+    # spellings ('...#section-2?nsid=...') already collapse in crawl #1
+    # — the canonicalizer strips fragments — which the twin accounts
+    # for identically.
+    from news_crawler_spark.functions.urls import canonicalize_one
+
+    base_urls = [r.url for r in base.collect()]
+    nsid_urls = [v["url"] for v in variants if "nsid=" in v["url"]]
+    page_urls = [v["url"] for v in variants if v["url"].endswith("page=2")]
+    exp1 = len({canonicalize_one(u) for u in base_urls + nsid_urls + page_urls})
+    exp2 = len({canonicalize_one(u) for u in base_urls + page_urls})
+    assert n1 == exp1
+    assert n2 == exp2
+    assert n2 < n1
+    urls = [r.url for r in e2.final_frontier().select("url").collect()]
+    assert not any("nsid=" in u for u in urls)
+    assert any("page=2" in u for u in urls)
