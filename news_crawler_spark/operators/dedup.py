@@ -489,7 +489,9 @@ def minhash_lsh_pairs(
 # --------------------------------------------------------------------------
 # duplicate clusters (connected components over near-dup pairs)
 
-def duplicate_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
+def duplicate_clusters(
+    pairs: DataFrame, max_iters: int = 50, algorithm: str = "label"
+) -> DataFrame:
     """Near-dup PAIRS → CLUSTERS: (doc_id, cluster_id) where cluster_id =
     the minimum doc_id in the pair-graph's connected component. This is
     the step a real dedup pipeline ends with — pairs say "these two are
@@ -504,7 +506,30 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     practice; ``localCheckpoint`` per round truncates the lineage so the
     plan does not grow with iterations (the classic iterative-Spark
     footgun). Driver-side work per round is ONE scalar count.
+
+    ``algorithm="twostar"`` delegates to
+    ``graph.connected_components_twostar`` — same (doc_id, cluster_id =
+    component min) contract, agreement pinned in tests/test_graph_cc.py.
+    Choose it when the pair graph might hold LONG chains (redirect/
+    mirror families) or mega-degree hubs (boilerplate clusters): label
+    propagation pays O(diameter) rounds and one full-edge shuffle per
+    round; two-star pays O(log²) rounds with min-combiner-absorbed skew.
+    For ordinary near-dup output (tiny cliques), label propagation's
+    2-4 cheap rounds win.
     """
+    if algorithm == "twostar":
+        from .graph import connected_components_twostar
+
+        edges = pairs.select(
+            F.col("a_id").alias("u"), F.col("b_id").alias("v")
+        )
+        out = connected_components_twostar(edges, max_rounds=max_iters)
+        return out.select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+        )
+    if algorithm != "label":
+        raise ValueError(f"algorithm must be label|twostar, got {algorithm!r}")
     # checkpoint the edge list: every propagation round joins against it,
     # and a LAZY pairs input (e.g. an all-pairs cosine self-join) would
     # otherwise be re-evaluated once per round — measured 146 s instead

@@ -491,7 +491,11 @@ def refresh_allocation(
     ``pages (page_id, lam)`` with ``lam`` = observed changes per period
     (``change_rate_schedule``'s integer estimator feeds this), output
     ``(page_id, lam, f_alloc)`` with Σ f_alloc ≤ budget, f_alloc ≤
-    f_max.
+    f_max. The reference refreshes every source on one fixed 15 s
+    cadence regardless of change rate or capacity
+    (news_fresh_links_scheduler.py:175); at five sources that is fine,
+    at 10^10 pages the budget IS the constraint and allocation is the
+    policy.
 
     Freshness model: a page crawled ``f`` times per period with change
     rate ``lam`` is fresh f/(f+lam) of the time; the marginal gain of

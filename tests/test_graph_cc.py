@@ -89,3 +89,21 @@ def test_nonconvergence_warns(spark):
     e = spark.createDataFrame(edges, "u long, v long")
     with pytest.warns(RuntimeWarning, match="did not stabilize"):
         connected_components_twostar(e, max_rounds=1).collect()
+
+
+def test_duplicate_clusters_twostar_backend(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "a_id long, b_id long",
+    )
+    a = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.duplicate_clusters(pairs, algorithm="twostar").collect()
+    }
+    b = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.duplicate_clusters(pairs).collect()
+    }
+    assert a == b
+    with pytest.raises(ValueError, match="label|twostar"):
+        dedup.duplicate_clusters(pairs, algorithm="nope")
