@@ -841,3 +841,49 @@ class CrawlEngine:
             F.xxhash64(F.to_json("spans")).cast("string").alias("digest"),
         )
         return dust_ops.mine_param_rules(pages, min_support)
+
+    def run_snowball(
+        self,
+        max_cycles: int = 12,
+        universe: int = 400,
+        max_rounds: int = 1000,
+    ) -> list[RoundStats]:
+        """Open-web mode: crawl the frontier to quiescence, extract the
+        links embedded in the pages just fetched, admit the unseen ones
+        (exactly the ``ingest_incremental`` path a discovery poll uses —
+        seen anti-join, filter fold, cursor fold all included), and
+        repeat until a cycle discovers nothing new.
+
+        The reference never snowballs — its collectors enumerate
+        closed per-source lists (archives/RSS/sitemaps) and the page
+        fetcher walks only what they produced. An open crawl is this
+        loop: fetch → extract links → frontier. Cycle-batched expansion
+        reaches the same fixpoint as any BFS order because links are a
+        function of the page and admission is first-wins
+        (oracle.snowball pins engine ≡ closure on seen/completed/
+        failed/blocked sets). Each cycle's discovery cost is one
+        column-pruned pass over the NEW docs only (fetched_round
+        watermark), so re-crawling nothing and re-discovering nothing
+        is O(new work), not O(history)."""
+        from . import sources as src
+
+        all_stats: list[RoundStats] = []
+        if self.catalog.latest_round() is None:
+            raise FileNotFoundError("no committed rounds — ingest() first")
+        # resume safety: the FIRST cycle reprocesses every doc's links
+        # (watermark -1), because a crash between run() and the link
+        # ingest would otherwise lose the last batch's discoveries on a
+        # fresh attach. Reprocessing is idempotent (the seen anti-join
+        # re-admits nothing) and costs one column-pruned pass over the
+        # docs table per attach; steady-state cycles stay O(new docs).
+        watermark = -1
+        for _cycle in range(max_cycles):
+            all_stats.extend(self.run(max_rounds=max_rounds))
+            new_docs = self.documents().filter(
+                F.col("fetched_round") > watermark
+            )
+            watermark = self.catalog.latest_round()
+            links = src.outlinks_of(new_docs, universe=universe)
+            if self.ingest_incremental(links) == 0:
+                break
+        return all_stats

@@ -244,6 +244,37 @@ def page_fetch_ms(canonical_url: str) -> int:
     return 20 + _u(xxh64_str(f"lat:{canonical_url}")) % 480
 
 
+def page_outlinks(canonical_url: str, universe: int = 400) -> list[dict]:
+    """The links the synthetic network embeds in a page: 0-3 'related
+    articles' per OK page, drawn from a FINITE article universe so a
+    snowball crawl converges to a fixpoint. Pure function of the page
+    identity (``content_key``), shared by the engine's discovery stage
+    (sources.outlinks_of) and the pure-python closure oracle
+    (oracle.snowball) — the same twin discipline as page_payload. A
+    failed fetch yields no links (the crawler never saw the page)."""
+    if not page_ok(canonical_url):
+        return []
+    ck = content_key(canonical_url)
+    n = _u(xxh64_str(f"links:{ck}")) % 4
+    out = []
+    for j in range(n):
+        art_key = _u(xxh64_str(f"link:{ck}:{j}")) % universe
+        source, _host, url = clean_url(art_key)
+        pub = _EPOCH_PUB + timedelta(
+            seconds=int(_u(xxh64_str(f"pub:{art_key}")) % (90 * 86400))
+        )
+        disc = _EPOCH_DISC + timedelta(seconds=art_key)
+        out.append(
+            {
+                "source": source,
+                "url": url,
+                "published_ts": pub.replace(tzinfo=None),
+                "discovery_time": disc.replace(tzinfo=None),
+            }
+        )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # small dimension tables (broadcast-joined at query time)
 

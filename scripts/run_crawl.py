@@ -60,6 +60,14 @@ def main() -> None:
                     help="after the crawl, mine per-host content-neutral "
                          "query params from this crawl's own documents "
                          "(operators/dust) and print the learned rules")
+    ap.add_argument("--snowball", action="store_true",
+                    help="open-web mode: after each crawl-to-quiescence, "
+                         "extract the links embedded in fetched pages and "
+                         "admit the unseen ones, until a cycle discovers "
+                         "nothing (engine.run_snowball)")
+    ap.add_argument("--universe", type=int, default=400,
+                    help="snowball: size of the synthetic article "
+                         "universe links are drawn from")
     ap.add_argument("--drain-report", action="store_true",
                     help="before crawling, print the per-host drain ETA "
                          "forecast for the pending backlog")
@@ -88,7 +96,12 @@ def main() -> None:
                 f"{' (over cap)' if r.over_cap else ''}",
                 file=sys.stderr,
             )
-    stats = eng.run(max_rounds=args.rounds)
+    if args.snowball:
+        stats = eng.run_snowball(
+            max_rounds=args.rounds, universe=args.universe
+        )
+    else:
+        stats = eng.run(max_rounds=args.rounds)
     dt = time.perf_counter() - t0
     fetched = sum(s.fetched_ok + s.fetched_fail for s in stats)
     print(

@@ -526,3 +526,59 @@ def test_drain_report_matches_frontier_state(
     assert max(r.rounds_to_drain for r in report.values()) <= len(stats) * 2
     # quiesced engine: robots-denied leftovers are filtered -> empty
     assert done_eng.drain_report().collect() == []
+
+
+def test_snowball_reaches_the_oracle_closure(spark, tmp_path_factory):
+    """Open-web mode: run_snowball must land exactly on the BFS fixpoint
+    of the synthetic link graph — seen/completed/failed/blocked sets all
+    equal to oracle.snowball's closure, regardless of cycle batching."""
+    from news_crawler_spark import oracle
+
+    wd = str(tmp_path_factory.mktemp("snowball"))
+    eng = CrawlEngine(spark, wd)
+    eng.ingest(synth.build_seed_list(spark, 40))
+    eng.run_snowball(max_cycles=20, universe=150)
+
+    exp = oracle.snowball(
+        [synth.seed_row(i) for i in range(40)], universe=150
+    )
+    ff = eng.final_frontier().select("canonical_url", "status").collect()
+    got = {
+        "seen": {r.canonical_url for r in ff},
+        "completed": {r.canonical_url for r in ff if r.status == "completed"},
+        "failed": {r.canonical_url for r in ff if r.status == "failed"},
+        "blocked_pending": {
+            r.canonical_url for r in ff if r.status == "pending"
+        },
+    }
+    assert got == exp
+    # discovery genuinely expanded the frontier beyond the seed set
+    assert len(exp["seen"]) > 40
+
+
+def test_snowball_resumes_after_kill_between_run_and_ingest(
+    spark, tmp_path_factory
+):
+    """Crash window: pages fetched but their links never admitted. A
+    fresh attach must still reach the full closure — the first cycle
+    reprocesses all docs' links (idempotent through the seen set)."""
+    from news_crawler_spark import oracle
+
+    wd = str(tmp_path_factory.mktemp("snowball_resume"))
+    e1 = CrawlEngine(spark, wd)
+    e1.ingest(synth.build_seed_list(spark, 40))
+    # simulate the crash: crawl to quiescence, then DIE before the
+    # discovery ingest ever runs
+    for _ in e1.run():
+        pass
+
+    e2 = CrawlEngine(spark, wd)  # fresh attach on the same catalog
+    e2.run_snowball(max_cycles=20, universe=150)
+    exp = oracle.snowball(
+        [synth.seed_row(i) for i in range(40)], universe=150
+    )
+    ff = e2.final_frontier().select("canonical_url", "status").collect()
+    assert {r.canonical_url for r in ff} == exp["seen"]
+    assert {
+        r.canonical_url for r in ff if r.status == "completed"
+    } == exp["completed"]
