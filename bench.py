@@ -483,6 +483,55 @@ def crawl_bench(spark, n_seed: int, rounds: int, reps: int = 3) -> dict:
     return out
 
 
+def snowball_bench(
+    spark, n_seed: int, universe: int, max_cycles: int = 3
+) -> dict:
+    """Open-web discovery throughput: seeds → run_snowball for a bounded
+    number of cycles against a large synthetic article universe. Reports
+    total fetched, discovery cycles run, and fetched-URLs/s INCLUSIVE of
+    the per-cycle link-extraction + incremental-ingest cost — the number
+    that tells you what snowballing adds on top of the closed-frontier
+    crawl (the crawl section's URLs/s is the baseline)."""
+    from news_crawler_spark.engine import CrawlEngine
+    from news_crawler_spark import synth as _synth
+
+    # throughput-mode politeness (same shape as _crawl_once): the
+    # DISCOVERY overhead is what this section measures, not the token
+    # bucket ceiling — default budgets would turn each cycle into
+    # hundreds of 60-URL rounds
+    refill = max(n_seed // 6, 1000)
+    politeness = spark.createDataFrame(
+        [
+            {"host": h, "max_per_round": refill, "bucket_capacity": 2 * refill}
+            for _s, h, _w in synth.SOURCES
+        ],
+        schema="host string, max_per_round int, bucket_capacity int",
+    )
+    wd = scratch("snowball_")
+    eng = CrawlEngine(spark, wd, politeness=politeness, default_refill=refill)
+    eng.ingest(_synth.build_seed_list(spark, n_seed))
+    admitted0 = eng.final_frontier().count()
+    t0 = time.perf_counter()
+    stats = eng.run_snowball(
+        max_cycles=max_cycles, universe=universe, max_rounds=4
+    )
+    dt = time.perf_counter() - t0
+    fetched = sum(s.fetched_ok + s.fetched_fail for s in stats)
+    seen = eng.final_frontier().count()
+    return {
+        "seed_urls": n_seed,
+        "admitted_seeds": admitted0,
+        "universe": universe,
+        "max_cycles": max_cycles,
+        "rounds": len(stats),
+        "fetched": fetched,
+        "seen_total": seen,
+        "discovered": seen - admitted0,
+        "wall_sec": round(dt, 2),
+        "fetched_urls_per_sec": round(fetched / dt, 1) if dt else None,
+    }
+
+
 def unseen_op_ab(
     spark, n_keys: int, n_batch: int, kind: str = "bloom", reps: int = 5
 ) -> dict:
@@ -1396,6 +1445,13 @@ def _main() -> None:
     crawl_1m = crawl_bench(
         spark, 100_000 if quick else 1_000_000, rounds=4, reps=1 if quick else 2
     )
+    log("== snowball discovery (open-web mode, bounded cycles) ==")
+    snowball = snowball_bench(
+        spark,
+        2_000 if quick else 20_000,
+        universe=10_000 if quick else 100_000,
+        max_cycles=3,
+    )
     log("== skew probe (hot host 50%) ==")
     skew = skew_probe(spark, 40_000 if quick else 160_000, reps=2 if quick else 3)
     log("== surt range-pruning probe (sorted vs hashed layout) ==")
@@ -1457,6 +1513,7 @@ def _main() -> None:
                 "sf": sf,
                 "crawl": crawl,
                 "crawl_1m": crawl_1m,
+                "snowball": snowball,
                 "skew": skew,
                 "surt_prune": surt_prune,
                 "ann": ann,
