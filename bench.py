@@ -146,6 +146,7 @@ HEADLINE = [
     "g10_connected_components",
     "s8_sitemap_tree",
     "t11_refresh_allocation",
+    "x37_ccnet_split",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by

@@ -8403,6 +8403,82 @@ ORDER BY page_id
 """
 
 
+def x37_ccnet_split(spark, sf):
+    """The CCNet head/middle/tail selection step under the hard gate
+    (text.ccnet_split — Wenzek et al. LREC'20): per-source perplexity
+    terciles over the REAL corpus, composing two already-gated
+    components — x28's corpus-self-trained bigram cost (exact integer
+    milli-nats per bigram) and x31's deterministic hash-sample
+    quantile sketch for the tercile thresholds (bounded two-phase
+    aggregate; never a per-group global sort). The twin replays model
+    training, scoring, the md5 bottom-k sample, the x17 rank rule, and
+    every boundary CASE bit-for-bit; unscorable docs (<2 tokens) take
+    CCNet's convention and land in tail with a NULL cost."""
+    return text.ccnet_split(load(spark, sf, "documents")).orderBy("doc_id")
+
+
+X37_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+bi AS (
+  SELECT doc_id, tk[i] AS u, tk[i + 1] AS v
+  FROM toks, unnest(generate_series(1, len(tk) - 1)) AS g(i)
+  WHERE len(tk) >= 2
+),
+vocab AS (
+  SELECT count(DISTINCT t.t)::BIGINT AS vsz
+  FROM toks, unnest(tk) AS t(t)
+),
+cuv AS (SELECT u, v, count(*)::BIGINT AS cuv FROM bi GROUP BY 1, 2),
+cu AS (SELECT u, sum(cuv)::BIGINT AS cu FROM cuv GROUP BY 1),
+model AS (
+  SELECT u, v,
+         round(ln((cuv + 1)::DOUBLE) * 1000000)::BIGINT
+           - round(ln((cu + vsz)::DOUBLE) * 1000000)::BIGINT AS l
+  FROM cuv JOIN cu USING (u) CROSS JOIN vocab
+),
+sc AS (
+  SELECT b.doc_id, count(*)::BIGINT AS n_bigrams, sum(m.l)::BIGINT AS lp_num
+  FROM bi b JOIN model m ON b.u = m.u AND b.v = m.v
+  GROUP BY 1
+),
+d AS (
+  SELECT doc.doc_id, doc.source AS grp,
+         CASE WHEN sc.n_bigrams > 0
+              THEN (1000 * -sc.lp_num) // sc.n_bigrams END AS ppl
+  FROM documents doc LEFT JOIN sc USING (doc_id)
+),
+h AS (
+  SELECT grp, ppl,
+         row_number() OVER (
+           PARTITION BY grp
+           ORDER BY ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+         ) AS hrn
+  FROM d WHERE ppl IS NOT NULL
+),
+samp AS (
+  SELECT grp, ppl,
+         row_number() OVER (PARTITION BY grp ORDER BY ppl) AS rn,
+         count(*) OVER (PARTITION BY grp) AS s
+  FROM h WHERE hrn <= 256
+),
+thr AS (
+  SELECT grp,
+         max(CASE WHEN rn = (1 * s + 2) // 3 THEN ppl END)::BIGINT AS t33,
+         max(CASE WHEN rn = (2 * s + 2) // 3 THEN ppl END)::BIGINT AS t66
+  FROM samp GROUP BY 1
+)
+SELECT d.doc_id, d.grp AS "group", d.ppl::BIGINT AS ppl_milli,
+       CASE WHEN d.ppl IS NULL THEN 'tail'
+            WHEN d.ppl <= t.t33 THEN 'head'
+            WHEN d.ppl <= t.t66 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM d LEFT JOIN thr t ON d.grp = t.grp
+ORDER BY doc_id
+"""
+
+
 # ===========================================================================
 # registry
 
@@ -8540,6 +8616,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g10_connected_components": g10_connected_components,
     "s8_sitemap_tree": s8_sitemap_tree,
     "t11_refresh_allocation": t11_refresh_allocation,
+    "x37_ccnet_split": x37_ccnet_split,
 }
 
 ORACLES: dict[str, str] = {
@@ -8676,4 +8753,5 @@ ORACLES: dict[str, str] = {
     "g10_connected_components": G10_SQL,
     "s8_sitemap_tree": S8_SQL,
     "t11_refresh_allocation": T11_SQL,
+    "x37_ccnet_split": X37_SQL,
 }

@@ -665,3 +665,71 @@ def bpe_train(seg: DataFrame, num_merges: int) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return seg
+
+
+def ccnet_split(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sample_k: int = 256,
+) -> DataFrame:
+    """The CCNet selection step (Wenzek et al., "CCNet: Extracting High
+    Quality Monolingual Datasets from Web Crawl Data", LREC'20): split
+    each group's documents into perplexity terciles — ``head`` (most
+    natural text, kept for LM training), ``middle``, ``tail`` (usually
+    dropped). Composes two gated components: the quality score is
+    x28's corpus-self-trained bigram cost (exact integer milli-nats
+    per bigram; order-sensitive, unlike entropy), and the tercile
+    thresholds come from x31's deterministic hash-sample quantile
+    sketch — NOT a per-group global sort, which is the textbook ntile
+    formulation and exactly what dies first at 10^9 docs/group.
+
+    Scale shape: scoring is bigram_logprob's one corpus shuffle +
+    model-sized joins; the sketch is a bounded two-phase aggregate
+    (≤ sample_k rows per group ever cross the wire); assignment is a
+    broadcast threshold join + one CASE projection. Docs too short to
+    score (< 2 tokens) get a NULL cost and land in ``tail`` —
+    CCNet's convention for unscorable text.
+
+    Output: (doc_id, group, ppl_milli, bucket). ``ppl_milli`` =
+    floor(1000 · −lp_num / n_bigrams) — positive, smaller = better —
+    exact integer floor division, so the DuckDB twin reproduces every
+    boundary decision bit-for-bit.
+    """
+    from . import sketch as sketch_ops
+
+    scored = bigram_logprob(docs, text_col, id_col)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(group_col).alias("group")
+    )
+    sc = base.join(scored, "doc_id").withColumn(
+        "ppl_milli",
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.expr("(1000 * -lp_num) DIV n_bigrams"),
+        ).cast("long"),
+    )
+    sk = sketch_ops.qsketch_bottom_k(
+        sc.filter(F.col("ppl_milli").isNotNull()),
+        ["group"],
+        "doc_id",
+        "ppl_milli",
+        sample_k,
+    )
+    thr = sketch_ops.qsketch_quantiles(
+        sk, [("t33", 1, 3), ("t66", 2, 3)]
+    ).select("group", "t33", "t66")
+    return (
+        sc.join(F.broadcast(thr), "group", "left")
+        .select(
+            "doc_id",
+            "group",
+            "ppl_milli",
+            F.when(F.col("ppl_milli").isNull(), F.lit("tail"))
+            .when(F.col("ppl_milli") <= F.col("t33"), F.lit("head"))
+            .when(F.col("ppl_milli") <= F.col("t66"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )

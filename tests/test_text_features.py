@@ -517,3 +517,38 @@ def test_bpe_merge_fold_exhaustive_two_symbol_space(spark):
         }
         want = {w: tuple(py_merge(list(w), a, b)) for w in words}
         assert got == want, (a, b)
+
+
+def test_ccnet_split_terciles_and_unscorable_tail(spark):
+    from news_crawler_spark.operators import text as text_ops
+
+    rows = []
+    # 60 scorable docs in one group with varied repetitiveness
+    words = ["alpha", "beta", "gamma", "delta", "eps"]
+    for i in range(60):
+        body = " ".join(words[(i + j) % (2 + i % 4)] for j in range(12))
+        rows.append((i, body, "s1"))
+    rows.append((900, "solo", "s1"))  # single token: unscorable
+    rows.append((901, "", "s1"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = text_ops.ccnet_split(docs).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    assert len(out) == 62
+    # unscorable docs land in tail with NULL cost
+    tail_ids = {r.doc_id for r in by_bucket["tail"]}
+    assert {900, 901} <= tail_ids
+    assert all(
+        r.ppl_milli is None for r in out if r.doc_id in (900, 901)
+    )
+    # roughly tercile-sized buckets over the 60 scorable docs
+    n_head = len(by_bucket["head"])
+    n_mid = len(by_bucket.get("middle", []))
+    assert 10 <= n_head <= 30 and 10 <= n_mid <= 30
+    # every head doc scores no worse than every tail doc
+    max_head = max(r.ppl_milli for r in by_bucket["head"])
+    min_tail = min(
+        r.ppl_milli for r in by_bucket["tail"] if r.ppl_milli is not None
+    )
+    assert max_head <= min_tail
