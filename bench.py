@@ -147,6 +147,7 @@ HEADLINE = [
     "s8_sitemap_tree",
     "t11_refresh_allocation",
     "x37_ccnet_split",
+    "v14_binary_topk",
 ]
 
 # Gate-replay scaffolds: queries whose wall-clock is dominated by

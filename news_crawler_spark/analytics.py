@@ -8479,6 +8479,61 @@ ORDER BY doc_id
 """
 
 
+def v14_binary_topk(spark, sf):
+    """Binary (1-bit/dim) quantized ANN under the hard gate
+    (similarity.binary_topk_rerank) — the extreme end of the
+    quantization ladder the repo now covers completely (binary /
+    sign-LSH / SQ8 / PQ / IVF-PQ): sign bits packed into two 32-bit
+    words (two, not one — the d=63 bit is the int64 sign bit and the
+    pack-by-sum overflows both engines; half-words keep every partial
+    sum < 2^32), Hamming candidate scan at 8 bytes/vector via
+    xor+popcount, exact integer re-rank. The twin replays the pack,
+    the (ham_sim DESC, vec_id) candidate order, and the re-rank."""
+    return similarity.binary_topk_rerank(
+        load(spark, sf, "embeddings"),
+        QUERY_VEC_ID,
+        k=10,
+        r_cand=PQ_RERANK_CAND,
+    )
+
+
+V14_SQL = f"""
+WITH qv AS (
+  SELECT vec_id,
+         [floor(x::DOUBLE * {similarity.SIGNLSH_QUANT} + 0.5)::BIGINT
+          for x in embedding] AS iv
+  FROM embeddings
+),
+b AS (
+  SELECT vec_id, iv,
+         list_sum([CASE WHEN iv[d] >= 0 THEN (1::BIGINT << (d - 1))
+                        ELSE 0 END
+                   for d in generate_series(1, 32)])::BIGINT AS b_lo,
+         list_sum([CASE WHEN iv[d] >= 0 THEN (1::BIGINT << (d - 33))
+                        ELSE 0 END
+                   for d in generate_series(33, 64)])::BIGINT AS b_hi
+  FROM qv
+),
+q AS (
+  SELECT b_lo AS qlo, b_hi AS qhi, iv AS qiv
+  FROM b WHERE vec_id = {QUERY_VEC_ID}
+),
+h AS (
+  SELECT vec_id, iv, qiv,
+         (64 - bit_count(xor(b_lo, qlo))
+             - bit_count(xor(b_hi, qhi)))::BIGINT AS ham_sim
+  FROM b, q WHERE vec_id <> {QUERY_VEC_ID}
+),
+cand AS (
+  SELECT * FROM h ORDER BY ham_sim DESC, vec_id LIMIT {PQ_RERANK_CAND}
+)
+SELECT vec_id, ham_sim,
+       list_sum([iv[j] * qiv[j]
+                 for j in generate_series(1, 64)])::BIGINT AS exact_dot
+FROM cand ORDER BY exact_dot DESC, vec_id LIMIT 10
+"""
+
+
 # ===========================================================================
 # registry
 
@@ -8617,6 +8672,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s8_sitemap_tree": s8_sitemap_tree,
     "t11_refresh_allocation": t11_refresh_allocation,
     "x37_ccnet_split": x37_ccnet_split,
+    "v14_binary_topk": v14_binary_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -8754,4 +8810,5 @@ ORACLES: dict[str, str] = {
     "s8_sitemap_tree": S8_SQL,
     "t11_refresh_allocation": T11_SQL,
     "x37_ccnet_split": X37_SQL,
+    "v14_binary_topk": V14_SQL,
 }

@@ -1497,3 +1497,87 @@ def sq8_topk_rerank(
         .orderBy(F.col("exact_dot").desc(), "vec_id")
         .limit(k)
     )
+
+
+def binary_encode(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """1-bit-per-dimension sign quantization — the extreme end of the
+    quantized-ANN ladder (binary 1 bit / sign-LSH projections / SQ8 /
+    PQ): ``bit[d] = iv[d] ≥ 0``, packed into two 32-bit words carried
+    as BIGINTs. Two words, not one 64-bit word, on purpose: the d=63
+    bit is the sign bit of a packed int64, and summing ``2^63`` terms
+    overflows signed 64-bit in BOTH engines (HUGEINT on one side,
+    ANSI abort on the other) — half-words keep every partial sum
+    < 2^32 so the pack is plain integer addition everywhere.
+
+    8 bytes/vector vs 256 for float32 — a 32× scan-size cut, and
+    Hamming similarity is two xor + popcount ops per candidate, the
+    cheapest distance there is. Returns (vec_id, iv, b_lo, b_hi)."""
+    qv = embeddings.select(
+        F.col(id_col).alias("vec_id"), quantize_vec(F.col(vec_col)).alias("iv")
+    )
+    half = dim // 2
+
+    def pack(lo: int) -> Column:
+        # element_at (1-based) — SQL bracket indexing is 0-based in Spark
+        terms = " + ".join(
+            f"IF(element_at(iv, {lo + d + 1}) >= 0, CAST({1 << d} AS BIGINT), 0L)"
+            for d in range(half)
+        )
+        return F.expr(terms)
+
+    return qv.select(
+        "vec_id", "iv", pack(0).alias("b_lo"), pack(half).alias("b_hi")
+    )
+
+
+def binary_topk_rerank(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    r_cand: int = 100,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Hamming candidate scan over the 1-bit codes + exact re-rank —
+    ``sq8_topk_rerank``'s shape at the far end of the compression
+    ladder: candidate similarity ``ham_sim = dim − popcount(xor)``
+    ranks a scan that reads 8 bytes/vector, the top ``r_cand`` rows
+    (TakeOrderedAndProject — per-partition top-k, never a global sort)
+    re-rank by the exact integer dot on the full components. Both
+    scores ride along so the value hash pins the pack, the Hamming
+    ordering (ham_sim DESC, vec_id — total), and the re-rank at once."""
+    enc = binary_encode(embeddings, vec_col=vec_col, id_col=id_col, dim=dim)
+    qrow = F.broadcast(
+        enc.where(F.col("vec_id") == query_id).select(
+            F.col("b_lo").alias("__qlo"),
+            F.col("b_hi").alias("__qhi"),
+            F.col("iv").alias("__qiv"),
+        )
+    )
+    ham = (
+        F.lit(dim)
+        - F.expr("bit_count(b_lo ^ __qlo)")
+        - F.expr("bit_count(b_hi ^ __qhi)")
+    ).cast("long")
+    cand = (
+        enc.where(F.col("vec_id") != query_id)
+        .crossJoin(qrow)
+        .select("vec_id", ham.alias("ham_sim"), "iv", "__qiv")
+        .orderBy(F.col("ham_sim").desc(), "vec_id")
+        .limit(r_cand)
+    )
+    return (
+        cand.select(
+            "vec_id",
+            "ham_sim",
+            _dot_int(F.col("iv"), F.col("__qiv")).alias("exact_dot"),
+        )
+        .orderBy(F.col("exact_dot").desc(), "vec_id")
+        .limit(k)
+    )

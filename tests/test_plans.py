@@ -686,3 +686,26 @@ def test_t11_refresh_allocation_has_no_global_sort_of_pages(spark):
     # boundary rows — exactly the bounded-sort contract)
     assert "Exchange rangepartitioning" not in p, p
     assert p.count("TakeOrderedAndProject") <= 1, p
+
+
+def test_v14_binary_scan_is_take_ordered(spark):
+    """The Hamming candidate scan must plan per-partition top-k
+    (TakeOrderedAndProject), never a global sort of the table."""
+    from news_crawler_spark.operators import similarity
+
+    import numpy as np
+
+    rows = [
+        (i, [float(((i * 31 + j * 7) % 13) - 6) / 6.0 for j in range(64)])
+        for i in range(300)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.binary_topk_rerank(emb, query_id=7, k=5, r_cand=50)
+    p = plan(out)
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p, p
+    # and the result is sane: k rows, exact_dot sorted desc
+    got = out.collect()
+    assert len(got) == 5
+    dots = [r.exact_dot for r in got]
+    assert dots == sorted(dots, reverse=True)
