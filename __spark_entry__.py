@@ -107,7 +107,16 @@ attribution (visited-set BFS over bounded FILES, URLs only emitted;
 recursive-CTE twin), and t11 budget-optimal refresh allocation (Cho &
 Garcia-Molina freshness greedy via Lagrange-threshold binary search —
 no global sort; the twin IS the textbook global-rank greedy, so the
-match proves the θ-search equals the optimum).
+match proves the θ-search equals the optimum). Last in: x37, the
+CCNet head/middle/tail split (x28's integer bigram cost bucketed by
+x31's sketch terciles — never a per-group sort), and v14, binary
+1-bit quantized ANN (sign bits in two 32-bit words, Hamming scan,
+exact re-rank) completing the compression ladder. Engine-level and
+fixture-pinned rather than SQL-gated: the open-web snowball mode
+(crawl → extract embedded links → admit unseen → fixpoint, equal to
+a pure-python BFS-closure oracle on all four status sets, incl.
+crash-resume and the mor+cuckoo feature matrix) and the DUST loop
+(mine strip rules from own docs, apply at next ingest).
 """
 
 from __future__ import annotations

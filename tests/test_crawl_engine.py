@@ -582,3 +582,26 @@ def test_snowball_resumes_after_kill_between_run_and_ingest(
     assert {
         r.canonical_url for r in ff if r.status == "completed"
     } == exp["completed"]
+
+
+def test_snowball_with_mor_and_cuckoo_prefilter(spark, tmp_path_factory):
+    """Feature-matrix composition: open-web discovery through the
+    merge-on-read pending state AND the persistent cuckoo seen-filter
+    must land on the identical closure — the prefilter's probe/fold
+    path is exercised by every discovery cycle's ingest_incremental."""
+    from news_crawler_spark import oracle
+
+    wd = str(tmp_path_factory.mktemp("snowball_mor"))
+    eng = CrawlEngine(
+        spark, wd, merge_mode="mor", seen_prefilter="cuckoo", compact_every=3
+    )
+    eng.ingest(synth.build_seed_list(spark, 40))
+    eng.run_snowball(max_cycles=20, universe=150)
+    exp = oracle.snowball(
+        [synth.seed_row(i) for i in range(40)], universe=150
+    )
+    ff = eng.final_frontier().select("canonical_url", "status").collect()
+    assert {r.canonical_url for r in ff} == exp["seen"]
+    assert {
+        r.canonical_url for r in ff if r.status == "completed"
+    } == exp["completed"]
