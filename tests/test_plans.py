@@ -709,3 +709,61 @@ def test_v14_binary_scan_is_take_ordered(spark):
     assert len(got) == 5
     dots = [r.exact_dot for r in got]
     assert dots == sorted(dots, reverse=True)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """X4's salting covers the python fetch stage; SHUFFLE-JOIN skew is
+    handled by AQE's skew-join — prove the knob engages on this session
+    config and splits the hot partition with identical results. The
+    byte thresholds are lowered for the probe (the defaults are sized
+    for executor-scale partitions, not a local test): at production
+    sizes the same plan rewrite fires at the default 256MB threshold."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.enabled",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1MB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        K = 200
+        left = spark.range(1_000_000).select(
+            F.when(F.col("id") % 2 == 0, 7)
+            .otherwise(F.pmod(F.xxhash64("id"), F.lit(K)))
+            .alias("k"),
+            F.col("id").alias("lv"),
+        )
+        right = spark.range(K).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("rv")
+        )
+
+        def total(skew_on):
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin.enabled", str(skew_on).lower()
+            )
+            agg = left.join(right, "k").agg(
+                F.sum(F.col("lv") + F.col("rv")).alias("s")
+            )
+            s = agg.collect()[0]["s"]
+            return s, agg._jdf.queryExecution().executedPlan().toString()
+
+        s_on, p_on = total(True)
+        s_off, p_off = total(False)
+        assert s_on == s_off  # the rewrite never changes the answer
+        assert "skew=true" in p_on, p_on
+        assert "skew=true" not in p_off
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
