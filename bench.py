@@ -534,6 +534,54 @@ def snowball_bench(
     }
 
 
+def cc_algorithm_ab(spark, reps: int = 2) -> dict:
+    """duplicate_clusters backend A/B — measured basis for the
+    algorithm-choice guidance in the docstring: min-label propagation
+    pays O(diameter) rounds (each one full-edge-list shuffle), the
+    two-star recurrence O(log²) contracting rounds. Two graph shapes:
+    ``cliques`` = 20k near-dup-style components of ≤6 nodes (diameter
+    ~2 — label prop's home turf), ``chain`` = one 3000-node path (the
+    redirect/mirror-family shape where label prop needs 3000 rounds and
+    is capped here at 60 to keep the arm bounded — the cap itself is
+    the finding: the answer comes back WRONG-silent-split, while
+    two-star converges exactly)."""
+    import statistics
+    import warnings
+
+    from news_crawler_spark.operators import dedup as dd
+
+    cliq = spark.range(100_000).select(
+        (F.col("id") % 20_000).alias("c"), F.col("id").alias("n")
+    ).select(
+        (F.col("c") * 10 + F.pmod(F.col("n"), F.lit(5))).alias("a_id"),
+        (F.col("c") * 10 + F.pmod(F.col("n") + 1, F.lit(5))).alias("b_id"),
+    )
+    chain = spark.range(2999).select(
+        F.col("id").alias("a_id"), (F.col("id") + 1).alias("b_id")
+    )
+    out: dict = {}
+    for name, pairs in (("cliques", cliq), ("chain", chain)):
+        pairs = pairs.localCheckpoint(eager=True)
+        for algo in ("label", "twostar"):
+            ts = []
+            n_out = None
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                with warnings.catch_warnings():
+                    warnings.simplefilter("ignore")
+                    res = dd.duplicate_clusters(
+                        pairs, max_iters=60, algorithm=algo
+                    )
+                    n_out = res.select("cluster_id").distinct().count()
+                ts.append(time.perf_counter() - t0)
+            out[f"{name}_{algo}_sec"] = round(statistics.median(ts), 2)
+            out[f"{name}_{algo}_clusters"] = n_out
+    # the chain is ONE component: label prop at 60 capped rounds leaves
+    # it split (clusters > 1), two-star must close it exactly
+    out["chain_twostar_exact"] = out["chain_twostar_clusters"] == 1
+    return out
+
+
 def unseen_op_ab(
     spark, n_keys: int, n_batch: int, kind: str = "bloom", reps: int = 5
 ) -> dict:
@@ -1448,6 +1496,8 @@ def _main() -> None:
         spark, 100_000 if quick else 1_000_000, rounds=4, reps=1 if quick else 2
     )
     log("== snowball discovery (open-web mode, bounded cycles) ==")
+    log("== connected-components algorithm A/B (label vs two-star) ==")
+    cc_ab = cc_algorithm_ab(spark, reps=1 if quick else 2)
     snowball = snowball_bench(
         spark,
         2_000 if quick else 20_000,
@@ -1516,6 +1566,7 @@ def _main() -> None:
                 "crawl": crawl,
                 "crawl_1m": crawl_1m,
                 "snowball": snowball,
+                "cc_ab": cc_ab,
                 "skew": skew,
                 "surt_prune": surt_prune,
                 "ann": ann,
