@@ -132,9 +132,11 @@ def apply_param_rules(urls: DataFrame, rules: DataFrame) -> DataFrame:
     construction), so the 10^10-row URL side is never shuffled.
     """
     host, path, params = split_url(F.col("url"))
+    # rules side keyed on its own column name so the final drop never
+    # swallows a caller's ``host`` column
     drop = (
         rules.filter("removable")
-        .groupBy("host")
+        .groupBy(F.col("host").alias("__rules_host"))
         .agg(F.array_sort(F.collect_set("param")).alias("drop_keys"))
     )
     parsed = urls.withColumn("__host", host).withColumn("__path", path).withColumn(
@@ -164,7 +166,11 @@ def apply_param_rules(urls: DataFrame, rules: DataFrame) -> DataFrame:
         (F.col("__host") != "") & (F.size(kept) < F.size("__params")), rebuilt
     ).otherwise(F.col("url"))
     return (
-        parsed.join(F.broadcast(drop), parsed["__host"] == drop["host"], "left")
+        parsed.join(
+            F.broadcast(drop),
+            parsed["__host"] == drop["__rules_host"],
+            "left",
+        )
         .withColumn("rewritten_url", safe)
-        .drop("__host", "__path", "__params", "host", "drop_keys")
+        .drop("__host", "__path", "__params", "__rules_host", "drop_keys")
     )

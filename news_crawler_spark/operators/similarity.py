@@ -1517,6 +1517,8 @@ def binary_encode(
     8 bytes/vector vs 256 for float32 — a 32× scan-size cut, and
     Hamming similarity is two xor + popcount ops per candidate, the
     cheapest distance there is. Returns (vec_id, iv, b_lo, b_hi)."""
+    if dim % 2 != 0:
+        raise ValueError(f"binary_encode packs two half-words; dim must be even, got {dim}")
     qv = embeddings.select(
         F.col(id_col).alias("vec_id"), quantize_vec(F.col(vec_col)).alias("iv")
     )

@@ -219,3 +219,14 @@ def test_learned_rules_feed_the_next_crawl(spark, tmp_path_factory):
     urls = [r.url for r in e2.final_frontier().select("url").collect()]
     assert not any("nsid=" in u for u in urls)
     assert any("page=2" in u for u in urls)
+
+
+def test_apply_param_rules_preserves_caller_host_column(spark):
+    rules = dust.mine_param_rules(_pages(spark), min_support=3)
+    urls = spark.createDataFrame(
+        [("https://a.example/i/9?sid=1", "my-host-value")],
+        "url string, host string",
+    )
+    out = dust.apply_param_rules(urls, rules).collect()[0]
+    assert out.host == "my-host-value"
+    assert out.rewritten_url == "https://a.example/i/9"
