@@ -42,6 +42,51 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def _stream_shuffle_partitions(*staged_dirs: str) -> int:
+    """Scale-adaptive shuffle/state partition count for the availableNow
+    gate streams (s1/s4/s5/s6/s7): derived from the staged input bytes
+    (guide §2.2 — size post-shuffle partitions to the data, not to a
+    constant), clamped to [4, 256]. The gate's micro-batches are a few
+    MB, so a session-wide ``spark.sql.shuffle.partitions`` (= cores)
+    spreads them over 32 state-store instances — 32 state commits + 32
+    sink files PER micro-batch of overhead, measured 2× the whole stream
+    wall at sf0.1 for identical output. At larger inputs the same rule
+    scales the partition count back up (8 MB per state partition); a
+    real Kafka deployment sizes this to sustained throughput instead —
+    override with $NCS_STREAM_SHUFFLE_PARTITIONS."""
+    import os
+
+    env = os.environ.get("NCS_STREAM_SHUFFLE_PARTITIONS")
+    if env:
+        return int(env)
+    n_bytes = 0
+    for d in staged_dirs:
+        for root, _dirs, files in os.walk(d):
+            n_bytes += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    return max(4, min(256, -(-n_bytes // (8 * 1024 * 1024))))
+
+
+class _stream_conf:
+    """Context manager: pin ``spark.sql.shuffle.partitions`` for the
+    duration of a gate stream run, restoring the session value after.
+    State partition count is fixed at the stream's FIRST start, so the
+    setting must wrap ``start()``; results are partition-count
+    independent (grouping/join/dedup semantics), only the state-store
+    and sink-file fan-out changes."""
+
+    def __init__(self, spark, n_partitions: int):
+        self.spark, self.n = spark, n_partitions
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+        return False
+
+
 # ===========================================================================
 # A — aggregation / audit queries (reference notebook analogs)
 
@@ -6587,26 +6632,32 @@ def s1_stream_cursor_cut(spark, sf):
         F.pmod("event_id", F.lit(2)).alias("par"),
     )
     now = time.time()
+    # ONE driver collect, sliced in pandas (the s5 staging shape)
+    pdf = ev.toPandas()
+    cols = ["source", "url", "published_ts", "discovery_time"]
     for i in (0, 1):
         path = os.path.join(seeds_dir, f"batch{i}.parquet")
-        ev.filter(F.col("par") == i).drop("par").toPandas().to_parquet(
-            path, coerce_timestamps="us"  # Spark reads µs, not pandas' ns
+        pdf[pdf["par"] == i][cols].to_parquet(
+            path, coerce_timestamps="us", index=False  # Spark reads µs
         )
         os.utime(path, (now - 200 + 100 * i, now - 200 + 100 * i))
     out_dir = os.path.join(work, "out")
-    q = (
-        streaming_mod.cursor_cut_stream(
-            streaming_mod.read_seed_stream(spark, seeds_dir, max_files_per_trigger=1)
+    with _stream_conf(spark, _stream_shuffle_partitions(seeds_dir)):
+        q = (
+            streaming_mod.cursor_cut_stream(
+                streaming_mod.read_seed_stream(
+                    spark, seeds_dir, max_files_per_trigger=1
+                )
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):  # partial sink must never be read
-        q.stop()
-        raise TimeoutError("s1 availableNow stream did not drain in 600s")
+        if not q.awaitTermination(600):  # partial sink must never be read
+            q.stop()
+            raise TimeoutError("s1 availableNow stream did not drain in 600s")
     # materialize the sink, then drop the whole staging tree: this query
     # runs repeatedly from the bench HEADLINE and must not accrete
     # checkpoint/sink state across a session (ADVICE round 4)
@@ -6647,33 +6698,39 @@ def s5_stream_dedup(spark, sf):
         F.pmod("event_id", F.lit(2)).alias("par"),
         F.pmod("event_id", F.lit(10)).alias("mod10"),
     )
-    b0 = ev.filter(F.col("par") == 0).drop("par", "mod10")
-    b1 = (
-        ev.filter(F.col("par") == 1)
-        .drop("par", "mod10")
-        # redeliver a deterministic slice of batch 0 (byte-identical rows)
-        .unionByName(ev.filter(F.col("mod10") == 0).drop("par", "mod10"))
+    # ONE driver collect, sliced in pandas: the two-file staging is gate
+    # scaffolding, and collecting per branch re-ran the events scan +
+    # projection once per file (3 Spark jobs → 1; rows identical)
+    pdf = ev.toPandas()
+    cols = ["source", "url", "published_ts", "discovery_time"]
+    b0 = pdf[pdf["par"] == 0][cols]
+    # redeliver a deterministic slice of batch 0 (byte-identical rows)
+    b1 = __import__("pandas").concat(
+        [pdf[pdf["par"] == 1][cols], pdf[pdf["mod10"] == 0][cols]]
     )
     now = time.time()
     for i, b in ((0, b0), (1, b1)):
         path = os.path.join(seeds_dir, f"batch{i}.parquet")
-        b.toPandas().to_parquet(path, coerce_timestamps="us")
+        b.to_parquet(path, coerce_timestamps="us", index=False)
         os.utime(path, (now - 200 + 100 * i, now - 200 + 100 * i))
     out_dir = os.path.join(work, "out")
-    q = (
-        streaming_mod.dedup_stream(
-            streaming_mod.read_seed_stream(spark, seeds_dir, max_files_per_trigger=1)
+    with _stream_conf(spark, _stream_shuffle_partitions(seeds_dir)):
+        q = (
+            streaming_mod.dedup_stream(
+                streaming_mod.read_seed_stream(
+                    spark, seeds_dir, max_files_per_trigger=1
+                )
+            )
+            .select("source", "url", "published_ts")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
         )
-        .select("source", "url", "published_ts")
-        .writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError("s5 availableNow stream did not drain in 600s")
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("s5 availableNow stream did not drain in 600s")
     out = (
         spark.read.parquet(out_dir)
         .select("source", "url", "published_ts")
@@ -6721,10 +6778,13 @@ def s6_stream_enrich(spark, sf):
         F.pmod("event_id", F.lit(2)).alias("par"),
     )
     now = time.time()
+    # ONE driver collect, sliced in pandas (the s5 staging shape)
+    pdf = ev.toPandas()
+    cols = ["source", "url", "published_ts", "discovery_time"]
     for i in (0, 1):
         path = os.path.join(seeds_dir, f"batch{i}.parquet")
-        ev.filter(F.col("par") == i).drop("par").toPandas().to_parquet(
-            path, coerce_timestamps="us"
+        pdf[pdf["par"] == i][cols].to_parquet(
+            path, coerce_timestamps="us", index=False
         )
         os.utime(path, (now - 200 + 100 * i, now - 200 + 100 * i))
 
@@ -6745,26 +6805,29 @@ def s6_stream_enrich(spark, sf):
         )
     )
     out_dir = os.path.join(work, "out")
-    q = (
-        streaming_mod.enrich_stream(
-            streaming_mod.read_seed_stream(spark, seeds_dir, max_files_per_trigger=1),
-            dims,
+    with _stream_conf(spark, _stream_shuffle_partitions(seeds_dir)):
+        q = (
+            streaming_mod.enrich_stream(
+                streaming_mod.read_seed_stream(
+                    spark, seeds_dir, max_files_per_trigger=1
+                ),
+                dims,
+            )
+            .select(
+                "source",
+                "url",
+                F.coalesce("priority", F.lit(-1)).cast("int").alias("priority"),
+                F.coalesce("budget", F.lit(1)).cast("int").alias("budget"),
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
         )
-        .select(
-            "source",
-            "url",
-            F.coalesce("priority", F.lit(-1)).cast("int").alias("priority"),
-            F.coalesce("budget", F.lit(1)).cast("int").alias("budget"),
-        )
-        .writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError("s6 availableNow stream did not drain in 600s")
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("s6 availableNow stream did not drain in 600s")
     out = (
         spark.read.parquet(out_dir)
         .select("source", "url", "priority", "budget")
@@ -6849,28 +6912,36 @@ def s7_stream_stream_join(spark, sf):
         F.when(F.pmod(hx("d"), F.lit(3)) == 0, F.lit(0)).otherwise(F.lit(1)).alias("par"),
     )
     now = time.time()
+    # ONE driver collect per topic, sliced in pandas (4 Spark jobs → 2)
     for d, frame in ((links_dir, links), (outs_dir, outcomes)):
+        pdf = frame.toPandas()
+        cols = [c for c in pdf.columns if c != "par"]
         for i in (0, 1):
             path = os.path.join(d, f"batch{i}.parquet")
-            frame.filter(F.col("par") == i).drop("par").toPandas().to_parquet(
-                path, coerce_timestamps="us"
+            pdf[pdf["par"] == i][cols].to_parquet(
+                path, coerce_timestamps="us", index=False
             )
             os.utime(path, (now - 200 + 100 * i, now - 200 + 100 * i))
     out_dir = os.path.join(work, "out")
-    q = (
-        streaming_mod.fetch_audit_join_stream(
-            streaming_mod.read_seed_stream(spark, links_dir, max_files_per_trigger=1),
-            streaming_mod.read_outcome_stream(spark, outs_dir, max_files_per_trigger=1),
+    with _stream_conf(spark, _stream_shuffle_partitions(links_dir, outs_dir)):
+        q = (
+            streaming_mod.fetch_audit_join_stream(
+                streaming_mod.read_seed_stream(
+                    spark, links_dir, max_files_per_trigger=1
+                ),
+                streaming_mod.read_outcome_stream(
+                    spark, outs_dir, max_files_per_trigger=1
+                ),
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError("s7 availableNow stream did not drain in 600s")
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("s7 availableNow stream did not drain in 600s")
     out = (
         spark.read.parquet(out_dir)
         .select("source", "url", "published_ts", "fetch_ts", "status")
@@ -6987,22 +7058,32 @@ def s4_windowed_rates(spark, sf):
     )
     out_dir, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
     now = time.time()
+    # ONE driver collect, sliced per run (4 Spark jobs → 1). The state
+    # partition count is derived from the staged bytes at the FIRST run
+    # (Spark pins it in the checkpoint; the three batches are same-sized
+    # slices of one table, so batch 0 is a representative sample).
+    pdf = ev.toPandas()
+    cols = ["source", "url", "published_ts", "discovery_time"]
+    n_parts = None
     for i in (0, 1, 2):
         path = os.path.join(seeds_dir, f"batch{i}.parquet")
-        ev.filter(F.col("batch") == i).drop("batch").toPandas().to_parquet(
-            path, coerce_timestamps="us"
+        pdf[pdf["batch"] == i][cols].to_parquet(
+            path, coerce_timestamps="us", index=False
         )
         os.utime(path, (now - 300 + 100 * i,) * 2)
-        q = streaming_mod.start_rate_monitor(
-            streaming_mod.read_seed_stream(spark, seeds_dir),
-            out_dir,
-            ckpt,
-            window_duration="1 minute",
-            watermark="2 minutes",
-        )
-        if not q.awaitTermination(600):
-            q.stop()
-            raise TimeoutError("s4 availableNow run did not drain in 600s")
+        if n_parts is None:
+            n_parts = _stream_shuffle_partitions(seeds_dir)
+        with _stream_conf(spark, n_parts):
+            q = streaming_mod.start_rate_monitor(
+                streaming_mod.read_seed_stream(spark, seeds_dir),
+                out_dir,
+                ckpt,
+                window_duration="1 minute",
+                watermark="2 minutes",
+            )
+            if not q.awaitTermination(600):
+                q.stop()
+                raise TimeoutError("s4 availableNow run did not drain in 600s")
     out = (
         spark.read.parquet(out_dir)
         .select("window_start", "window_end", "source", "n_links")
