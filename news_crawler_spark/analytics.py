@@ -542,6 +542,11 @@ def j10_frontier_machine(spark, sf):
         F.col("event_type").alias("host"),
         F.col("ts").alias("published_ts"),
     )
+    # materialize the derived frontier ONCE: each round's job (and the
+    # final census) otherwise re-derives the md5 keys from its own
+    # events scan and re-codegens the derivation tree per round —
+    # measured ~0.25 s/round warm and several seconds cold on j11's
+    # identical shape
     frontier = base.select(
         "url_hash",
         "host",
@@ -549,7 +554,7 @@ def j10_frontier_machine(spark, sf):
         "published_ts",
         F.lit("pending").alias("status"),
         F.lit(0).alias("tried_count"),
-    )
+    ).localCheckpoint(eager=True)
     budgets = (
         frontier.select("host").distinct().withColumn("budget", F.lit(J10_BUDGET))
     )
@@ -691,7 +696,7 @@ def j11_token_bucket_replay(spark, sf):
         F.lit("pending").alias("status"),
         F.lit(0).alias("tried_count"),
         F.lit(-1).cast("int").alias("__r"),
-    )
+    ).localCheckpoint(eager=True)  # derive-once: the j10 frontier note
     overlay = base.filter(F.lit(False)).localCheckpoint(eager=True)
     tokens = (
         base.select("host").distinct().withColumn("tokens", F.lit(0).cast("long"))
@@ -848,7 +853,7 @@ def j14_aimd_budget_replay(spark, sf):
         F.lit("pending").alias("status"),
         F.lit(0).alias("tried_count"),
         F.lit(-1).cast("int").alias("__r"),
-    )
+    ).localCheckpoint(eager=True)  # derive-once: the j10 frontier note
     overlay = base.filter(F.lit(False)).localCheckpoint(eager=True)
     bud = (
         base.select("host")

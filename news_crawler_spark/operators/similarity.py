@@ -276,16 +276,38 @@ def kmeans_cells(
     ``return_centroids``, the tuple ``(assignment, centroids)`` where
     centroids is the ``(cell, cv)`` frame the final assignment used.
     """
-    vecs = embeddings.select(
-        F.col(id_col).alias("vec_id"), quantize_vec(F.col(vec_col)).alias("iv")
-    ).localCheckpoint(eager=True)
+    sq = F.aggregate(
+        F.zip_with("iv", "iv", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    vecs = (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"), quantize_vec(F.col(vec_col)).alias("iv")
+        )
+        .withColumn("n2", sq)
+        .localCheckpoint(eager=True)
+    )
     cents = (
         vecs.filter(F.col("vec_id").isin(*seed_ids))
         .select(F.col("vec_id").alias("cell"), F.col("iv").alias("cv"))
         .localCheckpoint(eager=True)
     )
 
+    # Tier choice, size-adaptive (both tiers bit-identical —
+    # kmeans_assign_blocked's <2⁵³ argument, fixture-pinned): the GEMM
+    # tier pays a fixed per-iteration toll (a k-row collect job + the
+    # Arrow round trip of the vectors), the expression tier pays n·k
+    # interpreted ArrayAggregate distances. Measured crossover at
+    # local[32]: blocked LOSES below ~10⁷ distance evals per assign
+    # (sf0.1's 20k×8 took 1.8 s expression vs 2.2 s blocked) and wins
+    # severalfold above (the semdedup_prune_blocked curve). vecs is
+    # checkpointed, so the count is a cached-RDD count, not a scan.
+    use_blocked = vecs.count() * max(1, len(seed_ids)) >= 10_000_000
+
     def assign(cent: DataFrame) -> DataFrame:
+        if use_blocked:
+            return kmeans_assign_blocked(vecs, cent)
         d = F.aggregate(
             F.zip_with("iv", "cv", lambda a, b: (a - b) * (a - b)),
             F.lit(0).cast("long"),
@@ -296,26 +318,46 @@ def kmeans_cells(
             .withColumn("dist", d)
             .groupBy("vec_id")
             .agg(F.min(F.struct("dist", "cell")).alias("m"))
-            .select("vec_id", F.col("m.cell").alias("cell"), F.col("m.dist").alias("dist"))
+            .select(
+                "vec_id", F.col("m.cell").alias("cell"), F.col("m.dist").alias("dist")
+            )
         )
 
-    for _ in range(iters - 1):
-        a = assign(cents)
-        cents = (
+    def _mean_fn(key, pdf):
+        # floor(sum/n) per component with the SAME arithmetic as the
+        # expression tier (exact int64 sum → IEEE double division →
+        # floor), so the update is bit-identical to the posexplode +
+        # floor(sum/count) chain — at 1/dim the shuffled rows
+        import numpy as np
+        import pandas as pd
+
+        V = np.stack(pdf["iv"].to_numpy()).astype(np.int64)
+        cv = np.floor(V.sum(axis=0).astype(np.float64) / len(pdf)).astype(
+            np.int64
+        )
+        return pd.DataFrame({"cell": [key[0]], "cv": [cv]})
+
+    def update(a: DataFrame) -> DataFrame:
+        if use_blocked:
+            return (
+                a.select("vec_id", "cell")
+                .join(vecs, "vec_id")
+                .select("cell", "iv")
+                .groupBy("cell")
+                .applyInPandas(_mean_fn, "cell long, cv array<long>")
+            )
+        return (
             a.join(vecs, "vec_id")
             .select("cell", F.posexplode("iv").alias("pos", "x"))
             .groupBy("cell", "pos")
             .agg(F.floor(F.sum("x") / F.count("*")).alias("cx"))
             .groupBy("cell")
-            .agg(
-                F.array_sort(F.collect_list(F.struct("pos", "cx"))).alias("ps")
-            )
-            .select(
-                "cell",
-                F.transform("ps", lambda s: s["cx"]).alias("cv"),
-            )
-            .localCheckpoint(eager=True)
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "cx"))).alias("ps"))
+            .select("cell", F.transform("ps", lambda s: s["cx"]).alias("cv"))
         )
+
+    for _ in range(iters - 1):
+        cents = update(assign(cents)).localCheckpoint(eager=True)
     if return_centroids:
         # (assignment, the centroids that PRODUCED it) — what a
         # residual quantizer (ivfpq_topk_rerank) needs
@@ -970,6 +1012,59 @@ def pq_codebooks(
     return pq_codebooks_iv(qv, n_sub=n_sub, k_codes=k_codes, iters=iters)
 
 
+def _pq_assign_blocked(sv: DataFrame, cb: DataFrame) -> DataFrame:
+    """GEMM tier of the per-subspace Lloyd assignment — the
+    ``kmeans_assign_blocked`` argument applied to subvector rows:
+    codebook collected driver-side (≤ n_sub·k_codes tiny rows), batches
+    grouped by subspace, dist = ‖s‖² − 2·s·c + ‖c‖² in int64 (every
+    term < 2⁵³ — exact), ``argmin`` first-minimum over codes sorted
+    ascending ≡ the expression tier's ``min(struct(dist, code))``
+    lowest-code tie rule. Input ``(vec_id, sub, svec)``; output
+    ``(vec_id, sub, code)``."""
+    import numpy as np
+    import pandas as pd
+
+    by_sub = {}
+    for r in cb.collect():
+        by_sub.setdefault(r["sub"], []).append((r["code"], r["cv"]))
+    mats = {
+        s: (
+            np.array([c for c, _ in sorted(rows)], dtype=np.int64),
+            np.array([cv for _, cv in sorted(rows)], dtype=np.int64),
+        )
+        for s, rows in by_sub.items()
+    }
+
+    def assign(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            out_code = np.empty(len(pdf), dtype=np.int64)
+            svals = pdf["sub"].to_numpy()
+            V = np.stack(pdf["svec"].to_numpy()).astype(np.int64)
+            for s in np.unique(svals):
+                idx = np.nonzero(svals == s)[0]
+                cids, CV = mats[int(s)]
+                S = V[idx]
+                d = (
+                    (S * S).sum(axis=1)[:, None]
+                    - 2 * (S @ CV.T)
+                    + (CV * CV).sum(axis=1)[None, :]
+                )
+                out_code[idx] = cids[np.argmin(d, axis=1)]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "sub": svals,
+                    "code": out_code.astype(np.int32),
+                }
+            )
+
+    return sv.select("vec_id", "sub", "svec").mapInPandas(
+        assign, "vec_id long, sub int, code int"
+    )
+
+
 def pq_codebooks_iv(
     ivdf: DataFrame,
     n_sub: int = PQ_SUB,
@@ -995,29 +1090,64 @@ def pq_codebooks_iv(
         .localCheckpoint(eager=True)
     )
 
+    # size-adaptive tier (the kmeans_cells crossover note): blocked
+    # assignment pays a fixed collect + Arrow toll per iteration, worth
+    # it only once interpreted distance evals pass ~10⁷ per assign
+    use_blocked = sv.count() * k_codes >= 10_000_000
+
     dist = F.aggregate(
         F.zip_with("svec", "cv", lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+
+    def _mean_fn(key, pdf):
+        # bit-identical to the posexplode + floor(sum/count) chain
+        # (exact int64 sum → IEEE double division → floor), without
+        # exploding (sub, code, pos) rows — the kmeans_cells update
+        import numpy as np
+        import pandas as pd
+
+        V = np.stack(pdf["svec"].to_numpy()).astype(np.int64)
+        cv = np.floor(
+            V.sum(axis=0).astype(np.float64) / len(pdf)
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {"sub": [key[0]], "code": [key[1]], "cv": [cv]}
+        )
+
     for _ in range(iters - 1):
-        a = (
-            sv.join(F.broadcast(cb), "sub")
-            .withColumn("dist", dist)
-            .groupBy("vec_id", "sub")
-            .agg(F.min(F.struct("dist", "code")).alias("m"))
-            .select("vec_id", "sub", F.col("m.code").alias("code"))
-        )
-        cb = (
-            a.join(sv, ["vec_id", "sub"])
-            .select("sub", "code", F.posexplode("svec").alias("pos", "x"))
-            .groupBy("sub", "code", "pos")
-            .agg(F.floor(F.sum("x") / F.count("*")).alias("cx"))
-            .groupBy("sub", "code")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "cx"))).alias("ps"))
-            .select("sub", "code", F.transform("ps", lambda s: s["cx"]).alias("cv"))
-            .localCheckpoint(eager=True)
-        )
+        if use_blocked:
+            a = _pq_assign_blocked(sv, cb)
+            cb = (
+                a.join(sv, ["vec_id", "sub"])
+                .select("sub", "code", "svec")
+                .groupBy("sub", "code")
+                .applyInPandas(_mean_fn, "sub int, code int, cv array<long>")
+                .localCheckpoint(eager=True)
+            )
+        else:
+            a = (
+                sv.join(F.broadcast(cb), "sub")
+                .withColumn("dist", dist)
+                .groupBy("vec_id", "sub")
+                .agg(F.min(F.struct("dist", "code")).alias("m"))
+                .select("vec_id", "sub", F.col("m.code").alias("code"))
+            )
+            cb = (
+                a.join(sv, ["vec_id", "sub"])
+                .select("sub", "code", F.posexplode("svec").alias("pos", "x"))
+                .groupBy("sub", "code", "pos")
+                .agg(F.floor(F.sum("x") / F.count("*")).alias("cx"))
+                .groupBy("sub", "code")
+                .agg(
+                    F.array_sort(F.collect_list(F.struct("pos", "cx"))).alias("ps")
+                )
+                .select(
+                    "sub", "code", F.transform("ps", lambda s: s["cx"]).alias("cv")
+                )
+                .localCheckpoint(eager=True)
+            )
     return cb
 
 
@@ -1043,15 +1173,24 @@ def pq_encode(
     extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode every vector as its per-subspace nearest-code ids — the
-    compression scan. The codebook is inlined as array LITERALS (no join,
-    no shuffle: ONE codegen'd pass over the table, the plan a 10⁹-row
-    encode needs; plan-asserted exchange-free in test_plans).
+    compression scan. The codebook ships inside the task closure (≤
+    n_sub·k_codes tiny rows — the broadcast-dim regime) and the argmin
+    runs as a vectorized integer kernel over whole Arrow batches
+    (guide §4.2: distribution/IO in Spark, per-batch math in numpy):
+    no join, no shuffle, ONE scan-shaped pass over the table — the plan
+    a 10⁹-row encode needs (plan-asserted exchange/join-free in
+    test_plans). The previous expression tier folded a per-row
+    (best_dist, best_code) accumulator through interpreted
+    ArrayAggregate — measured 6× the whole encode wall at sf0.1 for
+    identical codes.
 
-    Per subspace the argmin folds over the code list with a
-    (best_dist, best_code) struct accumulator — each candidate distance
-    is computed ONCE inside a ``let_bound`` (the PushDownPredicates /
-    lambda-recapture discipline of ``_score_at_least``), strict ``<`` so
-    the LOWEST code wins ties, matching the twin's ORDER BY dist, code.
+    Exactness: quantization is floor(x·QUANT + 0.5) in IEEE float64
+    (identical to ``quantize_vec``'s double arithmetic); distances are
+    int64 sums of squared int64 differences (components ≤ ~2·QUANT, so
+    every partial sum < 2⁵³ — no overflow, no rounding);
+    ``np.argmin`` returns the FIRST minimal index and codes are sorted
+    ascending, so the LOWEST code wins ties — the twin's ORDER BY
+    dist, code (pinned bit-for-bit in tests/test_pq.py).
 
     Returns ``(vec_id, codes array<int>, code_word long)`` where
     code_word = Σ codes[m]·code_base^m — the whole code in one BIGINT
@@ -1062,70 +1201,56 @@ def pq_encode(
     of quantizing ``vec_col`` (the residual path); ``extra_cols`` pass
     through beside the codes (e.g. the coarse cell id).
     """
-    from .text import let_bound
+    import numpy as np
 
     by_sub = _collect_codebook(codebook)
     n_sub = len(by_sub)
     sd = len(by_sub[0][0][1])
-    mults = [code_base**m for m in range(n_sub)]
+    mults = np.array([code_base**m for m in range(n_sub)], dtype=np.int64)
+    subs = [
+        (
+            np.array([c for c, _ in by_sub[m]], dtype=np.int64),
+            np.array([cv for _, cv in by_sub[m]], dtype=np.int64),
+        )
+        for m in range(n_sub)
+    ]
+    src = iv_col if iv_col is not None else vec_col
+    quantize = iv_col is None
+    quant = float(SIGNLSH_QUANT)
 
-    def code_for(m: int, iv: Column) -> Column:
-        entries = by_sub[m]
-        codes_l = [c for c, _ in entries]
-        flat = [x for _, cv in entries for x in cv]
-        cbl = F.lit(flat)
-
-        def merge(acc: Column, c: Column) -> Column:
-            d = F.aggregate(
-                F.sequence(F.lit(0), F.lit(sd - 1)),
-                F.lit(0).cast("long"),
-                lambda acc2, j: acc2
-                + (
-                    F.element_at(iv, (F.lit(m * sd) + j + 1).cast("int"))
-                    - F.element_at(cbl, (c * sd + j + 1).cast("int"))
+    def enc_fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[src].to_numpy())
+            if quantize:
+                V = np.floor(V.astype(np.float64) * quant + 0.5).astype(np.int64)
+            else:
+                V = V.astype(np.int64)
+            codes = np.empty((len(pdf), n_sub), dtype=np.int64)
+            for m, (cids, CV) in enumerate(subs):
+                S = V[:, m * sd : (m + 1) * sd]
+                # ‖s‖² − 2·s·c + ‖c‖² — all int64, exact
+                d = (
+                    (S * S).sum(axis=1)[:, None]
+                    - 2 * (S @ CV.T)
+                    + (CV * CV).sum(axis=1)[None, :]
                 )
-                * (
-                    F.element_at(iv, (F.lit(m * sd) + j + 1).cast("int"))
-                    - F.element_at(cbl, (c * sd + j + 1).cast("int"))
-                ),
-            )
-            return let_bound(
-                d,
-                lambda db: F.when(
-                    db < acc["d"],
-                    F.struct(
-                        db.alias("d"),
-                        F.element_at(F.lit(codes_l), (c + 1).cast("int")).alias("c"),
-                    ),
-                ).otherwise(acc),
-            )
+                codes[:, m] = cids[np.argmin(d, axis=1)]
+            out = pdf[["vec_id", *extra_cols]].copy()
+            out["codes"] = list(codes.astype(np.int32))
+            out["code_word"] = codes @ mults
+            yield out
 
-        init = F.struct(
-            F.lit(1 << 62).cast("long").alias("d"), F.lit(-1).alias("c")
-        )
-        return F.aggregate(
-            F.sequence(F.lit(0), F.lit(len(entries) - 1)), init, merge, lambda a: a["c"]
-        )
-
-    enc = let_bound(
-        F.col(iv_col) if iv_col is not None else quantize_vec(F.col(vec_col)),
-        lambda iv: let_bound(
-            F.array(*[code_for(m, iv) for m in range(n_sub)]),
-            lambda cds: F.struct(
-                cds.alias("codes"),
-                F.aggregate(
-                    F.zip_with(cds, F.lit(mults), lambda c, mu: c.cast("long") * mu),
-                    F.lit(0).cast("long"),
-                    lambda a, x: a + x,
-                ).alias("code_word"),
-            ),
-        ),
+    extra_schema = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in embeddings.select(*extra_cols).schema.fields
     )
-    # inline-through-a-1-element-array: the Generate is a projection
-    # barrier, so the two struct fields don't each re-evaluate the whole
-    # encode expression under CollapseProject.
     return embeddings.select(
-        F.col(id_col).alias("vec_id"), *extra_cols, F.inline(F.array(enc))
+        F.col(id_col).alias("vec_id"), *extra_cols, F.col(src)
+    ).mapInPandas(
+        enc_fn,
+        schema=f"vec_id long{extra_schema}, codes array<int>, code_word long",
     )
 
 

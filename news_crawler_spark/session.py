@@ -75,4 +75,40 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _warm_python_workers(spark, int(cores))
     return spark
+
+
+def _warm_python_workers(spark: SparkSession, cores: int) -> None:
+    """Pre-fork the Python worker pool once per session: with
+    ``spark.python.worker.reuse`` (default on) the pool persists, so the
+    first pandas/Arrow stage of a session otherwise pays cores× (fork +
+    pandas/numpy import + Arrow init) inside whatever query happens to
+    run it — measured several seconds at local[32], billed to one
+    arbitrary operator. One throwaway concurrent mapInPandas job at
+    session build absorbs it where a production long-running driver
+    would: at startup. Guarded so repeated get_spark() calls on the
+    same context warm only once; never fails session creation."""
+    sc = spark.sparkContext
+    if getattr(sc, "_ncs_python_workers_warm", False):
+        return
+    sc._ncs_python_workers_warm = True
+
+    def _w(batches):
+        import time as _t
+
+        import numpy  # noqa: F401  (preload the worker's heavy imports)
+        import pandas  # noqa: F401
+
+        _t.sleep(0.2)  # hold the worker so all tasks fork distinct ones
+        yield from batches
+
+    try:
+        sc.setJobDescription("session warmup: python worker pool")
+        spark.range(0, cores, 1, max(1, cores)).mapInPandas(
+            _w, "id long"
+        ).count()
+    except Exception:  # pragma: no cover — warmup must never break startup
+        pass
+    finally:
+        sc.setJobDescription(None)
