@@ -28,6 +28,7 @@ Scale notes (10^10-row frontier):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -605,42 +606,67 @@ def allowed_by_robots_wildcards(frontier: DataFrame, robots: DataFrame) -> DataF
     included); equal-length tie → allow. No matching rule ⇒ allow.
 
     Same scale shape as the prefix version: rules grouped per host
-    (tiny), broadcast, and evaluated as pure higher-order expressions
-    inside whole-stage codegen — ZERO shuffle on the 10^10-row frontier
-    side, no per-row regex compilation (the greedy segment fold is
-    locate/startswith/endswith only). The URL path is let_bound so the
-    regexp extraction runs once per row, not once per rule."""
+    (tiny), broadcast — ZERO shuffle on the 10^10-row frontier side.
+    The per-row grammar evaluation runs as a vectorized Arrow batch
+    kernel (the same greedy in-order segment search, in Python str ops
+    with the identical 1-based locate/prefix/suffix arithmetic as the
+    ``_robots_pattern_match`` expression fold it replaces — the fold's
+    interpreted per-(row, rule) ArrayAggregate measured ~3× the whole
+    query wall at sf0.1 for identical survivors; the fold stays as the
+    fixture-pinned reference semantics). The DuckDB twin (P14_SQL)
+    keeps its independent regex-conversion formulation."""
     from ..functions.urls import path_col
-    from .text import let_bound
 
     rules_by_host = robots.groupBy("host").agg(
         F.collect_list(F.struct("pattern", "rule_kind")).alias("__rules")
     )
-    joined = frontier.join(F.broadcast(rules_by_host), "host", "left")
+    joined = frontier.join(F.broadcast(rules_by_host), "host", "left").withColumn(
+        "__path", path_col("canonical_url")
+    )
 
-    def best_rule(p):
-        matching = F.filter(
-            F.coalesce(
-                F.col("__rules"),
-                F.array().cast("array<struct<pattern:string,rule_kind:string>>"),
-            ),
-            lambda r: _robots_pattern_match(p, r["pattern"]),
-        )
-        return F.array_max(
-            F.transform(
-                matching,
-                lambda r: F.struct(
-                    F.length(r["pattern"]).alias("len"),
-                    F.when(r["rule_kind"] == "allow", 1).otherwise(0).alias("is_allow"),
-                ),
+    def _match(path: str, pat: str) -> bool:
+        # python twin of _robots_pattern_match, 0-based cursors: '*'
+        # splits into segments matched greedily in order; trailing '$'
+        # anchors the end; empty segments consume nothing
+        anchored = pat.endswith("$")
+        core = pat[:-1] if anchored else pat
+        segs = core.split("*")
+        n = len(segs)
+        if anchored and n == 1:
+            return path == core
+        ok = path.startswith(segs[0])
+        pos = len(segs[0])
+        for seg in segs[1 : n - 1] if anchored else segs[1:]:
+            if seg == "":
+                continue
+            idx = path.find(seg, pos)
+            ok = ok and idx >= 0
+            pos = idx + len(seg)
+        if anchored:
+            return bool(
+                ok and path.endswith(segs[-1]) and pos <= len(path) - len(segs[-1])
             )
-        )
+        return bool(ok)
 
-    best = let_bound(path_col("canonical_url"), best_rule)
+    @F.pandas_udf("boolean")
+    def _keep(paths: pd.Series, rules: pd.Series) -> pd.Series:
+        out = []
+        for path, rl in zip(paths, rules):
+            if rl is None or len(rl) == 0 or path is None:
+                out.append(True)  # no rules / unparsable path → allow
+                continue
+            best = None
+            for r in rl:
+                if _match(path, r["pattern"]):
+                    cand = (len(r["pattern"]), 1 if r["rule_kind"] == "allow" else 0)
+                    if best is None or cand > best:
+                        best = cand
+            out.append(best is None or best[1] == 1)
+        return pd.Series(out)
+
     return (
-        joined.withColumn("__best", best)
-        .filter(F.col("__best").isNull() | (F.col("__best.is_allow") == 1))
-        .drop("__rules", "__best")
+        joined.filter(_keep(F.col("__path"), F.col("__rules")))
+        .drop("__rules", "__path")
     )
 
 

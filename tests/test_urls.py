@@ -235,6 +235,32 @@ def test_robots_pattern_match_golden(spark):
     assert got == {(p, q): want for p, q, want in WILDCARD_CASES}
 
 
+def test_wildcards_kernel_matches_expression_fold(spark):
+    """The operator's vectorized Python matcher must agree with the
+    ``_robots_pattern_match`` expression fold (the retained reference
+    semantics) on the full golden matrix: one single-deny-rule frontier
+    per case — a row survives iff the pattern does NOT match."""
+    from news_crawler_spark.operators.frontier import allowed_by_robots_wildcards
+
+    df = spark.createDataFrame(
+        [
+            (f"h{i}", f"https://h{i}{path}")
+            for i, (path, _pat, _want) in enumerate(WILDCARD_CASES)
+        ],
+        "host string, canonical_url string",
+    )
+    rules = spark.createDataFrame(
+        [
+            (f"h{i}", pat, "deny")
+            for i, (_path, pat, _want) in enumerate(WILDCARD_CASES)
+        ],
+        "host string, pattern string, rule_kind string",
+    )
+    kept = {r.host for r in allowed_by_robots_wildcards(df, rules).collect()}
+    want = {f"h{i}" for i, (_p, _q, m) in enumerate(WILDCARD_CASES) if not m}
+    assert kept == want
+
+
 def test_allowed_by_robots_wildcards_precedence(spark):
     """Longest-match-wins + allow-beats-deny-on-tie + default allow,
     through the real broadcast operator (and no Exchange on the
