@@ -634,16 +634,17 @@ def cosine_pairs_int(
       condition (failing candidates never materialize; the
       PushDownPredicates single-eval discipline of ``semdedup_prune``).
       Interpreted ArrayAggregate per candidate — the oracle tier.
-    - ``blocked``: one float64 GEMM per row-block against the full
-      quantized matrix (collected driver-side — the kmeans_assign_blocked
-      broadcast discipline, bounded to the exact-tier regime n ≲ 10⁵·dim⁻¹
-      ·RAM; beyond that, bucket first — sign-LSH ``lsh_cosine_pairs`` or
-      the semdedup cells — and verify with this same integer test).
-      dot's partial sums are integers < 2⁵³ so the GEMM is exact; the
-      τ² comparison (≈2⁹³) is decided in float64 with a ±1e-9 relative
-      guard band re-checked in exact python ints — the
+    - ``blocked``: float64 GEMM (exact: dot's partial sums are integers
+      < 2⁵³); the τ² comparison (≈2⁹³) is decided in float64 with a
+      ±1e-9 relative guard band re-checked in exact python ints — the
       ``semdedup_prune_blocked`` argument, measured there ~35× over the
-      interpreted fold.
+      interpreted fold. Two size regimes, same pair set (see
+      ``_cosine_pairs_int_blocked``): a BOUNDED broadcast b side below
+      ``_COSINE_BCAST_MAX`` rows, a fully distributed block-pair GEMM
+      above it — no driver-side full-matrix collect anywhere. Either
+      way the dot count is exhaustively O(n²); sub-quadratic needs
+      bucketing first (sign-LSH ``lsh_cosine_pairs`` or the semdedup
+      cells) with this same integer test as the verify.
 
     Returns ``(a_id, b_id)`` — the pair graph ``duplicate_clusters``
     consumes (x27). For scored float pairs, ``cosine_pairs`` is the
@@ -676,52 +677,131 @@ def cosine_pairs_int(
     return a.join(b, (F.col("a_id") < F.col("b_id")) & dup).select("a_id", "b_id")
 
 
+_COSINE_BCAST_MAX = 65536  # rows: bounded-broadcast regime ceiling
+
+
+def _int_pair_mask(D, n2a, n2b, tau_num: int, tau_den: int, extra_mask):
+    """Shared decision kernel: integer dup test over a float64 dot block
+    (exact below 2⁵³) with the ±1e-9 guard band re-checked in exact
+    python ints. Returns the boolean keep mask."""
+    import numpy as np
+
+    lhs = (D * D) * float(tau_den)
+    rhs = float(tau_num) * (n2a[:, None] * n2b[None, :])
+    pos = (D > 0) & extra_mask
+    sure = pos & (lhs >= rhs * (1.0 + 1e-9))
+    band = pos & ~sure & (lhs >= rhs * (1.0 - 1e-9))
+    if band.any():
+        bi, bj = np.nonzero(band)
+        for i, j in zip(bi.tolist(), bj.tolist()):
+            d = int(round(D[i, j]))
+            if d * d * tau_den >= tau_num * int(round(n2a[i])) * int(
+                round(n2b[j])
+            ):
+                sure[i, j] = True
+    return sure
+
+
 def _cosine_pairs_int_blocked(
     v: DataFrame, tau_num: int, tau_den: int
 ) -> DataFrame:
     """GEMM tier of ``cosine_pairs_int`` over a prepared
-    ``(vec_id, iv, n2)`` frame. Each input block is the ``a`` side; the
-    full matrix (driver-collected, id-sorted) is the ``b`` side, masked
-    to ``b_id > a_id`` so every pair is emitted exactly once."""
+    ``(vec_id, iv, n2)`` frame — two regimes, identical pair set:
+
+    - ``n ≤ _COSINE_BCAST_MAX``: the b side is a BOUNDED collect (≤ the
+      constant, the codebook-collect discipline) shipped as ONE
+      ``sc.broadcast`` (never a per-task closure copy); each partition
+      GEMMs against it masked to ``b_id > a_id``.
+    - larger n: fully distributed block-pair GEMM — rows hash into
+      ``nb = ⌈n/4096⌉`` (≤128) blocks, each row is replicated to its
+      ``nb`` unordered block pairs, and one ``applyInPandas`` task
+      GEMMs each pair with per-task memory bounded by TWO blocks. The
+      driver never holds the matrix; the exhaustive O(n²) dot count is
+      unchanged (that is the tier's contract — sub-quadratic needs
+      bucketing first: sign-LSH ``lsh_cosine_pairs`` or the semdedup
+      cells, with this integer test as the verify)."""
     import numpy as np
 
     from .dedup import spread_for_cpu
 
-    rows = sorted(v.collect(), key=lambda r: r[0])
-    if not rows:
+    # ONE bounded job decides the regime AND is the small-regime collect:
+    # a limit(MAX+1) either returns the whole table (≤ MAX rows — the
+    # bounded regime) or proves it is larger
+    probe = v.limit(_COSINE_BCAST_MAX + 1).collect()
+    if not probe:
         return v.sparkSession.createDataFrame([], "a_id long, b_id long")
-    ids_all = np.array([r[0] for r in rows], dtype=np.int64)
-    Q_all = np.array([r[1] for r in rows], dtype=np.float64)
-    n2_all = np.array([r[2] for r in rows], dtype=np.float64)
 
-    def pairs(it):
-        for pdf in it:
-            if not len(pdf):
-                continue
-            ids = pdf["vec_id"].to_numpy()
-            B = np.stack(pdf["iv"].to_numpy()).astype(np.float64)
-            n2 = pdf["n2"].to_numpy().astype(np.float64)
-            D = B @ Q_all.T  # exact: every partial sum an integer < 2^53
-            lhs = (D * D) * float(tau_den)
-            rhs = float(tau_num) * (n2[:, None] * n2_all[None, :])
-            lt = ids[:, None] < ids_all[None, :]
-            pos = (D > 0) & lt
-            sure = pos & (lhs >= rhs * (1.0 + 1e-9))
-            band = pos & ~sure & (lhs >= rhs * (1.0 - 1e-9))
-            if band.any():
-                bi, bj = np.nonzero(band)
-                for i, j in zip(bi.tolist(), bj.tolist()):
-                    d = int(round(D[i, j]))
-                    if d * d * tau_den >= tau_num * int(round(n2[i])) * int(
-                        round(n2_all[j])
-                    ):
-                        sure[i, j] = True
-            ai, bj = np.nonzero(sure)
-            yield pd.DataFrame(
-                {"a_id": ids[ai], "b_id": ids_all[bj]}
-            )
+    if len(probe) <= _COSINE_BCAST_MAX:
+        rows = sorted(probe, key=lambda r: r[0])
+        mats = (
+            np.array([r[0] for r in rows], dtype=np.int64),
+            np.array([r[1] for r in rows], dtype=np.float64),
+            np.array([r[2] for r in rows], dtype=np.float64),
+        )
+        # one sc.broadcast ships the b side once per worker; below ~8k
+        # rows the matrix is ≲ a few MB and the plain closure copy is
+        # cheaper than the broadcast machinery. Exactly ONE of payload /
+        # bc is non-None so the closure never captures both.
+        if len(rows) > 8192:
+            bc = v.sparkSession.sparkContext.broadcast(mats)
+            payload = None
+        else:
+            bc, payload = None, mats
 
-    return spread_for_cpu(v).mapInPandas(pairs, "a_id long, b_id long")
+        def pairs(it):
+            ids_all, Q_all, n2_all = payload if payload is not None else bc.value
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                ids = pdf["vec_id"].to_numpy()
+                B = np.stack(pdf["iv"].to_numpy()).astype(np.float64)
+                n2 = pdf["n2"].to_numpy().astype(np.float64)
+                D = B @ Q_all.T  # exact: every partial sum an integer < 2^53
+                sure = _int_pair_mask(
+                    D, n2, n2_all, tau_num, tau_den,
+                    ids[:, None] < ids_all[None, :],
+                )
+                ai, bj = np.nonzero(sure)
+                yield pd.DataFrame({"a_id": ids[ai], "b_id": ids_all[bj]})
+
+        return spread_for_cpu(v).mapInPandas(pairs, "a_id long, b_id long")
+
+    v = v.localCheckpoint(eager=True)  # the explode below re-reads it nb×
+    n = v.count()
+    nb = min(128, -(-n // 4096))
+
+    def block_pairs(key, pdf):
+        import numpy as np
+
+        g1, g2 = int(key[0]), int(key[1])
+        ids = pdf["vec_id"].to_numpy()
+        Q = np.stack(pdf["iv"].to_numpy()).astype(np.float64)
+        n2 = pdf["n2"].to_numpy().astype(np.float64)
+        blk = pdf["__b"].to_numpy()
+        D = Q @ Q.T
+        mask = ids[:, None] < ids[None, :]
+        if g1 != g2:
+            # cross-block pairs only — within-block pairs belong to the
+            # (b, b) group so no pair is ever emitted twice
+            mask &= blk[:, None] != blk[None, :]
+        sure = _int_pair_mask(D, n2, n2, tau_num, tau_den, mask)
+        ai, bj = np.nonzero(sure)
+        return pd.DataFrame({"a_id": ids[ai], "b_id": ids[bj]})
+
+    blocks = v.withColumn("__b", F.pmod(F.col("vec_id"), F.lit(nb)))
+    rep = blocks.withColumn(
+        "__k", F.explode(F.sequence(F.lit(0), F.lit(nb - 1)))
+    ).select(
+        F.least("__b", "__k").alias("__g1"),
+        F.greatest("__b", "__k").alias("__g2"),
+        "vec_id",
+        "iv",
+        "n2",
+        "__b",
+    )
+    return rep.groupBy("__g1", "__g2").applyInPandas(
+        block_pairs, "a_id long, b_id long"
+    )
 
 
 def semdedup(

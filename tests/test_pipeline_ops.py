@@ -521,6 +521,20 @@ def test_cosine_pairs_int_tiers_identical(spark):
     assert expr == brute
 
 
+def test_cosine_pairs_int_distributed_blocks_identical(spark, monkeypatch):
+    """The blocked tier's LARGE regime (distributed block-pair GEMM — no
+    driver-side matrix collect) must emit the identical pair set as the
+    expression tier; forced here by dropping the broadcast-regime
+    ceiling to 0 so the small table takes the block path."""
+    monkeypatch.setattr(similarity, "_COSINE_BCAST_MAX", 0)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    expr = {(r.a_id, r.b_id) for r in
+            similarity.cosine_pairs_int(emb, tier="expression").collect()}
+    blk = {(r.a_id, r.b_id) for r in
+           similarity.cosine_pairs_int(emb, tier="blocked").collect()}
+    assert expr == blk and len(expr) > 0
+
+
 def test_cosine_pairs_int_boundary_band(spark):
     """Pairs landing EXACTLY on the τ² boundary (lhs == rhs, inside the
     blocked tier's float64 guard band) must be decided by the exact
