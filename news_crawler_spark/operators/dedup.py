@@ -409,6 +409,109 @@ def with_minhash(
     n: int = 3,
     num_hashes: int = 128,
 ) -> DataFrame:
+    """(doc_id, sh, sig) — hashed shingle sets plus their
+    ``num_hashes``-wide MinHash signatures, built in ONE vectorized
+    batch kernel (guide §4.2): token hashes via the pure-python XXH64
+    (functions/xxh64.py — bit-identical to ``F.xxhash64`` on strings,
+    pinned in tests), gram chaining and the num_hashes×shingles
+    signature matrix via the XXH64 long-path recurrence in wrapping
+    numpy uint64. Bit-identical to the expression composition
+    ``with_hashed_shingles + minhash_signature`` (which remains the
+    reference formulation below, exercised by the twin fixtures): the
+    interpreted per-(i, shingle) HOF rehash was the measured bulk of
+    d3's signature stage. Short docs (< n tokens) drop, shingles are
+    first-occurrence distinct — the with_hashed_shingles contract."""
+    import numpy as np
+
+    from ..functions.xxh64 import xxh64
+
+    P1 = np.uint64(0x9E3779B185EBCA87)
+    P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+    P3 = np.uint64(0x165667B19E3779F9)
+    P4 = np.uint64(0x85EBCA77C2B2AE63)
+    P5 = np.uint64(0x27D4EB2F165667C5)
+    EIGHT = np.uint64(8)
+
+    def _rotl(x, r):
+        return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+    def _fmix(h):
+        h ^= h >> np.uint64(33)
+        h *= P2
+        h ^= h >> np.uint64(29)
+        h *= P3
+        h ^= h >> np.uint64(32)
+        return h
+
+    def _hash_long(v, seed):
+        # Spark XxHash64 on a LongType input: hashLong(v, seed) — the
+        # 8-byte tail step of the XXH64 spec, vectorized (v and/or seed
+        # may be arrays; all ops wrap in uint64)
+        h = seed + P5 + EIGHT
+        h = h ^ (_rotl(v * P2, 31) * P1)
+        h = _rotl(h, 27) * P1 + P4
+        return _fmix(h)
+
+    seeds = np.empty(num_hashes, dtype=np.uint64)
+    s42 = np.uint64(42)
+    for i in range(num_hashes):
+        seeds[i] = _hash_long(np.uint64(i), s42)
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_id, out_sh, out_sig = [], [], []
+            for did, txt in zip(pdf["doc_id"], pdf[text_col]):
+                if txt is None:
+                    continue
+                toks = txt.split(" ")
+                if len(toks) < n:
+                    continue
+                th = np.array(
+                    [xxh64(t.encode("utf-8")) for t in toks], dtype=np.uint64
+                )
+                # chained multi-arg hash: seed 42 → fold each gram element
+                m = len(toks) - n + 1
+                g = np.full(m, s42, dtype=np.uint64)
+                for j in range(n):
+                    g = _hash_long(th[j : j + m], g)
+                sh = pd.unique(g.astype(np.int64))  # first-occurrence distinct
+                shu = sh.astype(np.uint64)
+                sig = (
+                    _hash_long(shu[None, :], seeds[:, None])
+                    .astype(np.int64)
+                    .min(axis=1)
+                )
+                out_id.append(did)
+                out_sh.append(sh.tolist())
+                out_sig.append(sig.tolist())
+            if out_id:  # empty frames infer float64 cols → Arrow mismatch
+                yield pd.DataFrame(
+                    {"doc_id": out_id, "sh": out_sh, "sig": out_sig}
+                )
+
+    id_type = docs.select(F.col(id_col)).schema.fields[0].dataType.simpleString()
+    return (
+        spread_for_cpu(docs)
+        .select(F.col(id_col).alias("doc_id"), F.col(text_col))
+        .mapInPandas(
+            kernel,
+            f"doc_id {id_type}, sh array<long>, sig array<long>",
+        )
+    )
+
+
+def with_minhash_expr(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 128,
+) -> DataFrame:
+    """The expression-tier reference formulation of ``with_minhash``
+    (with_hashed_shingles + minhash_signature) — kept as the semantics
+    the kernel is pinned against in tests."""
     sh = with_hashed_shingles(docs, text_col, id_col, n)
     return sh.select(
         "doc_id",

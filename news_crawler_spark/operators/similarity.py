@@ -276,34 +276,37 @@ def kmeans_cells(
     ``return_centroids``, the tuple ``(assignment, centroids)`` where
     centroids is the ``(cell, cv)`` frame the final assignment used.
     """
-    sq = F.aggregate(
-        F.zip_with("iv", "iv", lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    vecs = (
-        embeddings.select(
-            F.col(id_col).alias("vec_id"), quantize_vec(F.col(vec_col)).alias("iv")
-        )
-        .withColumn("n2", sq)
-        .localCheckpoint(eager=True)
-    )
-    cents = (
-        vecs.filter(F.col("vec_id").isin(*seed_ids))
-        .select(F.col("vec_id").alias("cell"), F.col("iv").alias("cv"))
-        .localCheckpoint(eager=True)
-    )
-
     # Tier choice, size-adaptive (both tiers bit-identical —
     # kmeans_assign_blocked's <2⁵³ argument, fixture-pinned): the GEMM
     # tier pays a fixed per-iteration toll (a k-row collect job + the
     # Arrow round trip of the vectors), the expression tier pays n·k
     # interpreted ArrayAggregate distances. Measured crossover at
-    # local[32]: blocked LOSES below ~10⁷ distance evals per assign
-    # (sf0.1's 20k×8 took 1.8 s expression vs 2.2 s blocked) and wins
-    # severalfold above (the semdedup_prune_blocked curve). vecs is
-    # checkpointed, so the count is a cached-RDD count, not a scan.
-    use_blocked = vecs.count() * max(1, len(seed_ids)) >= 10_000_000
+    # local[32]: blocked loses below ~10⁷ distance evals per assign and
+    # wins severalfold above (the semdedup_prune_blocked curve). The
+    # count runs on the SOURCE frame, where a parquet-backed scan
+    # answers it from footer stats — not on the quantized projection.
+    use_blocked = (
+        embeddings.count() * max(1, len(seed_ids)) >= 10_000_000
+    )
+
+    vecs = embeddings.select(
+        F.col(id_col).alias("vec_id"), quantize_vec(F.col(vec_col)).alias("iv")
+    )
+    if use_blocked:
+        # the GEMM assignment reads ‖v‖² per row; the expression tier
+        # derives the distance directly and never needs it
+        sq = F.aggregate(
+            F.zip_with("iv", "iv", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        vecs = vecs.withColumn("n2", sq)
+    vecs = vecs.localCheckpoint(eager=True)
+    cents = (
+        vecs.filter(F.col("vec_id").isin(*seed_ids))
+        .select(F.col("vec_id").alias("cell"), F.col("iv").alias("cv"))
+        .localCheckpoint(eager=True)
+    )
 
     def assign(cent: DataFrame) -> DataFrame:
         if use_blocked:
@@ -1172,8 +1175,11 @@ def pq_codebooks_iv(
 
     # size-adaptive tier (the kmeans_cells crossover note): blocked
     # assignment pays a fixed collect + Arrow toll per iteration, worth
-    # it only once interpreted distance evals pass ~10⁷ per assign
-    use_blocked = sv.count() * k_codes >= 10_000_000
+    # it only once interpreted distance evals pass ~10⁷ per assign.
+    # Counted on the SOURCE frame (a parquet-backed count is a footer-
+    # stats job — the projection is pruned away), n_sub subvector rows
+    # per vector.
+    use_blocked = ivdf.count() * n_sub * k_codes >= 10_000_000
 
     dist = F.aggregate(
         F.zip_with("svec", "cv", lambda a, b: (a - b) * (a - b)),

@@ -167,6 +167,21 @@ def test_minhash_signature_matches_python_twin(spark, docs, doc_rows):
         assert sig == py_minhash(doc_rows[doc_id], 16)[: len(sig)], doc_id
 
 
+def test_minhash_kernel_matches_expression_tier(spark, docs):
+    """The vectorized with_minhash kernel must emit the identical
+    (sh-set, sig) per doc as the expression-tier reference formulation
+    (with_hashed_shingles + minhash_signature)."""
+    ker = {
+        r.doc_id: (set(r.sh), list(r.sig))
+        for r in dedup.with_minhash(docs.limit(20), num_hashes=32).collect()
+    }
+    expr = {
+        r.doc_id: (set(r.sh), list(r.sig))
+        for r in dedup.with_minhash_expr(docs.limit(20), num_hashes=32).collect()
+    }
+    assert ker == expr and len(ker) > 0
+
+
 def test_simhash_matches_python_twin(spark, docs, doc_rows):
     for th in ("md5", "xxhash64"):
         got = {
