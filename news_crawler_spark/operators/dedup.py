@@ -593,7 +593,7 @@ def minhash_lsh_pairs(
 # duplicate clusters (connected components over near-dup pairs)
 
 def duplicate_clusters(
-    pairs: DataFrame, max_iters: int = 50, algorithm: str = "label"
+    pairs: DataFrame, max_iters: int = 50, algorithm: str = "auto"
 ) -> DataFrame:
     """Near-dup PAIRS → CLUSTERS: (doc_id, cluster_id) where cluster_id =
     the minimum doc_id in the pair-graph's connected component. This is
@@ -619,6 +619,15 @@ def duplicate_clusters(
     round; two-star pays O(log²) rounds with min-combiner-absorbed skew.
     For ordinary near-dup output (tiny cliques), label propagation's
     2-4 cheap rounds win.
+
+    ``algorithm="auto"`` (the default) runs label propagation and, if a
+    component's diameter exceeds ``max_iters`` (labels still moving at
+    the round cap), RE-RUNS via two-star instead of returning the
+    silently split clustering — the measured failure mode (a 3k-node
+    chain at 60 capped rounds returned 2,940 clusters instead of 1,
+    BENCH.md round-5 A/B) is now unreachable from the default path.
+    ``algorithm="label"`` keeps the warn-and-return behavior for
+    callers that bound diameter themselves (and for the A/B harness).
     """
     if algorithm == "twostar":
         from .graph import connected_components_twostar
@@ -631,8 +640,10 @@ def duplicate_clusters(
             F.col("node").alias("doc_id"),
             F.col("component").alias("cluster_id"),
         )
-    if algorithm != "label":
-        raise ValueError(f"algorithm must be label|twostar, got {algorithm!r}")
+    if algorithm not in ("label", "auto"):
+        raise ValueError(
+            f"algorithm must be auto|label|twostar, got {algorithm!r}"
+        )
     # checkpoint the edge list: every propagation round joins against it,
     # and a LAZY pairs input (e.g. an all-pairs cosine self-join) would
     # otherwise be re-evaluated once per round — measured 146 s instead
@@ -672,11 +683,28 @@ def duplicate_clusters(
         if changed == 0:
             break
     if changed != 0:
+        import warnings
+
+        if algorithm == "auto":
+            # a component's diameter exceeds max_iters: the label answer
+            # would be SILENTLY split into several clusters. Fall back
+            # to the chain-safe O(log²)-round backend and return the
+            # exact components (VERDICT round 5: no code path may
+            # return coarser-than-true labels without raising).
+            warnings.warn(
+                f"duplicate_clusters: label propagation did not converge "
+                f"within max_iters={max_iters} (a component's diameter "
+                "is longer); re-running via the two-star backend for "
+                "exact components.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            # two-star rounds are O(log² n), not one-hop — its own
+            # default cap applies, not the label-sized max_iters
+            return duplicate_clusters(pairs, algorithm="twostar")
         # min-label moves one hop per round, so a component whose
         # diameter exceeds max_iters would exit here SILENTLY split into
         # several clusters — surface it instead of returning wrong ids
-        import warnings
-
         warnings.warn(
             f"duplicate_clusters did not converge within max_iters="
             f"{max_iters}: some connected component has a longer "

@@ -62,7 +62,11 @@ def split_url(url: Column) -> tuple[Column, Column, Column]:
         "",
     )
     path = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]+([^?#]*)", 1)
-    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    # anchor the query to the PRE-fragment portion: a '?' that first
+    # appears inside the fragment (https://h/p#frag?x=1) is fragment
+    # text, not a query — the unanchored form minted bogus param
+    # evidence from it (ADVICE round 5)
+    query = F.regexp_extract(url, r"^[^#]*\?([^#]*)", 1)
     params = F.when(query == "", _empty_str_array()).otherwise(
         F.array_sort(F.split(query, "&"))
     )
@@ -158,6 +162,9 @@ def apply_param_rules(urls: DataFrame, rules: DataFrame) -> DataFrame:
         F.when(F.size(kept) > 0, F.concat(F.lit("?"), F.concat_ws("&", kept))).otherwise(
             F.lit("")
         ),
+        # the original '#fragment' verbatim — a rewrite that fired used
+        # to silently drop it (ADVICE round 5)
+        F.regexp_extract("url", r"(#.*)$", 1),
     )
     # rewrite ONLY when the URL parsed as absolute AND actually loses a
     # param; dirty spellings (scheme-less, protocol-relative — the

@@ -706,11 +706,17 @@ def drain_eta(
         "budget",
         F.coalesce(F.col("budget"), F.lit(default_budget)).cast("long"),
     )
-    rounds = F.expr("(n_pending + budget - 1) div budget")
+    # a zero/negative joined budget (bucket_capacity=0 politeness rows)
+    # means the host can never drain: the bare ceil-div yielded NULL
+    # rounds and NULL over_cap (or an ANSI divide-by-zero) instead of
+    # flagging it (ADVICE round 5) — classify explicitly
+    rounds = F.when(
+        F.col("budget") >= 1, F.expr("(n_pending + budget - 1) div budget")
+    )
     return joined.select(
         "host",
         "n_pending",
         "budget",
         rounds.cast("long").alias("rounds_to_drain"),
-        (rounds > rounds_cap).alias("over_cap"),
+        F.coalesce(rounds > rounds_cap, F.lit(True)).alias("over_cap"),
     )

@@ -598,6 +598,13 @@ def connected_components_twostar(
             RuntimeWarning,
             stacklevel=2,
         )
+        # a non-stabilized edge set may still hold several (u, v) rows
+        # per node; the final left join would then emit duplicate rows
+        # per node ON TOP of the coarser ids the warning promises —
+        # reduce to each node's best-known (minimum) target so the
+        # one-row-per-node output contract holds unconditionally
+        # (ADVICE round 5)
+        cur = cur.groupBy("u").agg(F.min("v").alias("v"))
     # star form: every non-root points at its component min; roots are
     # absent from the u side and label themselves
     return (

@@ -113,6 +113,33 @@ def test_apply_param_rules_rewrites_learned_aliases(spark):
     assert out["https://a.example/plain"] == "https://a.example/plain"
 
 
+def test_fragment_urls_parse_and_rebuild_safely(spark):
+    """ADVICE round 5: a '?' first appearing inside the '#fragment' is
+    fragment text, not a query (no bogus param evidence, byte-identical
+    pass-through), and a rewrite that fires on a fragment-carrying URL
+    must keep the fragment."""
+    rules = dust.mine_param_rules(_pages(spark), min_support=3)
+    urls = spark.createDataFrame(
+        [
+            ("https://a.example/i/9#frag?sid=42",),   # '?' only in fragment
+            ("https://a.example/i/9?sid=42#frag",),   # real query + fragment
+            ("https://a.example/i/9?sid=42&page=1#x",),
+        ],
+        "url string",
+    )
+    out = {
+        r.url: r.rewritten_url
+        for r in dust.apply_param_rules(urls, rules).collect()
+    }
+    assert out["https://a.example/i/9#frag?sid=42"] == (
+        "https://a.example/i/9#frag?sid=42"
+    )
+    assert out["https://a.example/i/9?sid=42#frag"] == "https://a.example/i/9#frag"
+    assert out["https://a.example/i/9?sid=42&page=1#x"] == (
+        "https://a.example/i/9?page=1#x"
+    )
+
+
 def test_mine_plan_has_no_cartesian_and_bounded_shuffle(spark):
     plan = dust.mine_param_rules(_pages(spark))._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan

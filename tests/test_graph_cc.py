@@ -91,6 +91,38 @@ def test_nonconvergence_warns(spark):
         connected_components_twostar(e, max_rounds=1).collect()
 
 
+def test_nonconvergence_still_one_row_per_node(spark):
+    """ADVICE round 5: at the round cap the star edge set may hold
+    several (u, v) rows per node — the output must still honor the
+    one-row-per-node contract (coarser ids are the documented
+    degradation, duplicate rows are not)."""
+    edges = [(i, i + 1) for i in range(64)]
+    e = spark.createDataFrame(edges, "u long, v long")
+    with pytest.warns(RuntimeWarning, match="did not stabilize"):
+        rows = connected_components_twostar(e, max_rounds=1).collect()
+    assert len(rows) == len({r.node for r in rows}) == 65
+
+
+def test_auto_falls_back_to_twostar_on_long_chains(spark):
+    """VERDICT round 5: the default path must never return silently
+    split clusters. A 40-node chain at max_iters=5 exceeds label
+    propagation's reach; algorithm='auto' must warn and return the
+    EXACT single component, while algorithm='label' keeps the
+    warn-and-return-coarse behavior for the A/B harness."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "a_id long, b_id long"
+    )
+    with pytest.warns(RuntimeWarning, match="two-star"):
+        got = dedup.duplicate_clusters(pairs, max_iters=5).collect()
+    assert {r.cluster_id for r in got} == {0}
+    assert len(got) == 41
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        coarse = dedup.duplicate_clusters(
+            pairs, max_iters=5, algorithm="label"
+        ).collect()
+    assert len({r.cluster_id for r in coarse}) > 1
+
+
 def test_duplicate_clusters_twostar_backend(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],

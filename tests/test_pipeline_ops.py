@@ -1946,6 +1946,21 @@ class TestDrainEta:
         r = frontier.drain_eta(fr, budgets, default_budget=4).collect()[0]
         assert (r.budget, r.rounds_to_drain) == (4, 2)
 
+    def test_zero_budget_host_is_over_cap(self, spark):
+        """ADVICE round 5: a host whose politeness rows carry budget 0
+        can never drain — it must classify over_cap=true (NULL eta),
+        not NULL/ANSI-error through the ceil-div."""
+        fr = spark.createDataFrame(
+            [("z0", "pending")] * 5 + [("ok", "pending")] * 4,
+            "host string, status string",
+        )
+        budgets = spark.createDataFrame(
+            [("z0", 0), ("ok", 2)], "host string, budget long"
+        )
+        got = {r.host: r for r in frontier.drain_eta(fr, budgets).collect()}
+        assert got["z0"].rounds_to_drain is None and got["z0"].over_cap
+        assert (got["ok"].rounds_to_drain, got["ok"].over_cap) == (2, False)
+
 
 # ----------------------------------------------------------- sitemap stale
 
