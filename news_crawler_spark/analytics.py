@@ -3958,6 +3958,11 @@ def x15_kmv_vocab(spark, sf):
             F.explode(dedup.shingles_from_tokens(F.col("__toks"))).alias("g"),
         )
         .select("doc_id", "source", sketch.md5_hash60(F.col("g")).alias("h"))
+        # derive-once: direct + 4 shard sketches + the exact rider embed
+        # this subtree 6× in one plan, and Spark re-evaluates each copy
+        # (gram strings + one md5 per gram, the dominant cost — measured
+        # ~2.5 s of x15's 4 s at sf0.1). ~8 B/gram materialized.
+        .localCheckpoint(eager=True)
     )
     direct = sketch.kmv_bottom_k(hashed, ["source"], "h", X15_K)
     shards = [
@@ -4037,7 +4042,12 @@ def x16_countmin_heavy(spark, sf):
     (the oracle states TRUE; any merge bug breaks the hash)."""
     from .operators import sketch
 
-    e = load(spark, sf, "events")
+    # derive-once (the x15 note): the direct table + 4 shard tables each
+    # re-evaluated the 4 per-row cell hashes over their own events scan;
+    # one checkpointed events projection feeds all five
+    e = load(spark, sf, "events").select(
+        "event_type", "event_id", "user_id"
+    ).localCheckpoint(eager=True)
     table = sketch.countmin_table(
         e, ["event_type"], "user_id", X16_DEPTH, X16_WIDTH
     )
@@ -6516,31 +6526,49 @@ def m5_image_neardup(spark, sf):
     from .operators import multimodal
 
     d = load(spark, sf, "documents")
-    did = F.col("doc_id")
-    g = F.expr("doc_id div 5")
-    nflips = (did % 5).cast("int")
-    h4 = lambda s: F.conv(F.substring(F.md5(s), 1, 4), 16, 10).cast("long")
-    fpos = F.when(nflips == 0, F.array().cast("array<long>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), nflips),
-            lambda j: h4(
-                F.concat(F.lit("fp"), did.cast("string"), F.lit("-"), j.cast("string"))
-            )
-            % 64,
-        )
-    )
-    base = lambda i: (
-        h4(F.concat(F.lit("im"), g.cast("string"), F.lit("-"), i.cast("string"))) % 2
-    ) * 255
-    thumbs = d.select(
-        "doc_id",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda i: F.when(
-                F.size(F.filter(fpos, lambda p: p == i.cast("long"))) % 2 == 1,
-                F.lit(255) - base(i),
-            ).otherwise(base(i)),
-        ).alias("cells"),
+
+    # thumbnail construction as a vectorized batch kernel (guide §4.2):
+    # the expression form ran 64 md5s per DOC plus a per-cell flip filter
+    # as interpreted HOFs (~half the query wall at sf0.1); here one md5
+    # per (group, cell) — shared by the 5 docs of a group via a
+    # per-batch memo — and numpy parity/flip. Arithmetic is identical to
+    # the twin: h4 = first 4 md5 hex chars as int, base = (h4%2)*255,
+    # cell flips when its md5-chosen position count is odd.
+    def _thumbs_kernel(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        def h4(s: str) -> int:
+            return int(hashlib.md5(s.encode()).hexdigest()[:4], 16)
+
+        base_memo: dict[int, object] = {}
+        for pdf in batches:
+            out_id, out_cells = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g, nf = did // 5, did % 5
+                base = base_memo.get(g)
+                if base is None:
+                    base = np.array(
+                        [h4(f"im{g}-{i}") % 2 * 255 for i in range(64)],
+                        dtype=np.int64,
+                    )
+                    base_memo[g] = base
+                parity = np.zeros(64, dtype=np.int64)
+                for j in range(1, nf + 1):
+                    parity[h4(f"fp{did}-{j}") % 64] ^= 1
+                out_id.append(did)
+                out_cells.append(
+                    np.where(parity == 1, 255 - base, base).tolist()
+                )
+            if out_id:
+                yield pd.DataFrame({"doc_id": out_id, "cells": out_cells})
+
+    thumbs = (
+        dedup.spread_for_cpu(d.select("doc_id"))
+        .mapInPandas(_thumbs_kernel, "doc_id long, cells array<int>")
     )
     return multimodal.image_neardup_pairs(
         thumbs, cells_col="cells", id_col="doc_id", max_hamming=3

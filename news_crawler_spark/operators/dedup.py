@@ -452,10 +452,10 @@ def with_minhash(
         h = _rotl(h, 27) * P1 + P4
         return _fmix(h)
 
-    seeds = np.empty(num_hashes, dtype=np.uint64)
     s42 = np.uint64(42)
-    for i in range(num_hashes):
-        seeds[i] = _hash_long(np.uint64(i), s42)
+    # array op, not a scalar loop: numpy warns on SCALAR uint64 overflow
+    # (array arithmetic wraps silently, which is the semantics we want)
+    seeds = _hash_long(np.arange(num_hashes, dtype=np.uint64), s42)
 
     def kernel(batches):
         import pandas as pd
