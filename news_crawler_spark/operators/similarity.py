@@ -235,6 +235,18 @@ def ivf_assign(
     return assigned
 
 
+# Lloyd tier crossover, in distance evaluations (n_points × k) per
+# assignment pass at this engine's dim-64 vectors: the GEMM tier pays a
+# fixed per-iteration toll (a k-row collect job + the Arrow round trip),
+# the expression tier pays interpreted ArrayAggregate per eval.
+# Measured (local[32], warm, interleaved reps): 2k×8 = 16k evals ties
+# (1.7 s both), 2k vectors × 8 sub × 16 codes = 256k evals blocked wins
+# (1.35 vs 1.40 s warm, 2.1 vs 4.9 s cold), 20k×80 = 1.6M evals blocked
+# wins 2.3× (2.2 vs 5.0 s) — so the boundary sits near 10⁵ and GROWS
+# in blocked's favor with size (the semdedup_prune_blocked curve).
+_LLOYD_BLOCKED_MIN_EVALS = 100_000
+
+
 def kmeans_cells(
     embeddings: DataFrame,
     seed_ids: tuple[int, ...] = tuple(range(8)),
@@ -277,16 +289,12 @@ def kmeans_cells(
     centroids is the ``(cell, cv)`` frame the final assignment used.
     """
     # Tier choice, size-adaptive (both tiers bit-identical —
-    # kmeans_assign_blocked's <2⁵³ argument, fixture-pinned): the GEMM
-    # tier pays a fixed per-iteration toll (a k-row collect job + the
-    # Arrow round trip of the vectors), the expression tier pays n·k
-    # interpreted ArrayAggregate distances. Measured crossover at
-    # local[32]: blocked loses below ~10⁷ distance evals per assign and
-    # wins severalfold above (the semdedup_prune_blocked curve). The
-    # count runs on the SOURCE frame, where a parquet-backed scan
-    # answers it from footer stats — not on the quantized projection.
+    # kmeans_assign_blocked's <2⁵³ argument, fixture-pinned): see
+    # _LLOYD_BLOCKED_MIN_EVALS for the measured crossover. The count
+    # runs on the SOURCE frame, where a parquet-backed scan answers it
+    # from footer stats — not on the quantized projection.
     use_blocked = (
-        embeddings.count() * max(1, len(seed_ids)) >= 10_000_000
+        embeddings.count() * max(1, len(seed_ids)) >= _LLOYD_BLOCKED_MIN_EVALS
     )
 
     vecs = embeddings.select(
@@ -1173,13 +1181,11 @@ def pq_codebooks_iv(
         .localCheckpoint(eager=True)
     )
 
-    # size-adaptive tier (the kmeans_cells crossover note): blocked
-    # assignment pays a fixed collect + Arrow toll per iteration, worth
-    # it only once interpreted distance evals pass ~10⁷ per assign.
-    # Counted on the SOURCE frame (a parquet-backed count is a footer-
-    # stats job — the projection is pruned away), n_sub subvector rows
-    # per vector.
-    use_blocked = ivdf.count() * n_sub * k_codes >= 10_000_000
+    # size-adaptive tier: see _LLOYD_BLOCKED_MIN_EVALS for the measured
+    # crossover. Counted on the SOURCE frame (a parquet-backed count is
+    # a footer-stats job — the projection is pruned away), n_sub
+    # subvector rows per vector.
+    use_blocked = ivdf.count() * n_sub * k_codes >= _LLOYD_BLOCKED_MIN_EVALS
 
     dist = F.aggregate(
         F.zip_with("svec", "cv", lambda a, b: (a - b) * (a - b)),
