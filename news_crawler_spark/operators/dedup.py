@@ -1391,47 +1391,59 @@ def cdc_chunks(
     cost is O(n·window) like winnowing. Downstream dedup groups by
     ``md5(chunk_text)`` — one map-side-combined shuffle of 16-byte
     keys, the same bill as every other dedup tier here."""
-    from .text import let_bound
+    # vectorized batch kernel (guide §4.2 — the simhash/minhash
+    # treatment applied to the boundary scan): one md5 per window
+    # position in hashlib instead of the interpreted per-position
+    # filter/slice/join HOF chain. Bit-identical semantics: boundary
+    # after 1-based position i (window ≤ i ≤ n−1) iff the first 12 md5
+    # hex chars of the window string ending at i are 0 mod divisor;
+    # doc end always a boundary; NULL text yields no rows (the
+    # expression form's posexplode-over-NULL behavior).
+    import hashlib
 
-    def per_doc(t: Column) -> Column:
-        n = F.size(t)
-        cand = F.when(
-            n - 1 >= window, F.sequence(F.lit(window), n - 1)
-        ).otherwise(F.expr("array()").cast("array<int>"))
-        wh = lambda i: F.conv(  # noqa: E731 — boundary hash of window ending at i
-            F.substring(
-                F.md5(F.array_join(F.slice(t, i - window + 1, F.lit(window)), " ")),
-                1,
-                12,
-            ),
-            16,
-            10,
-        ).cast("long")
-        bpos = F.filter(cand, lambda i: wh(i) % divisor == 0)
-        bounds = F.concat(bpos, F.array(n))
-        starts = F.concat(
-            F.array(F.lit(0)), F.slice(bounds, 1, F.size(bounds) - 1)
-        )
-        return F.zip_with(
-            starts,
-            bounds,
-            lambda s, e: F.struct(
-                F.array_join(F.slice(t, s + 1, e - s), " ").alias("chunk_text"),
-                (e - s).cast("int").alias("n_tokens"),
-            ),
-        )
+    import pandas as pd
 
-    chunks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        let_bound(F.split(F.col(text_col), " "), per_doc).alias("__chunks"),
-    )
-    return chunks.select(
-        "doc_id", F.posexplode("__chunks").alias("chunk_idx", "__c")
-    ).select(
-        "doc_id",
-        F.col("chunk_idx").cast("int").alias("chunk_idx"),
-        F.col("__c.chunk_text").alias("chunk_text"),
-        F.col("__c.n_tokens").alias("n_tokens"),
+    def kernel(batches):
+        for pdf in batches:
+            out_id, out_idx, out_text, out_n = [], [], [], []
+            for did, txt in zip(pdf["doc_id"], pdf[text_col]):
+                if txt is None:
+                    continue
+                t = txt.split(" ")
+                n = len(t)
+                bounds = []
+                for i in range(window, n):
+                    h = hashlib.md5(
+                        " ".join(t[i - window : i]).encode("utf-8")
+                    ).hexdigest()[:12]
+                    if int(h, 16) % divisor == 0:
+                        bounds.append(i)
+                bounds.append(n)
+                start = 0
+                for idx, e in enumerate(bounds):
+                    out_id.append(did)
+                    out_idx.append(idx)
+                    out_text.append(" ".join(t[start:e]))
+                    out_n.append(e - start)
+                    start = e
+            if out_id:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": out_id,
+                        "chunk_idx": out_idx,
+                        "chunk_text": out_text,
+                        "n_tokens": out_n,
+                    }
+                )
+
+    id_type = docs.select(F.col(id_col)).schema.fields[0].dataType.simpleString()
+    return (
+        spread_for_cpu(docs)
+        .select(F.col(id_col).alias("doc_id"), F.col(text_col))
+        .mapInPandas(
+            kernel,
+            f"doc_id {id_type}, chunk_idx int, chunk_text string, n_tokens int",
+        )
     )
 
 
