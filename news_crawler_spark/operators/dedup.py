@@ -36,8 +36,56 @@ verify-stage candidates. Stop-shingle skew (one shingle shared by k docs
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# XXH64 primes (the public spec) as wrapping uint64 — shared by the
+# vectorized kernels below that must reproduce Spark's XxHash64 bit-for-bit
+_XX_P1 = np.uint64(0x9E3779B185EBCA87)
+_XX_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_XX_P3 = np.uint64(0x165667B19E3779F9)
+_XX_P4 = np.uint64(0x85EBCA77C2B2AE63)
+_XX_P5 = np.uint64(0x27D4EB2F165667C5)
+_XX_SEED = np.uint64(42)  # Spark's xxhash64 seed
+
+
+def _xx_rotl(x, r: int):
+    return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+
+def _xxh64_hash_long(v, seed):
+    """Spark ``XxHash64`` on a LongType input: ``hashLong(v, seed)`` —
+    the 8-byte tail step of the XXH64 spec, vectorized; ``v`` and/or
+    ``seed`` may be uint64 arrays, all ops wrap in uint64 (numpy array
+    arithmetic wraps silently — the semantics we need)."""
+    h = seed + _XX_P5 + np.uint64(8)
+    h = h ^ (_xx_rotl(v * _XX_P2, 31) * _XX_P1)
+    h = _xx_rotl(h, 27) * _XX_P1 + _XX_P4
+    h ^= h >> np.uint64(33)
+    h *= _XX_P2
+    h ^= h >> np.uint64(29)
+    h *= _XX_P3
+    h ^= h >> np.uint64(32)
+    return h
+
+
+def _gram_hashes_distinct(toks: list[str], n: int):
+    """First-occurrence-distinct chained-xxhash64 word-n-gram hashes of
+    a token list, as signed int64 — the ``with_hashed_shingles``
+    contract computed in numpy (token hash = XXH64 of the UTF-8 bytes,
+    gram hash = Spark's multi-arg chaining: each element's hashLong
+    seeds the next, from seed 42). Caller guarantees len(toks) >= n."""
+    import pandas as pd
+
+    from ..functions.xxh64 import xxh64
+
+    th = np.array([xxh64(t.encode("utf-8")) for t in toks], dtype=np.uint64)
+    m = len(toks) - n + 1
+    g = np.full(m, _XX_SEED, dtype=np.uint64)
+    for j in range(n):
+        g = _xxh64_hash_long(th[j : j + m], g)
+    return pd.unique(g.astype(np.int64))
 
 
 def spread_for_cpu(df: DataFrame) -> DataFrame:
@@ -154,6 +202,12 @@ def with_hashed_shingles(
     # per row inside the pushed filter — measured 10-20× on the d3
     # signature stage (14 s vs 0.6 s at sf0.1). ≥n tokens ⇔ sh non-empty,
     # so this placement is semantically identical.
+    # Measured note (optimization round): a numpy/pure-python XXH64
+    # batch kernel for THIS function was built and benchmarked 1.4-1.6x
+    # SLOWER than this expression form (token hashing dominates and
+    # F.xxhash64 is codegen'd JVM; the python XXH64 twin is interpreted)
+    # — reverted. with_minhash keeps its kernel because the 128-wide
+    # signature matrix, not token hashing, dominates there.
     extra = [F.col(c) for c in passthrough]
     toked = (
         spread_for_cpu(docs)
@@ -421,41 +475,7 @@ def with_minhash(
     interpreted per-(i, shingle) HOF rehash was the measured bulk of
     d3's signature stage. Short docs (< n tokens) drop, shingles are
     first-occurrence distinct — the with_hashed_shingles contract."""
-    import numpy as np
-
-    from ..functions.xxh64 import xxh64
-
-    P1 = np.uint64(0x9E3779B185EBCA87)
-    P2 = np.uint64(0xC2B2AE3D27D4EB4F)
-    P3 = np.uint64(0x165667B19E3779F9)
-    P4 = np.uint64(0x85EBCA77C2B2AE63)
-    P5 = np.uint64(0x27D4EB2F165667C5)
-    EIGHT = np.uint64(8)
-
-    def _rotl(x, r):
-        return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
-
-    def _fmix(h):
-        h ^= h >> np.uint64(33)
-        h *= P2
-        h ^= h >> np.uint64(29)
-        h *= P3
-        h ^= h >> np.uint64(32)
-        return h
-
-    def _hash_long(v, seed):
-        # Spark XxHash64 on a LongType input: hashLong(v, seed) — the
-        # 8-byte tail step of the XXH64 spec, vectorized (v and/or seed
-        # may be arrays; all ops wrap in uint64)
-        h = seed + P5 + EIGHT
-        h = h ^ (_rotl(v * P2, 31) * P1)
-        h = _rotl(h, 27) * P1 + P4
-        return _fmix(h)
-
-    s42 = np.uint64(42)
-    # array op, not a scalar loop: numpy warns on SCALAR uint64 overflow
-    # (array arithmetic wraps silently, which is the semantics we want)
-    seeds = _hash_long(np.arange(num_hashes, dtype=np.uint64), s42)
+    seeds = _xxh64_hash_long(np.arange(num_hashes, dtype=np.uint64), _XX_SEED)
 
     def kernel(batches):
         import pandas as pd
@@ -468,18 +488,11 @@ def with_minhash(
                 toks = txt.split(" ")
                 if len(toks) < n:
                     continue
-                th = np.array(
-                    [xxh64(t.encode("utf-8")) for t in toks], dtype=np.uint64
-                )
-                # chained multi-arg hash: seed 42 → fold each gram element
-                m = len(toks) - n + 1
-                g = np.full(m, s42, dtype=np.uint64)
-                for j in range(n):
-                    g = _hash_long(th[j : j + m], g)
-                sh = pd.unique(g.astype(np.int64))  # first-occurrence distinct
-                shu = sh.astype(np.uint64)
+                sh = _gram_hashes_distinct(toks, n)
                 sig = (
-                    _hash_long(shu[None, :], seeds[:, None])
+                    _xxh64_hash_long(
+                        sh.astype(np.uint64)[None, :], seeds[:, None]
+                    )
                     .astype(np.int64)
                     .min(axis=1)
                 )

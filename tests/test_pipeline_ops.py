@@ -2005,3 +2005,4 @@ class TestSitemapStaleness:
         assert plan.count("BroadcastHashJoin") == 2 or plan.count(
             "BroadcastExchange"
         ) >= 2, plan
+
