@@ -3958,11 +3958,6 @@ def x15_kmv_vocab(spark, sf):
             F.explode(dedup.shingles_from_tokens(F.col("__toks"))).alias("g"),
         )
         .select("doc_id", "source", sketch.md5_hash60(F.col("g")).alias("h"))
-        # derive-once: direct + 4 shard sketches + the exact rider embed
-        # this subtree 6× in one plan, and Spark re-evaluates each copy
-        # (gram strings + one md5 per gram, the dominant cost — measured
-        # ~2.5 s of x15's 4 s at sf0.1). ~8 B/gram materialized.
-        .localCheckpoint(eager=True)
     )
     direct = sketch.kmv_bottom_k(hashed, ["source"], "h", X15_K)
     shards = [
@@ -4042,9 +4037,12 @@ def x16_countmin_heavy(spark, sf):
     (the oracle states TRUE; any merge bug breaks the hash)."""
     from .operators import sketch
 
-    # derive-once (the x15 note): the direct table + 4 shard tables each
-    # re-evaluated the 4 per-row cell hashes over their own events scan;
-    # one checkpointed events projection feeds all five
+    # derive-once: the direct table + 4 shard tables each re-evaluated
+    # the per-row cell hashes over their own events scan; one
+    # checkpointed projection feeds all five (A/B'd: x16 2.2-3.0 s with
+    # vs 2.4-3.8 s without at sf0.1 — unlike x15, where the same
+    # checkpoint LOST to the map-side-combined per-arm aggregation and
+    # was reverted)
     e = load(spark, sf, "events").select(
         "event_type", "event_id", "user_id"
     ).localCheckpoint(eager=True)
